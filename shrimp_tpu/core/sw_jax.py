@@ -1,0 +1,283 @@
+"""Batched JAX Smith-Waterman kernels (vector filter + full traceback DP).
+
+TPU-first formulations of SHRiMP2's kernels:
+
+- `sw_vector_batch`: score-only local affine SW over [B] (window, read)
+  pairs; anti-diagonal wavefront with the read dimension vectorized and a
+  `lax.scan` over diagonals. Bit-equal to common/sw-vector.c:68-377
+  (including its H/E/F structure where gaps may open from gap states via H).
+
+- `sw_full_batch`: banded 3-plane global/local DP with packed 2-bit
+  backpointers, row `lax.scan` with the intra-row west-chain resolved by an
+  associative max-plus scan. Bit-equal scores/backpointers to
+  common/sw-full-ls.c:154-403 including the `revcmpl` tie-break flip.
+
+Both compile for fixed padded shapes; the mapper buckets work by shape.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.int32(-(2 ** 30))
+
+# packed backpointer nibbles (see traceback.py)
+NW_FROM_NW, NW_FROM_N, NW_FROM_W = 1, 2, 3
+N_FROM_N, N_FROM_NW = 1, 2
+W_FROM_W, W_FROM_NW = 1, 2
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
+    "b_gap_ext"))
+def sw_vector_batch(genome: jnp.ndarray, glen: jnp.ndarray,
+                    read: jnp.ndarray, rlen: jnp.ndarray,
+                    *, match: int, mismatch: int,
+                    a_gap_open: int, a_gap_ext: int,
+                    b_gap_open: int, b_gap_ext: int) -> jnp.ndarray:
+    """Local affine SW scores.
+
+    genome: [B, G] uint8 codes, glen: [B]; read: [B, R] uint8, rlen: [B].
+    Returns [B] int32 scores.
+    """
+    B, G = genome.shape
+    R = read.shape[1]
+    goa = jnp.int32(-(a_gap_open) + -(a_gap_ext))   # open+extend on open
+    gea = jnp.int32(-(a_gap_ext))
+    gob = jnp.int32(-(b_gap_open) + -(b_gap_ext))
+    geb = jnp.int32(-(b_gap_ext))
+    m = jnp.int32(match)
+    mm = jnp.int32(mismatch)
+
+    read_i = read.astype(jnp.int32)                       # [B, R]
+    ivec = jnp.arange(R, dtype=jnp.int32)[None, :]        # [1, R]
+    rmask = ivec < rlen[:, None]                          # [B, R]
+    genome_i = genome.astype(jnp.int32)
+
+    def shift1(a, fill):
+        return jnp.concatenate(
+            [jnp.full((B, 1), fill, a.dtype), a[:, :-1]], axis=1)
+
+    def step(carry, d):
+        h_prev, h_prev2, e_prev, f_prev, g_diag, best = carry
+        # slide the genome diagonal: g_diag[i] = genome[d - i]
+        g_new = shift1(g_diag, 0)
+        gchar = jnp.where(d < G, genome_i[:, jnp.minimum(d, G - 1)],
+                          jnp.int32(-1))
+        g_diag2 = g_new.at[:, 0].set(gchar)
+
+        e_new = jnp.maximum(h_prev - goa, e_prev - gea)
+        f_new = shift1(jnp.maximum(h_prev - gob, f_prev - geb), NEG)
+        s = jnp.where(g_diag2 == read_i, m, mm)
+        h_diag = shift1(h_prev2, 0)
+        h_new = jnp.maximum(jnp.maximum(0, h_diag + s),
+                            jnp.maximum(e_new, f_new))
+        j = d - ivec
+        valid = rmask & (j >= 0) & (j < glen[:, None])
+        h_new = jnp.where(valid, h_new, 0)
+        e_new = jnp.where(j >= 0, e_new, NEG)
+        f_new = jnp.where(valid, f_new, NEG)
+        best = jnp.maximum(best, jnp.max(jnp.where(valid, h_new, 0), axis=1))
+        return (h_new, h_prev, e_new, f_new, g_diag2, best), None
+
+    zeros = jnp.zeros((B, R), jnp.int32)
+    negs = jnp.full((B, R), NEG, jnp.int32)
+    init = (zeros, zeros, negs, negs, jnp.full((B, R), -1, jnp.int32),
+            jnp.zeros(B, jnp.int32))
+    carry, _ = jax.lax.scan(step, init,
+                            jnp.arange(R + G - 1, dtype=jnp.int32))
+    return carry[5]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
+    "b_gap_ext", "local_alignment"))
+def sw_full_batch(genome: jnp.ndarray, glen: jnp.ndarray,
+                  read: jnp.ndarray, rlen: jnp.ndarray,
+                  ax: jnp.ndarray, ay: jnp.ndarray,
+                  alen: jnp.ndarray, awid: jnp.ndarray,
+                  revcmpl: jnp.ndarray,
+                  *, match: int, mismatch: int,
+                  a_gap_open: int, a_gap_ext: int,
+                  b_gap_open: int, b_gap_ext: int,
+                  local_alignment: bool = False,
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                             jnp.ndarray, jnp.ndarray]:
+    """Banded 3-plane DP with backpointers (sw-full-ls.c:154-403).
+
+    ax/ay/alen/awid: the already-widened anchor rectangle per batch element.
+    revcmpl: [B] bool, flips tie-break preference (-T on reverse strand).
+    Returns (score [B], max_i [B], max_j [B], start_from [B] int32 in
+    reference FROM_* codes, bp [B, R, G] uint8 packed backpointers).
+    """
+    B, G = genome.shape
+    R = read.shape[1]
+    # full SW charges open and extend separately (sw-full-ls.c:304,332)
+    goa = jnp.int32(-(a_gap_open))
+    gea = jnp.int32(-(a_gap_ext))
+    gob = jnp.int32(-(b_gap_open))
+    geb = jnp.int32(-(b_gap_ext))
+    m = jnp.int32(match)
+    mm = jnp.int32(mismatch)
+    init_nw = jnp.int32(0) if local_alignment else NEG
+    init_n = jnp.int32(b_gap_open) if local_alignment else NEG
+    init_w = jnp.int32(a_gap_open) if local_alignment else NEG
+
+    genome_i = genome.astype(jnp.int32)
+    read_i = read.astype(jnp.int32)
+    jvec = jnp.arange(G, dtype=jnp.int32)[None, :]        # [1, G]
+    rv = revcmpl[:, None]
+
+    def band(i):
+        """anchor_get_x_range (anchors.c:66-95), vectorized; [B] each."""
+        x_min = jnp.where(
+            i < ay, 0,
+            jnp.where(i <= ay + alen - 1, ax + (i - ay), ax + alen))
+        x_min = jnp.clip(x_min, 0, glen - 1)
+        x_max = jnp.where(
+            i < ay - (awid - 1), ax + awid - 2,
+            jnp.where(i <= ay - (awid - 1) + alen - 1,
+                      ax + (awid - 1) + (i - (ay - (awid - 1))), glen - 1))
+        x_max = jnp.clip(x_max, 0, glen - 1)
+        return x_min, x_max
+
+    BIGB = jnp.int32(2 ** 26)  # saturating "infinite" gap-extend cost
+
+    def mp_scan(a, b):
+        """Associative max-plus affine scan combine: f(w) = max(a, w - b).
+        Saturate to avoid int32 wraparound on long out-of-band runs."""
+        (a1, b1), (a2, b2) = a, b
+        return (jnp.maximum(a2, jnp.maximum(a1 - b2, NEG)),
+                jnp.minimum(b1 + b2, BIGB))
+
+    def row(carry, i):
+        nwp, np_, wp = carry   # [B, G+1]; col 0 = j=-1 boundary
+        rchar = jax.lax.dynamic_slice_in_dim(read_i, i, 1, axis=1)  # [B, 1]
+        s = jnp.where(genome_i == rchar, m, mm)                     # [B, G]
+        # --- NW plane: from prev row at j-1 = padded col j
+        c_nw, c_n, c_w = nwp[:, :-1], np_[:, :-1], wp[:, :-1]
+        # normal pref nw > n > w; revcmpl pref w > n > nw (sw-full-ls.c:265-291)
+        v = jnp.where(rv, c_w, c_nw)
+        f = jnp.where(rv, jnp.full_like(v, NW_FROM_W),
+                      jnp.full_like(v, NW_FROM_NW))
+        f = jnp.where(c_n > v, NW_FROM_N, f)
+        v = jnp.maximum(v, c_n)
+        last = jnp.where(rv, c_nw, c_w)
+        lastf = jnp.where(rv, NW_FROM_NW, NW_FROM_W)
+        f = jnp.where(last > v, lastf, f)
+        v = jnp.maximum(v, last)
+        nw_val = v + s
+        nw_from = f
+        if local_alignment:
+            clamp = nw_val <= 0
+            nw_val = jnp.where(clamp, 0, nw_val)
+            nw_from = jnp.where(clamp, 0, nw_from)
+
+        # --- N plane: from prev row same column
+        c_open = nwp[:, 1:] - gob - geb
+        c_ext = np_[:, 1:] - geb
+        n_val, is_ext = _pick2_b(c_open, c_ext, rv)
+        n_from = jnp.where(is_ext, N_FROM_N, N_FROM_NW)
+        if local_alignment:
+            clamp = n_val <= 0
+            n_val = jnp.where(clamp, 0, n_val)
+            n_from = jnp.where(clamp, 0, n_from)
+
+        # --- band mask for this row (applied to nw/n before the W chain)
+        x_min, x_max = band(i)
+        inb = (jvec >= x_min[:, None]) & (jvec <= x_max[:, None])
+        nw_val = jnp.where(inb, nw_val, init_nw)
+        nw_from = jnp.where(inb, nw_from, 0)
+        n_val = jnp.where(inb, n_val, init_n)
+        n_from = jnp.where(inb, n_from, 0)
+
+        # --- W plane: intra-row chain via associative max-plus scan
+        # W(j) = max(NW(j-1) - goa, W(j-1) - gea); out-of-band resets to
+        # init_w (constant function). Boundary W(-1) = init_w.
+        nw_shift = jnp.concatenate(
+            [jnp.full((B, 1), init_nw, jnp.int32), nw_val[:, :-1]], axis=1)
+        a_elem = nw_shift - goa - gea
+        if local_alignment:
+            a_elem = jnp.maximum(a_elem, 0)
+        b_elem = jnp.full_like(a_elem, gea)
+        a_elem = jnp.where(inb, a_elem, init_w)
+        b_elem = jnp.where(inb, b_elem, BIGB)
+        # incorporate boundary: prepend the constant init_w element
+        a0 = jnp.full((B, 1), init_w, jnp.int32)
+        b0 = jnp.full((B, 1), BIGB, jnp.int32)
+        aa = jnp.concatenate([a0, a_elem], axis=1)
+        bb = jnp.concatenate([b0, b_elem], axis=1)
+        acc_a, _ = jax.lax.associative_scan(mp_scan, (aa, bb), axis=1)
+        w_val = acc_a[:, 1:]
+        w_prev_val = acc_a[:, :-1]
+        # recompute backpointers from resolved chain
+        c_open_w = nw_shift - goa - gea
+        c_ext_w = w_prev_val - gea
+        _, is_ext_w = _pick2_b(c_open_w, c_ext_w, rv)
+        w_from = jnp.where(is_ext_w, W_FROM_W, W_FROM_NW)
+        if local_alignment:
+            w_from = jnp.where(w_val <= 0, 0, w_from)
+        w_from = jnp.where(inb, w_from, 0)
+
+        bp = (nw_from | (n_from << 2) | (w_from << 4)).astype(jnp.uint8)
+
+        # --- score tracking (sw-full-ls.c:359-368)
+        cellmax = jnp.maximum(jnp.maximum(n_val, nw_val), w_val)
+        if local_alignment:
+            rowvalid = (i < rlen)[:, None] & inb
+        else:
+            rowvalid = (i == rlen - 1)[:, None] & inb
+        cand = jnp.where(rowvalid, cellmax, NEG)
+
+        # repack rows with boundary col = per-mode init
+        pad_nw = jnp.full((B, 1), init_nw, jnp.int32)
+        pad_n = jnp.full((B, 1), init_n, jnp.int32)
+        pad_w = jnp.full((B, 1), init_w, jnp.int32)
+        out = (jnp.concatenate([pad_nw, nw_val], axis=1),
+               jnp.concatenate([pad_n, n_val], axis=1),
+               jnp.concatenate([pad_w, w_val], axis=1))
+        return out, (bp, cand, nw_val, n_val, w_val)
+
+    # virtual row -1: all columns local-init (sw-full-ls.c:194-196)
+    row_m1 = (jnp.zeros((B, G + 1), jnp.int32),
+              jnp.full((B, G + 1), jnp.int32(b_gap_open), jnp.int32),
+              jnp.full((B, G + 1), jnp.int32(a_gap_open), jnp.int32))
+    _, (bp, cand, nw_all, n_all, w_all) = jax.lax.scan(
+        row, row_m1, jnp.arange(R, dtype=jnp.int32))
+    # bp: [R, B, G] -> [B, R, G]
+    bp = jnp.transpose(bp, (1, 0, 2))
+    cand = jnp.transpose(cand, (1, 0, 2)).reshape(B, R * G)
+    nw_all = jnp.transpose(nw_all, (1, 0, 2))
+    n_all = jnp.transpose(n_all, (1, 0, 2))
+    w_all = jnp.transpose(w_all, (1, 0, 2))
+
+    best = jnp.max(cand, axis=1)
+    flat_idx = jnp.argmax(cand, axis=1)
+    score = jnp.maximum(best, 0)
+    has = best > 0
+    max_i = jnp.where(has, flat_idx // G, 0).astype(jnp.int32)
+    max_j = jnp.where(has, flat_idx % G, 0).astype(jnp.int32)
+
+    # start plane (do_backtrace head, sw-full-ls.c:419-427):
+    # nw preferred, then w strictly greater, then n strictly greater
+    bidx = jnp.arange(B)
+    nw_c = nw_all[bidx, max_i, max_j]
+    n_c = n_all[bidx, max_i, max_j]
+    w_c = w_all[bidx, max_i, max_j]
+    plane = jnp.zeros(B, jnp.int32)            # 0=nw, 1=w, 2=n
+    fs = nw_c
+    plane = jnp.where(w_c > fs, 1, plane)
+    fs = jnp.maximum(fs, w_c)
+    plane = jnp.where(n_c > fs, 2, plane)
+    return score, max_i, max_j, plane, bp
+
+
+def _pick2_b(c_open, c_ext, rv_col):
+    """Tie-pref pick with per-batch revcmpl flag rv_col ([B,1] bool):
+    normal prefers open (sw-full-ls.c:303-318), revcmpl prefers extend."""
+    take_ext = jnp.where(rv_col, ~(c_open > c_ext), c_ext > c_open)
+    return jnp.where(take_ext, c_ext, c_open), take_ext

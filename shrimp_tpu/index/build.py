@@ -1,0 +1,194 @@
+"""Genome seed index: build, save, load.
+
+Replaces SHRiMP2's per-position realloc-append construction
+(gmapper/genome.c:1012-1182) with a vectorized sort-based CSR build:
+for every seed we compute the mapidx of every valid window start in one
+vectorized pass, then bincount + stable argsort gives the inverted index
+(`offsets`, `positions`) with each per-key list ascending in genome order —
+the same order the reference produces by scanning left to right.
+
+Positions are absolute (cumulative across contigs), matching genome.c:1164
+`i - seed.span + 1` with contig offsets baked in.
+
+The index file (.npz) is the analogue of the `.genome` + `.seed.N`
+checkpoint files (genome.c:15-270).
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .. import constants as C
+from ..core import encode
+from .seeds import Seed, sliding_mapidx
+
+
+@dataclass
+class SeedIndex:
+    """CSR inverted index for one spaced seed."""
+    seed: Seed
+    offsets: np.ndarray    # int64 [4^weight + 1]
+    positions: np.ndarray  # uint32 [total], absolute kmer-start coords
+
+    def list_lengths(self) -> np.ndarray:
+        return np.diff(self.offsets)
+
+
+@dataclass
+class GenomeIndex:
+    mode: str
+    contig_names: List[str]
+    contig_offsets: np.ndarray   # uint32 [n_contigs], absolute start
+    contig_lengths: np.ndarray   # uint32 [n_contigs]
+    codes: np.ndarray            # uint8 [total_len], forward strand
+    codes_rc: np.ndarray         # uint8 [total_len], per-contig revcomp
+    seeds: List[SeedIndex]
+    is_rna: bool = False
+    # colour-space projection of the concatenated genome (built lazily for CS)
+    cs_codes: Optional[np.ndarray] = None
+    cs_codes_rc: Optional[np.ndarray] = None
+
+    @property
+    def total_len(self) -> int:
+        return int(self.codes.shape[0])
+
+    @property
+    def n_contigs(self) -> int:
+        return len(self.contig_names)
+
+    def contig_of(self, pos: np.ndarray) -> np.ndarray:
+        """Contig number for absolute positions (replaces gen_st_search,
+        common/gen-st.c, with a vectorized searchsorted)."""
+        return np.searchsorted(self.contig_offsets, pos, side="right") - 1
+
+    def auto_list_cutoff(self) -> int:
+        """cutoff = max(1000, 100 * L / 4^max_weight) (gmapper.c:2830-2834)."""
+        max_w = max(si.seed.weight for si in self.seeds)
+        return max(1000, int((100 * self.total_len) // (4 ** max_w)))
+
+    def save(self, path: str) -> None:
+        meta = {
+            "mode": self.mode,
+            "contig_names": self.contig_names,
+            "is_rna": self.is_rna,
+            "seeds": [si.seed.mask_string for si in self.seeds],
+        }
+        arrays: Dict[str, np.ndarray] = {
+            "contig_offsets": self.contig_offsets,
+            "contig_lengths": self.contig_lengths,
+            "codes": self.codes,
+        }
+        for i, si in enumerate(self.seeds):
+            arrays[f"seed{i}_offsets"] = si.offsets
+            arrays[f"seed{i}_positions"] = si.positions
+        arrays["meta"] = np.frombuffer(
+            json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+        np.savez(path, **arrays)
+
+    @staticmethod
+    def load(path: str) -> "GenomeIndex":
+        with np.load(path) as data:
+            meta = json.loads(bytes(data["meta"]).decode("utf-8"))
+            codes = data["codes"]
+            contig_offsets = data["contig_offsets"]
+            contig_lengths = data["contig_lengths"]
+            seeds = []
+            for i, s in enumerate(meta["seeds"]):
+                seeds.append(SeedIndex(
+                    seed=Seed(s),
+                    offsets=data[f"seed{i}_offsets"],
+                    positions=data[f"seed{i}_positions"]))
+        codes_rc = _per_contig_revcomp(codes, contig_offsets, contig_lengths)
+        gi = GenomeIndex(
+            mode=meta["mode"], contig_names=list(meta["contig_names"]),
+            contig_offsets=contig_offsets, contig_lengths=contig_lengths,
+            codes=codes, codes_rc=codes_rc, seeds=seeds,
+            is_rna=bool(meta["is_rna"]))
+        if gi.mode == C.MODE_COLOUR_SPACE:
+            gi.build_cs_projection()
+        return gi
+
+    def build_cs_projection(self) -> None:
+        """Per-contig colour-space projection (genome.c:1116-1126)."""
+        self.cs_codes = _per_contig_cs(self.codes, self.contig_offsets,
+                                       self.contig_lengths)
+        self.cs_codes_rc = _per_contig_cs(self.codes_rc, self.contig_offsets,
+                                          self.contig_lengths)
+
+
+def _per_contig_revcomp(codes: np.ndarray, offsets: np.ndarray,
+                        lengths: np.ndarray) -> np.ndarray:
+    out = np.empty_like(codes)
+    for o, l in zip(offsets, lengths):
+        out[o:o + l] = encode.revcomp_ls(codes[o:o + l])
+    return out
+
+
+def _per_contig_cs(codes: np.ndarray, offsets: np.ndarray,
+                   lengths: np.ndarray) -> np.ndarray:
+    out = np.empty_like(codes)
+    for o, l in zip(offsets, lengths):
+        out[o:o + l] = encode.ls_to_cs(codes[o:o + l])
+    return out
+
+
+def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
+                mode: str = C.MODE_LETTER_SPACE, is_rna: bool = False,
+                ) -> GenomeIndex:
+    """Build a GenomeIndex from [(name, codes_uint8), ...].
+
+    Matches load_genome (genome.c:1012-1182): windows containing N/X are
+    skipped; for colour space the index is built over the CS projection of
+    the forward genome.
+    """
+    names = [n for n, _ in contigs]
+    lengths = np.array([len(c) for _, c in contigs], dtype=np.uint32)
+    offsets = np.zeros(len(contigs), dtype=np.uint32)
+    if len(contigs) > 1:
+        offsets[1:] = np.cumsum(lengths[:-1], dtype=np.uint64).astype(np.uint32)
+    codes = (np.concatenate([c for _, c in contigs])
+             if contigs else np.zeros(0, np.uint8))
+    codes_rc = _per_contig_revcomp(codes, offsets, lengths)
+
+    gi = GenomeIndex(mode=mode, contig_names=names, contig_offsets=offsets,
+                     contig_lengths=lengths, codes=codes, codes_rc=codes_rc,
+                     seeds=[], is_rna=is_rna)
+    if mode == C.MODE_COLOUR_SPACE:
+        gi.build_cs_projection()
+        indexed = gi.cs_codes
+    else:
+        indexed = codes
+
+    for seed in seeds:
+        seed.validate()
+        all_keys = []
+        all_pos = []
+        for o, l in zip(offsets, lengths):
+            cseq = indexed[o:o + l]
+            n = int(l) - seed.span + 1
+            if n <= 0:
+                continue
+            keys = sliding_mapidx(cseq, seed)
+            # exclude windows containing N/X (genome.c:1145-1147)
+            isn = (cseq == C.BASE_N).astype(np.int32)
+            cum = np.concatenate([[0], np.cumsum(isn)])
+            bad = (cum[seed.span:] - cum[:-seed.span]) > 0
+            starts = np.nonzero(~bad)[0]
+            all_keys.append(keys[starts])
+            all_pos.append((starts + int(o)).astype(np.uint32))
+        if all_keys:
+            keys = np.concatenate(all_keys)
+            pos = np.concatenate(all_pos)
+        else:
+            keys = np.zeros(0, np.uint32)
+            pos = np.zeros(0, np.uint32)
+        counts = np.bincount(keys, minlength=seed.n_mapidx)
+        csr_offsets = np.zeros(seed.n_mapidx + 1, dtype=np.int64)
+        np.cumsum(counts, out=csr_offsets[1:])
+        order = np.argsort(keys, kind="stable")
+        gi.seeds.append(SeedIndex(seed=seed, offsets=csr_offsets,
+                                  positions=pos[order]))
+    return gi

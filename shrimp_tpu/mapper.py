@@ -1,0 +1,524 @@
+"""Unpaired mapping pipeline: filter 1 -> batched vector SW (filter 2) ->
+batched full SW + traceback (filter 3) -> MQV -> SAM records.
+
+Orchestrates the stages of SHRiMP2's handle_read (gmapper/mapping.c:1773)
+as batched device kernels plus exact host bookkeeping:
+
+- pass1 driver / window overlap:  mapping.c:1261-1339
+- top-k extheap:                  mapping.c:1376-1411 + common/heap.h
+- pass2 / duplicates / strata:    mapping.c:1631-1750, 1520-1606
+- LS posterior:                   mapping.c:1609-1625
+- unpaired MQV:                   gmapper/output.c:777-793
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import constants as C
+from .config import MapperConfig, abs_or_pct, is_absolute
+from .core import candidates, encode
+from .core.sw_jax import sw_full_batch, sw_vector_batch
+from .core.traceback import TracebackResult, traceback_batch
+from .index.build import GenomeIndex
+from .io.fasta import SeqRecord
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class ReadEntry:
+    name: str
+    seq: str
+    qual: Optional[str]
+    read_len: int
+    codes: Tuple[np.ndarray, np.ndarray]   # strand 0 (input), strand 1 (rc)
+    window_len: int
+    min_kmer_pos: int = 0
+    initbp: Tuple[int, int] = (-1, -1)
+    mapped: bool = False
+
+
+@dataclass
+class Hit:
+    """A surviving alignment (read_hit + sw_full_results fields)."""
+    st: int
+    gen_st: int
+    cn: int
+    g_off: int          # contig-local window start, gen_st coords
+    w_len: int
+    score_window_gen: int
+    kmer_matches: int
+    score_vector: int
+    score_max: int
+    score_full: int = -1
+    pct_score_full: int = 0
+    pass1_key: int = 0
+    pass2_key: int = 0
+    sort_idx: int = 0
+    # anchor rectangle relative to g_off (gen_st coords)
+    ax: int = 0
+    ay: int = 0
+    alen: int = 0
+    awid: int = 0
+    # sw_full_results
+    sw_score: int = 0
+    read_start: int = 0
+    genome_start: int = 0    # contig-local, gen_st coords (incl. g_off)
+    rmapped: int = 0
+    gmapped: int = 0
+    matches: int = 0
+    mismatches: int = 0
+    insertions: int = 0      # genome-only steps (CIGAR D)
+    deletions: int = 0       # read-only steps (CIGAR I)
+    ops: Optional[np.ndarray] = None
+    posterior: float = 0.0
+    posterior_score: int = 0
+    mqv: int = 255
+    z0: float = 0.0
+    z1: float = 0.0
+
+
+class ExtHeap:
+    """Bounded top-k min-heap, bit-faithful to DEF_EXTHEAP
+    (common/heap.h:226-318); the final array layout (heap order) matters
+    because pass2 iterates it directly."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.a: List = []
+
+    def _less(self, x, y) -> bool:
+        return x.pass1_key < y.pass1_key
+
+    def insert(self, e) -> None:
+        self.a.append(e)
+        node = len(self.a)
+        parent = node // 2
+        while node > 1 and self._less(self.a[node - 1], self.a[parent - 1]):
+            self.a[node - 1], self.a[parent - 1] = (self.a[parent - 1],
+                                                    self.a[node - 1])
+            node = parent
+            parent = node // 2
+
+    def replace_min(self, e) -> None:
+        self.a[0] = e
+        node = 1
+        load = len(self.a)
+        while True:
+            left, right = node * 2, node * 2 + 1
+            mn = node
+            if left <= load and self._less(self.a[left - 1], self.a[mn - 1]):
+                mn = left
+            if right <= load and self._less(self.a[right - 1], self.a[mn - 1]):
+                mn = right
+            if mn == node:
+                break
+            self.a[mn - 1], self.a[node - 1] = (self.a[node - 1],
+                                                self.a[mn - 1])
+            node = mn
+
+    @property
+    def min_key(self) -> int:
+        return self.a[0].pass1_key
+
+    @property
+    def load(self) -> int:
+        return len(self.a)
+
+
+def qv_from_pr_corr(pr_corr: float) -> int:
+    """util.h:267-282."""
+    pr_err = 1 - pr_corr
+    if pr_err > .99999999:
+        return 0
+    if pr_err < 1e-25:
+        return 250
+    return int(-10.0 * math.log(pr_err) / math.log(10.0))
+
+
+def double_to_neglog(x: float, shift: int = 1000) -> int:
+    """util.h:296-300."""
+    return int(shift * -math.log(x))
+
+
+class Mapper:
+    def __init__(self, index: GenomeIndex, config: Optional[MapperConfig]
+                 = None):
+        self.index = index
+        self.config = config or MapperConfig()
+        cfg = self.config
+        self.cutoff = (cfg.list_cutoff if cfg.list_cutoff is not None
+                       else index.auto_list_cutoff())
+        self.cal = cfg.calibration
+        sc = cfg.scores
+        self._vec_kw = dict(match=sc.match, mismatch=sc.mismatch,
+                            a_gap_open=sc.a_gap_open,
+                            a_gap_ext=sc.a_gap_extend,
+                            b_gap_open=sc.b_gap_open,
+                            b_gap_ext=sc.b_gap_extend)
+
+    # ------------------------------------------------------------ read prep
+    def prepare_read(self, rec: SeqRecord) -> Optional[ReadEntry]:
+        cfg = self.config
+        seq = rec.seq
+        if cfg.mode == C.MODE_LETTER_SPACE:
+            codes0 = encode.encode_ls(seq)
+            read_len = len(codes0)
+            codes1 = encode.revcomp_ls(codes0)
+            initbp = (-1, -1)
+            min_kmer_pos = 0
+        else:
+            init0, codes0 = encode.encode_cs(seq)
+            read_len = len(codes0)
+            codes1 = encode.revcomp_cs(codes0, init0, init0)
+            initbp = (init0, init0)
+            min_kmer_pos = 1
+        if read_len > cfg.longest_read_len or read_len == 0:
+            return None
+        window_len = int(abs_or_pct(cfg.window_len, read_len))
+        return ReadEntry(name=rec.name, seq=seq, qual=rec.qual,
+                         read_len=read_len, codes=(codes0, codes1),
+                         window_len=window_len, min_kmer_pos=min_kmer_pos,
+                         initbp=initbp)
+
+    # ------------------------------------------------------------- filter 1
+    def hit_lists(self, re: ReadEntry) -> List[candidates.HitList]:
+        cfg = self.config
+        idx = self.index
+        opts = cfg.unpaired_options()[0]
+        out = []
+        for st in (0, 1):
+            if (st == 0 and not cfg.search_forward) or \
+               (st == 1 and not cfg.search_reverse):
+                out.append(_empty_hitlist(st))
+                continue
+            kmers = candidates.read_kmers(idx, re.codes[st], re.min_kmer_pos)
+            has2 = None
+            if opts.anchor_list.use_region_counts:
+                has2 = candidates._region_marks(
+                    idx, kmers, self.cutoff, cfg.region_bits,
+                    cfg.region_overlap)
+            anchors = candidates.get_anchor_list(
+                idx, kmers, self.cutoff, re.read_len,
+                collapse=opts.anchor_list.collapse, has2_regions=has2,
+                region_bits=cfg.region_bits,
+                region_overlap=cfg.region_overlap)
+            hl = candidates.get_hit_list(
+                idx, anchors, st, re.read_len, re.window_len,
+                opts.hit_list.match_mode, opts.hit_list.threshold,
+                cfg.scores.match, cfg.scores.b_gap_open,
+                cfg.scores.b_gap_extend, gapless=opts.hit_list.gapless)
+            out.append(hl)
+        return out
+
+    # ---------------------------------------------------------- vector pass
+    def _score_windows(self, entries: List[ReadEntry],
+                       hls: List[List[candidates.HitList]]
+                       ) -> List[List[np.ndarray]]:
+        """Batched sw_vector over every candidate window of every read.
+
+        Replaces per-hit f1_run calls (mapping.c:1295-1330) with one device
+        launch per shape bucket. Identical windows are deduped in-batch,
+        which supersedes the per-thread SW cache (common/f1-wrapper.h)
+        without its hash-collision inexactness.
+        """
+        idx = self.index
+        jobs = []   # (ri, st, hi, g_off_abs, w_len, rlen)
+        for ri, (re, hl2) in enumerate(zip(entries, hls)):
+            for st in (0, 1):
+                hl = hl2[st]
+                coff = idx.contig_offsets[hl.cn].astype(np.int64)
+                for hi in range(hl.n):
+                    jobs.append((ri, st, hi, int(coff[hi] + hl.g_off[hi]),
+                                 int(hl.w_len[hi]), re.read_len))
+        out = [[np.full(hl2[st].n, -1, np.int64) for st in (0, 1)]
+               for hl2 in hls]
+        if not jobs:
+            return out
+
+        G = _round_up(max(j[4] for j in jobs), 16)
+        R = _round_up(max(j[5] for j in jobs), 8)
+        B = len(jobs)
+        gwin = np.full((B, G), 255, np.uint8)
+        glen = np.zeros(B, np.int32)
+        rwin = np.full((B, R), 254, np.uint8)
+        rlen = np.zeros(B, np.int32)
+        codes = idx.codes
+        for b, (ri, st, hi, goff_abs, wl, rl) in enumerate(jobs):
+            gwin[b, :wl] = codes[goff_abs:goff_abs + wl]
+            glen[b] = wl
+            rwin[b, :rl] = entries[ri].codes[st]
+            rlen[b] = rl
+
+        # dedup identical (window, read) jobs
+        keys = np.concatenate([gwin, rwin], axis=1)
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        if len(uniq) < B:
+            first = np.zeros(len(uniq), np.int64)
+            first[inv[::-1]] = np.arange(B - 1, -1, -1)
+            scores_u = np.asarray(sw_vector_batch(
+                gwin[first], glen[first], rwin[first], rlen[first],
+                **self._vec_kw))
+            scores = scores_u[inv]
+        else:
+            scores = np.asarray(sw_vector_batch(gwin, glen, rwin, rlen,
+                                                **self._vec_kw))
+        for b, (ri, st, hi, *_rest) in enumerate(jobs):
+            out[ri][st][hi] = scores[b]
+        return out
+
+    # ----------------------------------------------------------- pass1 walk
+    def _pass1_select(self, re: ReadEntry, hl2: List[candidates.HitList],
+                      scores2: List[np.ndarray]) -> List[Hit]:
+        """Window-overlap suppression + threshold + extheap top-k
+        (read_pass1_per_strand mapping.c:1261-1339 and
+        read_get_vector_hits mapping.c:1376-1411)."""
+        cfg = self.config
+        opts = cfg.unpaired_options()[0].pass1
+        ov = int(abs_or_pct(opts.window_overlap, re.window_len))
+        hits2: List[List[Hit]] = [[], []]
+        for st in (0, 1):
+            hl = hl2[st]
+            scores = scores2[st]
+            last_good = None
+            for i in range(hl.n):
+                h = Hit(st=st, gen_st=0, cn=int(hl.cn[i]),
+                        g_off=int(hl.g_off[i]), w_len=int(hl.w_len[i]),
+                        score_window_gen=int(hl.score_window_gen[i]),
+                        kmer_matches=int(hl.matches[i]),
+                        score_vector=-1, score_max=int(hl.score_max[i]),
+                        ax=int(hl.ax[i]), ay=int(hl.ay[i]),
+                        alen=int(hl.alen[i]), awid=int(hl.awid[i]))
+                hits2[st].append(h)
+                if h.kmer_matches < opts.min_matches:
+                    continue
+                if (last_good is not None and h.cn == last_good[0]
+                        and h.g_off + ov <= last_good[1] + re.window_len):
+                    h.score_vector = 0
+                    continue
+                h.score_vector = int(scores[i])
+                if h.score_vector >= int(abs_or_pct(opts.threshold,
+                                                    h.score_max)):
+                    last_good = (h.cn, h.g_off)
+
+        # sort_idx assignment (mapping.c:1243-1246)
+        for i, h in enumerate(hits2[0]):
+            h.sort_idx = i
+        for i, h in enumerate(hits2[1]):
+            h.sort_idx = len(hits2[0]) + i
+
+        heap = ExtHeap(opts.num_outputs)
+        absolute = is_absolute(opts.threshold)
+        for st in (0, 1):
+            for h in hits2[st]:
+                pct = (1000 * 100 * h.score_vector) // h.score_max
+                key = h.score_vector if absolute else pct
+                if h.score_vector < int(abs_or_pct(opts.threshold,
+                                                   h.score_max)):
+                    continue
+                if heap.load < opts.num_outputs:
+                    h.pass1_key = key
+                    heap.insert(h)
+                elif key > heap.min_key:
+                    h.pass1_key = key
+                    heap.replace_min(h)
+        return list(heap.a)
+
+    # ---------------------------------------------------------------- pass2
+    def _pass2(self, entries: List[ReadEntry],
+               pass1_hits: List[List[Hit]]) -> None:
+        """Full SW + traceback for all selected hits, batched
+        (hit_run_full_sw mapping.c:331-402 + sw_full_ls)."""
+        cfg = self.config
+        sc = cfg.scores
+        idx = self.index
+        jobs: List[Tuple[int, Hit]] = []
+        for ri, hits in enumerate(pass1_hits):
+            for h in hits:
+                # strand normalization (reverse_hit, mapping.c:254-263)
+                if h.st != 0:
+                    glen_c = int(idx.contig_lengths[h.cn])
+                    h.g_off = glen_c - h.g_off - h.w_len
+                    # anchor_reverse (anchors.h:30-34)
+                    ax, ay = h.ax, h.ay
+                    h.ax = -ax + (h.w_len - 1) - (h.alen - 1) - (h.awid - 1)
+                    h.ay = -ay + (entries[ri].read_len - 1) - (h.alen - 1) \
+                        + (h.awid - 1)
+                    h.gen_st = 1
+                    h.st = 0
+                thresh = int(abs_or_pct(cfg.sw_full_threshold, h.score_max))
+                # LS vector-score gate (mapping.c:386-398); our pass1 score
+                # is exact so reuse it
+                if h.score_vector >= thresh:
+                    jobs.append((ri, h))
+                else:
+                    h.sw_score = 0
+                    h.score_full = 0
+                    h.pct_score_full = 0
+        if not jobs:
+            return
+        G = _round_up(max(h.w_len for _, h in jobs), 16)
+        R = _round_up(max(entries[ri].read_len for ri, _ in jobs), 8)
+        B = len(jobs)
+        gwin = np.full((B, G), 255, np.uint8)
+        glen = np.zeros(B, np.int32)
+        rwin = np.full((B, R), 254, np.uint8)
+        rlen = np.zeros(B, np.int32)
+        rect = np.zeros((B, 4), np.int32)
+        rev = np.zeros(B, bool)
+        aw = cfg.anchor_width
+        for b, (ri, h) in enumerate(jobs):
+            coff = int(idx.contig_offsets[h.cn])
+            src = idx.codes if h.gen_st == 0 else idx.codes_rc
+            gwin[b, :h.w_len] = src[coff + h.g_off: coff + h.g_off + h.w_len]
+            glen[b] = h.w_len
+            rl = entries[ri].read_len
+            rwin[b, :rl] = entries[ri].codes[0]
+            rlen[b] = rl
+            # anchor_widen (anchors.c:57-62)
+            rect[b] = (h.ax - aw // 2, h.ay + aw // 2, h.alen, h.awid + aw)
+            rev[b] = bool(h.gen_st) and cfg.rev_tiebreak
+        score, mi, mj, plane, bp = sw_full_batch(
+            gwin, glen, rwin, rlen, rect[:, 0], rect[:, 1], rect[:, 2],
+            rect[:, 3], rev, match=sc.match, mismatch=sc.mismatch,
+            a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
+            b_gap_open=sc.b_gap_open, b_gap_ext=sc.b_gap_extend,
+            local_alignment=not cfg.global_alignment)
+        score = np.asarray(score)
+        tb = traceback_batch(np.asarray(bp), np.asarray(mi), np.asarray(mj),
+                             np.asarray(plane), gwin, rwin)
+        for b, (ri, h) in enumerate(jobs):
+            self._fill_hit(h, int(score[b]), tb, b)
+
+    def _fill_hit(self, h: Hit, score: int, tb: TracebackResult, b: int
+                  ) -> None:
+        cfg = self.config
+        h.sw_score = score
+        h.read_start = int(tb.read_start[b])
+        h.genome_start = int(tb.genome_start[b]) + h.g_off
+        h.rmapped = int(tb.rmapped[b])
+        h.gmapped = int(tb.gmapped[b])
+        h.matches = int(tb.matches[b])
+        h.mismatches = int(tb.mismatches[b])
+        h.insertions = int(tb.insertions[b])
+        h.deletions = int(tb.deletions[b])
+        h.ops = tb.ops[b, :tb.n_ops[b]]
+        h.score_full = score
+        h.pct_score_full = (1000 * 100 * h.score_full) // h.score_max
+        if cfg.compute_mapping_qualities and h.score_full > 0:
+            self._post_sw_ls(h)
+
+    def _post_sw_ls(self, h: Hit) -> None:
+        """LS posterior shortcut (hit_run_post_sw, mapping.c:1609-1625)."""
+        cal = self.cal
+        h.posterior = math.pow(
+            2.0, (h.sw_score - h.rmapped * (2 * cal.alpha + cal.beta))
+            / cal.alpha)
+        ps = int(round(cal.alpha * math.log2(h.posterior)
+                       + h.rmapped * (2 * cal.alpha + cal.beta)))
+        h.posterior_score = max(ps, 0)
+        h.score_full = h.posterior_score
+        h.pct_score_full = (1000 * 100 * h.posterior_score) // h.score_max
+
+    # ----------------------------------------------------- pass2 filtering
+    def _finalize(self, re: ReadEntry, hits_pass1: List[Hit]) -> List[Hit]:
+        """Threshold, duplicate removal, score sort, trims
+        (read_pass2, mapping.c:1631-1750)."""
+        cfg = self.config
+        absolute = is_absolute(cfg.sw_full_threshold)
+        survivors = []
+        for h in hits_pass1:
+            h.pass2_key = h.score_full if absolute else h.pct_score_full
+            if h.score_full >= abs_or_pct(cfg.sw_full_threshold,
+                                          h.score_max):
+                survivors.append(h)
+
+        survivors = _dedup(survivors, lambda h: (h.cn, h.gen_st,
+                                                 h.genome_start))
+        survivors = _dedup(survivors, lambda h: (
+            h.cn, h.gen_st, -h.genome_start - h.rmapped + h.deletions
+            - h.insertions))
+        # stable sort by non-increasing key (mapping.c:1678)
+        survivors.sort(key=lambda h: -h.pass2_key)
+        if len(survivors) > cfg.num_outputs:
+            survivors = survivors[:cfg.num_outputs]
+        if cfg.strata and survivors:
+            i = 1
+            while (i < len(survivors)
+                   and survivors[0].score_full == survivors[i].score_full):
+                i += 1
+            survivors = survivors[:i]
+        if survivors and cfg.max_alignments and \
+                len(survivors) > cfg.max_alignments:
+            survivors = []
+        return survivors
+
+    # ------------------------------------------------------------------ MQV
+    def _compute_mqv(self, hits: List[Hit]) -> None:
+        """compute_unpaired_mqv (output.c:777-793)."""
+        z1 = sum(h.posterior for h in hits)
+        for h in hits:
+            h.z0 = h.posterior
+            h.z1 = z1
+            h.mqv = qv_from_pr_corr(h.posterior / z1)
+            if h.mqv < 4:
+                h.mqv = 0
+
+    # ------------------------------------------------------------- pipeline
+    def map_unpaired(self, records: Sequence[SeqRecord]
+                     ) -> List[Tuple[ReadEntry, List[Hit]]]:
+        entries = []
+        for rec in records:
+            re = self.prepare_read(rec)
+            if re is not None:
+                entries.append(re)
+        hls = [self.hit_lists(re) for re in entries]
+        scores = self._score_windows(entries, hls)
+        pass1 = [self._pass1_select(re, hl2, sc2)
+                 for re, hl2, sc2 in zip(entries, hls, scores)]
+        self._pass2(entries, pass1)
+        results = []
+        for re, hits in zip(entries, pass1):
+            final = self._finalize(re, hits)
+            if final:
+                re.mapped = True
+                if (self.config.pair_mode == C.PAIR_NONE
+                        and self.config.compute_mapping_qualities):
+                    self._compute_mqv(final)
+                    if self.config.single_best_mapping:
+                        best = max(range(len(final)),
+                                   key=lambda i: (final[i].mqv, -i))
+                        final = [final[best]]
+            results.append((re, final))
+        return results
+
+
+def _dedup(hits: List[Hit], keyfunc) -> List[Hit]:
+    """Grouped duplicate removal keeping the first maximum pass2_key
+    (read_remove_duplicate_hits, mapping.c:1520-1606)."""
+    order = sorted(range(len(hits)), key=lambda i: keyfunc(hits[i]))
+    out = []
+    i = 0
+    while i < len(order):
+        j = i
+        best = order[i]
+        while (j + 1 < len(order)
+               and keyfunc(hits[order[j + 1]]) == keyfunc(hits[order[i]])):
+            j += 1
+            if hits[order[j]].pass2_key > hits[best].pass2_key:
+                best = order[j]
+        out.append(hits[best])
+        i = j + 1
+    return out
+
+
+def _empty_hitlist(st: int) -> candidates.HitList:
+    z = np.zeros(0, np.int64)
+    zi = np.zeros(0, np.int32)
+    return candidates.HitList(st, zi, z, zi, zi, zi, zi, z, z, zi, zi, zi)
