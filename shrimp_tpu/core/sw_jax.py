@@ -63,12 +63,19 @@ def sw_vector_batch(genome: jnp.ndarray, glen: jnp.ndarray,
             [jnp.full((B, 1), fill, a.dtype), a[:, :-1]], axis=1)
 
     def step(carry, d):
-        h_prev, h_prev2, e_prev, f_prev, g_diag, best = carry
+        # jge0 / jlt are shift-register masks for j >= 0 and j < glen:
+        # the wavefront grows/retires one row per diagonal. Recomputing
+        # them from the induction variable (where(d - iota >= 0, ...))
+        # triggers a pathological several-minute compile on the TPU
+        # backend, so they ride in the carry instead.
+        h_prev, h_prev2, e_prev, f_prev, g_diag, jge0, jlt, best = carry
         # slide the genome diagonal: g_diag[i] = genome[d - i]
         g_new = shift1(g_diag, 0)
         gchar = jnp.where(d < G, genome_i[:, jnp.minimum(d, G - 1)],
                           jnp.int32(-1))
         g_diag2 = g_new.at[:, 0].set(gchar)
+        jge0 = shift1(jge0, True)
+        jlt = shift1(jlt, False).at[:, 0].set(d < glen)
 
         e_new = jnp.maximum(h_prev - goa, e_prev - gea)
         f_new = shift1(jnp.maximum(h_prev - gob, f_prev - geb), NEG)
@@ -76,21 +83,21 @@ def sw_vector_batch(genome: jnp.ndarray, glen: jnp.ndarray,
         h_diag = shift1(h_prev2, 0)
         h_new = jnp.maximum(jnp.maximum(0, h_diag + s),
                             jnp.maximum(e_new, f_new))
-        j = d - ivec
-        valid = rmask & (j >= 0) & (j < glen[:, None])
+        valid = rmask & jge0 & jlt
         h_new = jnp.where(valid, h_new, 0)
-        e_new = jnp.where(j >= 0, e_new, NEG)
+        e_new = jnp.where(jge0, e_new, NEG)
         f_new = jnp.where(valid, f_new, NEG)
         best = jnp.maximum(best, jnp.max(jnp.where(valid, h_new, 0), axis=1))
-        return (h_new, h_prev, e_new, f_new, g_diag2, best), None
+        return (h_new, h_prev, e_new, f_new, g_diag2, jge0, jlt, best), None
 
     zeros = jnp.zeros((B, R), jnp.int32)
     negs = jnp.full((B, R), NEG, jnp.int32)
+    falses = jnp.zeros((B, R), bool)
     init = (zeros, zeros, negs, negs, jnp.full((B, R), -1, jnp.int32),
-            jnp.zeros(B, jnp.int32))
+            falses, falses, jnp.zeros(B, jnp.int32))
     carry, _ = jax.lax.scan(step, init,
                             jnp.arange(R + G - 1, dtype=jnp.int32))
-    return carry[5]
+    return carry[7]
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -31,6 +31,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pow2_bucket(n: int, lo: int = 256) -> int:
+    """Pad batch sizes to powers of two so kernel shapes stay cached."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+# Fixed kernel batch sizes: the TPU backend's compile time is heavy-tailed
+# across shapes, so every launch uses one audited shape per kernel and
+# larger workloads are chunked.
+VEC_BATCH = 1024
+FULL_BATCH = 256
+
+
+def _gather_rows(src: np.ndarray, starts: np.ndarray, width: int
+                 ) -> np.ndarray:
+    """Vectorized gather of [len(starts), width] windows from a 1-D array."""
+    idx = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
+    return src[np.clip(idx, 0, len(src) - 1)]
+
+
 @dataclass
 class ReadEntry:
     name: str
@@ -229,48 +251,71 @@ class Mapper:
         without its hash-collision inexactness.
         """
         idx = self.index
-        jobs = []   # (ri, st, hi, g_off_abs, w_len, rlen)
-        for ri, (re, hl2) in enumerate(zip(entries, hls)):
+        ri_l, st_l, goff_l, wl_l = [], [], [], []
+        counts = np.zeros((len(entries), 2), np.int64)
+        for ri, hl2 in enumerate(hls):
             for st in (0, 1):
                 hl = hl2[st]
-                coff = idx.contig_offsets[hl.cn].astype(np.int64)
-                for hi in range(hl.n):
-                    jobs.append((ri, st, hi, int(coff[hi] + hl.g_off[hi]),
-                                 int(hl.w_len[hi]), re.read_len))
+                counts[ri, st] = hl.n
+                if hl.n:
+                    coff = idx.contig_offsets[hl.cn].astype(np.int64)
+                    ri_l.append(np.full(hl.n, ri, np.int64))
+                    st_l.append(np.full(hl.n, st, np.int64))
+                    goff_l.append(coff + hl.g_off)
+                    wl_l.append(hl.w_len.astype(np.int64))
         out = [[np.full(hl2[st].n, -1, np.int64) for st in (0, 1)]
                for hl2 in hls]
-        if not jobs:
+        if not ri_l:
             return out
+        ri_a = np.concatenate(ri_l)
+        st_a = np.concatenate(st_l)
+        goff_a = np.concatenate(goff_l)
+        wl_a = np.concatenate(wl_l)
+        n = len(ri_a)
 
-        G = _round_up(max(j[4] for j in jobs), 16)
-        R = _round_up(max(j[5] for j in jobs), 8)
-        B = len(jobs)
-        gwin = np.full((B, G), 255, np.uint8)
-        glen = np.zeros(B, np.int32)
-        rwin = np.full((B, R), 254, np.uint8)
-        rlen = np.zeros(B, np.int32)
-        codes = idx.codes
-        for b, (ri, st, hi, goff_abs, wl, rl) in enumerate(jobs):
-            gwin[b, :wl] = codes[goff_abs:goff_abs + wl]
-            glen[b] = wl
-            rwin[b, :rl] = entries[ri].codes[st]
-            rlen[b] = rl
+        G = _round_up(max(int(wl_a.max()), 16), 32)
+        R = _round_up(max(e.read_len for e in entries), 8)
+        gwin = _gather_rows(idx.codes, goff_a, G)
+        glen = wl_a.astype(np.int32)
+        # reads: gather per (read, strand) via a stacked read-code table
+        rtab = np.full((len(entries) * 2, R), 254, np.uint8)
+        for ri, e in enumerate(entries):
+            rtab[2 * ri, :e.read_len] = e.codes[0]
+            rtab[2 * ri + 1, :e.read_len] = e.codes[1]
+        rwin = rtab[2 * ri_a + st_a]
+        rlens = np.array([e.read_len for e in entries], np.int32)
+        rlen = rlens[ri_a]
 
-        # dedup identical (window, read) jobs
-        keys = np.concatenate([gwin, rwin], axis=1)
-        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-        if len(uniq) < B:
-            first = np.zeros(len(uniq), np.int64)
-            first[inv[::-1]] = np.arange(B - 1, -1, -1)
-            scores_u = np.asarray(sw_vector_batch(
-                gwin[first], glen[first], rwin[first], rlen[first],
-                **self._vec_kw))
-            scores = scores_u[inv]
-        else:
-            scores = np.asarray(sw_vector_batch(gwin, glen, rwin, rlen,
-                                                **self._vec_kw))
-        for b, (ri, st, hi, *_rest) in enumerate(jobs):
-            out[ri][st][hi] = scores[b]
+        scores = self._vec_chunked(gwin, glen, rwin, rlen)
+        # scatter back per (read, strand)
+        pos = 0
+        for ri, hl2 in enumerate(hls):
+            for st in (0, 1):
+                c = int(counts[ri, st])
+                if c:
+                    out[ri][st] = scores[pos:pos + c]
+                    pos += c
+        return out
+
+    def _vec_chunked(self, gwin, glen, rwin, rlen) -> np.ndarray:
+        """Run sw_vector_batch in fixed-size [VEC_BATCH] launches."""
+        n = len(glen)
+        G, R = gwin.shape[1], rwin.shape[1]
+        out = np.empty(n, np.int64)
+        cg = np.zeros((VEC_BATCH, G), np.uint8)
+        cgl = np.zeros(VEC_BATCH, np.int32)
+        cr = np.full((VEC_BATCH, R), 254, np.uint8)
+        crl = np.zeros(VEC_BATCH, np.int32)
+        for off in range(0, n, VEC_BATCH):
+            end = min(off + VEC_BATCH, n)
+            k = end - off
+            cg[:k] = gwin[off:end]
+            cgl[:k] = glen[off:end]
+            cgl[k:] = 0
+            cr[:k] = rwin[off:end]
+            crl[:k] = rlen[off:end]
+            out[off:end] = np.asarray(
+                sw_vector_batch(cg, cgl, cr, crl, **self._vec_kw))[:k]
         return out
 
     # ----------------------------------------------------------- pass1 walk
@@ -363,20 +408,20 @@ class Mapper:
                     h.pct_score_full = 0
         if not jobs:
             return
-        G = _round_up(max(h.w_len for _, h in jobs), 16)
+        n = len(jobs)
+        G = _round_up(max(max(h.w_len for _, h in jobs), 16), 32)
         R = _round_up(max(entries[ri].read_len for ri, _ in jobs), 8)
-        B = len(jobs)
-        gwin = np.full((B, G), 255, np.uint8)
-        glen = np.zeros(B, np.int32)
-        rwin = np.full((B, R), 254, np.uint8)
-        rlen = np.zeros(B, np.int32)
-        rect = np.zeros((B, 4), np.int32)
-        rev = np.zeros(B, bool)
+        glen = np.ones(n, np.int32)
+        rwin = np.full((n, R), 254, np.uint8)
+        rlen = np.ones(n, np.int32)
+        rect = np.zeros((n, 4), np.int32)
+        rev = np.zeros(n, bool)
         aw = cfg.anchor_width
+        starts = np.zeros(n, np.int64)
+        use_rc = np.zeros(n, bool)
         for b, (ri, h) in enumerate(jobs):
-            coff = int(idx.contig_offsets[h.cn])
-            src = idx.codes if h.gen_st == 0 else idx.codes_rc
-            gwin[b, :h.w_len] = src[coff + h.g_off: coff + h.g_off + h.w_len]
+            starts[b] = int(idx.contig_offsets[h.cn]) + h.g_off
+            use_rc[b] = h.gen_st == 1
             glen[b] = h.w_len
             rl = entries[ri].read_len
             rwin[b, :rl] = entries[ri].codes[0]
@@ -384,17 +429,43 @@ class Mapper:
             # anchor_widen (anchors.c:57-62)
             rect[b] = (h.ax - aw // 2, h.ay + aw // 2, h.alen, h.awid + aw)
             rev[b] = bool(h.gen_st) and cfg.rev_tiebreak
-        score, mi, mj, plane, bp = sw_full_batch(
-            gwin, glen, rwin, rlen, rect[:, 0], rect[:, 1], rect[:, 2],
-            rect[:, 3], rev, match=sc.match, mismatch=sc.mismatch,
-            a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
-            b_gap_open=sc.b_gap_open, b_gap_ext=sc.b_gap_extend,
-            local_alignment=not cfg.global_alignment)
-        score = np.asarray(score)
-        tb = traceback_batch(np.asarray(bp), np.asarray(mi), np.asarray(mj),
-                             np.asarray(plane), gwin, rwin)
-        for b, (ri, h) in enumerate(jobs):
-            self._fill_hit(h, int(score[b]), tb, b)
+        gwin = np.where(use_rc[:, None],
+                        _gather_rows(idx.codes_rc, starts, G),
+                        _gather_rows(idx.codes, starts, G))
+        full_kw = dict(match=sc.match, mismatch=sc.mismatch,
+                       a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
+                       b_gap_open=sc.b_gap_open, b_gap_ext=sc.b_gap_extend,
+                       local_alignment=not cfg.global_alignment)
+        # fixed-size launches (see VEC_BATCH comment)
+        cg = np.zeros((FULL_BATCH, G), np.uint8)
+        cgl = np.ones(FULL_BATCH, np.int32)
+        cr = np.full((FULL_BATCH, R), 254, np.uint8)
+        crl = np.ones(FULL_BATCH, np.int32)
+        crect = np.zeros((FULL_BATCH, 4), np.int32)
+        crect[:, 2] = 1
+        crect[:, 3] = 1
+        crev = np.zeros(FULL_BATCH, bool)
+        for off in range(0, n, FULL_BATCH):
+            end = min(off + FULL_BATCH, n)
+            k = end - off
+            cg[:k] = gwin[off:end]
+            cgl[:k] = glen[off:end]
+            cgl[k:] = 1
+            cr[:k] = rwin[off:end]
+            crl[:k] = rlen[off:end]
+            crect[:k] = rect[off:end]
+            crect[k:] = (0, 0, 1, 1)
+            crev[:k] = rev[off:end]
+            score, mi, mj, plane, bp = sw_full_batch(
+                cg, cgl, cr, crl, crect[:, 0], crect[:, 1], crect[:, 2],
+                crect[:, 3], crev, **full_kw)
+            score = np.asarray(score)[:k]
+            tb = traceback_batch(np.asarray(bp)[:k], np.asarray(mi)[:k],
+                                 np.asarray(mj)[:k], np.asarray(plane)[:k],
+                                 cg[:k], cr[:k])
+            for b in range(k):
+                ri, h = jobs[off + b]
+                self._fill_hit(h, int(score[b]), tb, b)
 
     def _fill_hit(self, h: Hit, score: int, tb: TracebackResult, b: int
                   ) -> None:
