@@ -1,0 +1,289 @@
+"""Batched (cross-read) candidate generation: filter 1 on flat arrays.
+
+Where candidates.py mirrors SHRiMP2 one read at a time, this module runs an
+entire same-length read batch through kmer lookup, the region-count
+prefilter, anchor collapse, and window generation as flat numpy arrays with
+(read, strand) owner segments — the array-programming layout that feeds the
+TPU kernels without per-read python overhead.
+
+Semantics are identical to candidates.py (verified by tests) and hence to:
+- read_get_mapidxs         gmapper/mapping.c:37-115
+- read_get_region_counts   gmapper/mapping.c:459-542
+- read_get_anchor_list     gmapper/mapping.c:861-1022
+- read_get_hit_list        gmapper/mapping.c:1025-1258
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .. import constants as C
+from ..config import is_absolute
+from ..index.build import GenomeIndex
+
+
+@dataclass
+class FlatHits:
+    """Candidate windows for a read batch, owner-segment ordered.
+
+    owner = read_index * 2 + strand; hits within an owner are sorted by
+    (cn, g_off) exactly like the per-read hit lists.
+    """
+    owner: np.ndarray            # int64 [H]
+    cn: np.ndarray               # int32 [H]
+    g_off: np.ndarray            # int64 [H] contig-local window start
+    w_len: np.ndarray            # int32 [H]
+    score_window_gen: np.ndarray  # int64 [H]
+    matches: np.ndarray          # int32 [H]
+    score_max: np.ndarray        # int64 [H]
+    ax: np.ndarray               # int64 [H] anchor rect relative to g_off
+    ay: np.ndarray
+    alen: np.ndarray
+    awid: np.ndarray
+    seg_start: np.ndarray        # int64 [n_reads*2 + 1] owner segment bounds
+
+    @property
+    def n(self) -> int:
+        return len(self.owner)
+
+
+def _ranges_to_flat(lo: np.ndarray, hi: np.ndarray):
+    """Concatenate ranges [lo_i, hi_i) into one index array; also return
+    the repeat counts."""
+    ln = (hi - lo).astype(np.int64)
+    total = int(ln.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), ln
+    starts = np.zeros(len(lo), dtype=np.int64)
+    np.cumsum(ln[:-1], out=starts[1:])
+    idx = np.repeat(lo - starts, ln)
+    return idx + np.arange(total, dtype=np.int64), ln
+
+
+def generate_candidates(index: GenomeIndex, codes: np.ndarray,
+                        read_len: int, window_len: int, cutoff: int,
+                        match_mode: int, threshold: float, match_score: int,
+                        b_gap_open: int, b_gap_extend: int,
+                        min_kmer_pos: int = 0,
+                        use_region_counts: bool = True,
+                        region_bits: int = C.DEF_REGION_BITS,
+                        region_overlap: int = C.DEF_REGION_OVERLAP,
+                        collapse: bool = True,
+                        gapless: bool = False,
+                        search_strands=(True, True),
+                        ) -> FlatHits:
+    """codes: [N, 2, read_len] uint8 for N same-length reads, both strands."""
+    N = codes.shape[0]
+    n_owners = N * 2
+    flat_codes = codes.reshape(n_owners, read_len)
+
+    # ---- step 1+2: kmers and CSR lookups, flattened across the batch
+    pos_chunks, owner_chunks, y_chunks, stream_chunks, span_chunks = \
+        [], [], [], [], []
+    for sn, si in enumerate(index.seeds):
+        span = si.seed.span
+        last = read_len - span
+        if last < min_kmer_pos:
+            continue
+        starts = np.arange(min_kmer_pos, last + 1, dtype=np.int64)
+        K = len(starts)
+        keys = np.zeros((n_owners, K), np.uint32)
+        for j, o in enumerate(si.seed.offsets):
+            keys |= ((flat_codes[:, starts + o].astype(np.uint32) & 3)
+                     << np.uint32(2 * j))
+        lo = si.offsets[keys]          # [n_owners, K]
+        hi = si.offsets[keys + 1]
+        ln = hi - lo
+        ok = ln <= cutoff
+        if not search_strands[0]:
+            ok[0::2] = False
+        if not search_strands[1]:
+            ok[1::2] = False
+        lo_f = lo[ok]
+        hi_f = hi[ok]
+        idx, counts = _ranges_to_flat(lo_f, hi_f)
+        if len(idx) == 0:
+            continue
+        own_k, y_k = np.nonzero(ok)
+        pos_chunks.append(si.positions[idx].astype(np.int64))
+        owner_chunks.append(np.repeat(own_k.astype(np.int64), counts))
+        y_chunks.append(np.repeat(starts[y_k], counts))
+        stream_chunks.append(np.repeat(
+            sn * read_len + starts[y_k], counts))
+        span_chunks.append(np.full(len(idx), span, np.int64))
+
+    seg = np.zeros(n_owners + 1, np.int64)
+    if not pos_chunks:
+        return _empty_flat(n_owners)
+    x = np.concatenate(pos_chunks)
+    owner = np.concatenate(owner_chunks)
+    y = np.concatenate(y_chunks)
+    stream = np.concatenate(stream_chunks)
+    span = np.concatenate(span_chunks)
+
+    # ---- step 3: region prefilter (HAS_2 regions per owner)
+    if use_region_counts:
+        r = x >> region_bits
+        mask = (1 << region_bits) - 1
+        ov = ((x & mask) < region_overlap) & (r > 0)
+        n_reg = (index.total_len >> region_bits) + 2
+        mk = owner * n_reg + r
+        mk_ov = owner[ov] * n_reg + (r[ov] - 1)
+        marks = np.concatenate([mk, mk_ov])
+        ids, counts = np.unique(marks, return_counts=True)
+        has2 = ids[counts >= 2]
+        keep = np.isin(mk, has2)
+        keep |= ov & np.isin(mk - 1, has2)
+        x, owner, y, stream, span = (x[keep], owner[keep], y[keep],
+                                     stream[keep], span[keep])
+        if len(x) == 0:
+            return _empty_flat(n_owners)
+
+    # ---- step 4: genome-order anchor stream + collapse
+    order = np.lexsort((stream, x, owner))
+    x, y, stream, span, owner = (x[order], y[order], stream[order],
+                                 span[order], owner[order])
+    cn = index.contig_of(x).astype(np.int64)
+
+    if collapse:
+        diag = x - y
+        ckey = (x + read_len - y) % read_len
+        arrival = np.arange(len(x), dtype=np.int64)
+        corder = np.lexsort((arrival, ckey, owner))
+        xs, ys, ss, cs, os_, dg, ar = (x[corder], y[corder], span[corder],
+                                       cn[corder], owner[corder],
+                                       diag[corder], arrival[corder])
+        ck = ckey[corder]
+        newgrp = np.ones(len(xs), bool)
+        newgrp[1:] = ((os_[1:] != os_[:-1]) | (ck[1:] != ck[:-1])
+                      | (dg[1:] != dg[:-1]) | (cs[1:] != cs[:-1]))
+        run = np.cumsum(newgrp) - 1
+        nrun = int(run[-1]) + 1
+        lead = np.nonzero(newgrp)[0]
+        run_x = xs[lead]
+        run_y = ys[lead]
+        run_cn = cs[lead]
+        run_owner = os_[lead]
+        run_ar = ar[lead]
+        ends = np.zeros(nrun, np.int64)
+        np.maximum.at(ends, run, xs + ss)
+        run_len = ends - run_x
+        run_w = np.bincount(run, minlength=nrun)
+        back = np.argsort(run_ar, kind="stable")
+        x, y, alen = run_x[back], run_y[back], run_len[back]
+        aweight = run_w[back]
+        cn, owner = run_cn[back], run_owner[back]
+    else:
+        alen = span
+        aweight = np.ones(len(x), np.int64)
+
+    # ---- step 5: window generation
+    coff = index.contig_offsets[cn].astype(np.int64)
+    clen = index.contig_lengths[cn].astype(np.int64)
+    n = len(x)
+    w_len = np.minimum(window_len, clen)
+    gend = np.minimum((x - coff) + read_len - 1 - y, clen - 1)
+    gstart = np.where(gend >= window_len, gend - window_len, 0)
+
+    max_score = alen * match_score
+    if not gapless and match_mode in (2,):
+        max_score = np.where(aweight == 1, -1, max_score)
+    max_idx = np.arange(n, dtype=np.int64)
+
+    if not gapless and n:
+        BIG = np.int64(1) << 40
+        xkey = owner * BIG + x
+        lo = np.searchsorted(xkey, owner * BIG + coff + gstart, side="left")
+        i_all = np.arange(n, dtype=np.int64)
+        dmax = int((i_all - lo).max()) if n else 0
+        active = i_all[i_all - lo >= 1]
+        d = 1
+        while len(active) and d <= dmax:
+            i = active
+            j = i - d
+            valid = (j >= lo[i]) & (y[j] < y[i])
+            dx = x[i] - x[j]
+            dy = y[i] - y[j]
+            deletion = dx > dy
+            short_len = np.where(deletion, dy, dx) + alen[i]
+            long_len = np.where(deletion, dx, dy) + alen[i]
+            gap = long_len > short_len
+            tmp = short_len * match_score + np.where(
+                gap, b_gap_open + (long_len - short_len) * b_gap_extend, 0)
+            better = valid & (tmp > max_score[i])
+            max_score[i] = np.where(better, tmp, max_score[i])
+            max_idx[i] = np.where(better, j, max_idx[i])
+            d += 1
+            active = active[active - lo[active] >= d]
+
+    cap = np.minimum(read_len, w_len) * match_score
+    if gapless or match_mode == 1:
+        keep = np.ones(n, bool)
+    else:
+        thr = (np.full(n, -threshold)
+               if is_absolute(threshold) else cap * (threshold / 100.0))
+        keep = max_score.astype(np.float64) >= thr
+
+    i = np.nonzero(keep)[0]
+    j = max_idx[i]
+    x_len = (x[i] - x[j]) + alen[i]
+    goff = np.where((window_len - x_len) // 2 < x[j] - coff[i],
+                    (x[j] - coff[i]) - (window_len - x_len) // 2, 0)
+    goff = np.where(goff + w_len[i] > clen[i], clen[i] - w_len[i], goff)
+
+    rel_xi = x[i] - (coff[i] + goff)
+    rel_xj = x[j] - (coff[i] + goff)
+    jx, jy, jl, jw = _anchor_join2_vec(rel_xi, y[i], alen[i],
+                                       rel_xj, y[j], alen[j])
+    same = j == i
+    jx = np.where(same, rel_xi, jx)
+    jy = np.where(same, y[i], jy)
+    jl = np.where(same, alen[i], jl)
+    jw = np.where(same, 1, jw)
+    matches = np.where(same | gapless, aweight[i], aweight[i] + aweight[j])
+
+    # stable sort hits by (owner, cn, g_off)
+    horder = np.lexsort((np.arange(len(i)), goff, cn[i], owner[i]))
+    h_owner = owner[i][horder]
+    seg = np.zeros(n_owners + 1, np.int64)
+    np.cumsum(np.bincount(h_owner, minlength=n_owners), out=seg[1:])
+    return FlatHits(
+        owner=h_owner,
+        cn=cn[i][horder].astype(np.int32),
+        g_off=goff[horder],
+        w_len=w_len[i][horder].astype(np.int32),
+        score_window_gen=max_score[i][horder],
+        matches=matches[horder].astype(np.int32),
+        score_max=cap[i][horder],
+        ax=jx[horder], ay=jy[horder],
+        alen=jl[horder].astype(np.int64), awid=jw[horder].astype(np.int64),
+        seg_start=seg)
+
+
+def _anchor_join2_vec(ax0, ay0, al0, ax1, ay1, al1):
+    """anchor_join for two width-1 anchors (anchors.c:10-54)."""
+    nw0, sw0 = ax0 + ay0, ax0 - ay0
+    se0 = nw0 + 2 * (al0 - 1)
+    nw1, sw1 = ax1 + ay1, ax1 - ay1
+    se1 = nw1 + 2 * (al1 - 1)
+    nw = np.minimum(nw0, nw1)
+    sw = np.minimum(sw0, sw1)
+    ne = np.maximum(sw0, sw1)      # widths are 1: ne border == sw border
+    se = np.maximum(se0, se1)
+    nw = nw - ((nw + sw) % 2 != 0)
+    jx = (nw + sw) // 2
+    jy = nw - jx
+    ne = ne + ((ne - sw) % 2 != 0)
+    jw = (ne - sw) // 2 + 1
+    se = se + ((se - nw) % 2 != 0)
+    jl = (se - nw) // 2 + 1
+    return jx, jy, jl, jw
+
+
+def _empty_flat(n_owners: int) -> FlatHits:
+    z64 = np.zeros(0, np.int64)
+    z32 = np.zeros(0, np.int32)
+    return FlatHits(z64, z32, z64, z32, z64, z32, z64, z64, z64, z64, z64,
+                    np.zeros(n_owners + 1, np.int64))

@@ -288,3 +288,102 @@ def _pick2_b(c_open, c_ext, rv_col):
     normal prefers open (sw-full-ls.c:303-318), revcmpl prefers extend."""
     take_ext = jnp.where(rv_col, ~(c_open > c_ext), c_ext > c_open)
     return jnp.where(take_ext, c_ext, c_open), take_ext
+
+
+# reference FROM_* codes (sw-full-ls.c:36-42)
+_F_NN, _F_NNW, _F_WNW, _F_WW, _F_NWN, _F_NWNW, _F_NWW = 1, 2, 3, 4, 5, 6, 7
+# FROM code -> plane to follow next (0=nw, 1=w, 2=n); sw-full-ls.c:475-507
+_NEXT_PLANE = jnp.array([0, 2, 0, 0, 1, 2, 0, 1], jnp.int32)
+# decode tables: plane nibble -> FROM code
+_NW_DEC = jnp.array([0, _F_NWNW, _F_NWN, _F_NWW], jnp.int32)
+_N_DEC = jnp.array([0, _F_NN, _F_NNW, 0], jnp.int32)
+_W_DEC = jnp.array([0, _F_WW, _F_WNW, 0], jnp.int32)
+
+BACK_INS, BACK_DEL, BACK_MM = 1, 2, 3  # == sw_np BACK_* codes
+
+
+def _tb_decode(bp_val, plane):
+    nw = _NW_DEC[bp_val & 3]
+    w = _W_DEC[(bp_val >> 4) & 3]
+    n = _N_DEC[(bp_val >> 2) & 3]
+    return jnp.where(plane == 0, nw, jnp.where(plane == 1, w, n))
+
+
+def sw_full_and_traceback(genome, glen, read, rlen, ax, ay, alen, awid,
+                          revcmpl, *, match, mismatch, a_gap_open,
+                          a_gap_ext, b_gap_open, b_gap_ext,
+                          local_alignment=False):
+    """sw_full_batch + on-device traceback in one jitted computation,
+    so the [B, R, G] backpointer tensor never leaves the device.
+
+    Returns (score, max_i, max_j, ops_rev [B, R+G] int8 in walk order,
+    n_ops, read_start, genome_start, matches, mismatches, insertions,
+    deletions) — semantics of do_backtrace (sw-full-ls.c:413-516).
+    """
+    return _sw_full_tb_jit(genome, glen, read, rlen, ax, ay, alen, awid,
+                           revcmpl, match, mismatch, a_gap_open, a_gap_ext,
+                           b_gap_open, b_gap_ext, local_alignment)
+
+
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
+def _sw_full_tb_jit(genome, glen, read, rlen, ax, ay, alen, awid, revcmpl,
+                    match, mismatch, a_gap_open, a_gap_ext, b_gap_open,
+                    b_gap_ext, local_alignment):
+    score, max_i, max_j, plane, bp = sw_full_batch.__wrapped__(
+        genome, glen, read, rlen, ax, ay, alen, awid, revcmpl,
+        match=match, mismatch=mismatch, a_gap_open=a_gap_open,
+        a_gap_ext=a_gap_ext, b_gap_open=b_gap_open, b_gap_ext=b_gap_ext,
+        local_alignment=local_alignment)
+    B, R, G = bp.shape
+    bp_flat = bp.reshape(B, R * G).astype(jnp.int32)
+    genome_i = genome.astype(jnp.int32)
+    read_i = read.astype(jnp.int32)
+
+    def gather2(tab, i, j, width):
+        idx = jnp.clip(i, 0, None) * width + jnp.clip(j, 0, None)
+        return jnp.take_along_axis(tab, idx[:, None], axis=1)[:, 0]
+
+    i0 = max_i.astype(jnp.int32)
+    j0 = max_j.astype(jnp.int32)
+    frm0 = _tb_decode(gather2(bp_flat, i0, j0, G), plane)
+    zero = jnp.zeros(B, jnp.int32)
+
+    def step(carry, _):
+        i, j, frm, rs, gs, m_, mm_, ins, dele, nops = carry
+        active = (frm != 0) & (i >= 0) & (j >= 0)
+        is_n = active & ((frm == _F_NN) | (frm == _F_NNW))
+        is_w = active & ((frm == _F_WW) | (frm == _F_WNW))
+        is_nw = active & (frm >= _F_NWN)
+        op = jnp.where(is_n, BACK_DEL,
+                       jnp.where(is_w, BACK_INS,
+                                 jnp.where(is_nw, BACK_MM, 0)))
+        gch = jnp.take_along_axis(genome_i,
+                                  jnp.clip(j, 0, G - 1)[:, None], 1)[:, 0]
+        rch = jnp.take_along_axis(read_i,
+                                  jnp.clip(i, 0, R - 1)[:, None], 1)[:, 0]
+        eq = gch == rch
+        m_ = m_ + (is_nw & eq)
+        mm_ = mm_ + (is_nw & ~eq)
+        dele = dele + is_n
+        ins = ins + is_w
+        rs = jnp.where(is_n | is_nw, i, rs)
+        gs = jnp.where(is_w | is_nw, j, gs)
+        nops = nops + active
+        i2 = i - (is_n | is_nw)
+        j2 = j - (is_w | is_nw)
+        nxt = _NEXT_PLANE[jnp.clip(frm, 0, 7)]
+        inb = active & (i2 >= 0) & (j2 >= 0)
+        frm2 = jnp.where(inb, _tb_decode(gather2(bp_flat, i2, j2, G), nxt),
+                         0)
+        return (i2, j2, frm2, rs, gs, m_, mm_, ins, dele, nops), \
+            op.astype(jnp.int8)
+
+    carry0 = (i0, j0, frm0, zero, zero, zero, zero, zero, zero, zero)
+    carry, ops_rev = jax.lax.scan(step, carry0, None, length=R + G)
+    _, _, _, rs, gs, m_, mm_, ins, dele, nops = carry
+    ops_rev = jnp.transpose(ops_rev, (1, 0))   # [B, R+G]
+    # pack scalar outputs into one tensor: a device fetch costs a tunnel
+    # round-trip, so the host gets exactly two arrays per launch
+    packed = jnp.stack([score, max_i, max_j, nops, rs, gs, m_, mm_, ins,
+                        dele], axis=1).astype(jnp.int32)
+    return packed, ops_rev

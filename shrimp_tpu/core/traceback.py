@@ -32,6 +32,30 @@ _NEXT_PLANE[FROM_NORTHWEST_NORTHWEST] = 0
 _NEXT_PLANE[FROM_NORTHWEST_WEST] = 1
 
 
+def from_device(ops_rev: np.ndarray, n_ops: np.ndarray, read_start,
+                genome_start, rmapped_end_i, rmapped_end_j, matches,
+                mismatches, insertions, deletions) -> "TracebackResult":
+    """Assemble a TracebackResult from on-device traceback outputs
+    (sw_jax.sw_full_and_traceback); only the op order reversal happens
+    here."""
+    B, maxsteps = ops_rev.shape
+    n_ops = n_ops.astype(np.int64)
+    k = n_ops[:, None]
+    idx = np.arange(maxsteps)[None, :]
+    src = np.clip(k - 1 - idx, 0, maxsteps - 1)
+    ops = np.where(idx < k, ops_rev[np.arange(B)[:, None], src], 0
+                   ).astype(np.int8)
+    read_start = read_start.astype(np.int64)
+    genome_start = genome_start.astype(np.int64)
+    rmapped = rmapped_end_i.astype(np.int64) - read_start + 1
+    gmapped = rmapped_end_j.astype(np.int64) - genome_start + 1
+    return TracebackResult(ops, n_ops, read_start, genome_start, rmapped,
+                           gmapped, matches.astype(np.int64),
+                           mismatches.astype(np.int64),
+                           insertions.astype(np.int64),
+                           deletions.astype(np.int64))
+
+
 @dataclass
 class TracebackResult:
     ops: np.ndarray          # [B, R+G] int8 BACK_* codes in alignment order

@@ -21,8 +21,10 @@ import numpy as np
 from . import constants as C
 from .config import MapperConfig, abs_or_pct, is_absolute
 from .core import candidates, encode
-from .core.sw_jax import sw_full_batch, sw_vector_batch
-from .core.traceback import TracebackResult, traceback_batch
+from .core.sw_jax import (sw_full_and_traceback, sw_full_batch,
+                          sw_vector_batch)
+from .core.traceback import (TracebackResult, from_device as tb_from_device,
+                             traceback_batch)
 from .index.build import GenomeIndex
 from .io.fasta import SeqRecord
 
@@ -41,9 +43,11 @@ def _pow2_bucket(n: int, lo: int = 256) -> int:
 
 # Fixed kernel batch sizes: the TPU backend's compile time is heavy-tailed
 # across shapes, so every launch uses one audited shape per kernel and
-# larger workloads are chunked.
-VEC_BATCH = 1024
-FULL_BATCH = 256
+# larger workloads are chunked. Large chunks amortize the device-tunnel
+# round-trip latency; all chunks are dispatched before any result is
+# fetched so execution overlaps the host work.
+VEC_BATCH = 16384
+FULL_BATCH = 2048
 
 
 def _gather_rows(src: np.ndarray, starts: np.ndarray, width: int
@@ -184,6 +188,7 @@ class Mapper:
                             a_gap_ext=sc.a_gap_extend,
                             b_gap_open=sc.b_gap_open,
                             b_gap_ext=sc.b_gap_extend)
+        self._unpaired_opts = cfg.unpaired_options()
 
     # ------------------------------------------------------------ read prep
     def prepare_read(self, rec: SeqRecord) -> Optional[ReadEntry]:
@@ -213,7 +218,7 @@ class Mapper:
     def hit_lists(self, re: ReadEntry) -> List[candidates.HitList]:
         cfg = self.config
         idx = self.index
-        opts = cfg.unpaired_options()[0]
+        opts = self._unpaired_opts[0]
         out = []
         for st in (0, 1):
             if (st == 0 and not cfg.search_forward) or \
@@ -298,24 +303,28 @@ class Mapper:
         return out
 
     def _vec_chunked(self, gwin, glen, rwin, rlen) -> np.ndarray:
-        """Run sw_vector_batch in fixed-size [VEC_BATCH] launches."""
+        """Run sw_vector_batch in fixed-size [VEC_BATCH] launches; all
+        launches are dispatched asynchronously before any fetch."""
         n = len(glen)
         G, R = gwin.shape[1], rwin.shape[1]
         out = np.empty(n, np.int64)
-        cg = np.zeros((VEC_BATCH, G), np.uint8)
-        cgl = np.zeros(VEC_BATCH, np.int32)
-        cr = np.full((VEC_BATCH, R), 254, np.uint8)
-        crl = np.zeros(VEC_BATCH, np.int32)
+        futures = []
         for off in range(0, n, VEC_BATCH):
             end = min(off + VEC_BATCH, n)
             k = end - off
+            cg = np.zeros((VEC_BATCH, G), np.uint8)
+            cgl = np.zeros(VEC_BATCH, np.int32)
+            cr = np.full((VEC_BATCH, R), 254, np.uint8)
+            crl = np.zeros(VEC_BATCH, np.int32)
             cg[:k] = gwin[off:end]
             cgl[:k] = glen[off:end]
-            cgl[k:] = 0
             cr[:k] = rwin[off:end]
             crl[:k] = rlen[off:end]
-            out[off:end] = np.asarray(
-                sw_vector_batch(cg, cgl, cr, crl, **self._vec_kw))[:k]
+            futures.append((off, end,
+                            sw_vector_batch(cg, cgl, cr, crl,
+                                            **self._vec_kw)))
+        for off, end, fut in futures:
+            out[off:end] = np.asarray(fut)[:end - off]
         return out
 
     # ----------------------------------------------------------- pass1 walk
@@ -325,7 +334,7 @@ class Mapper:
         (read_pass1_per_strand mapping.c:1261-1339 and
         read_get_vector_hits mapping.c:1376-1411)."""
         cfg = self.config
-        opts = cfg.unpaired_options()[0].pass1
+        opts = self._unpaired_opts[0].pass1
         ov = int(abs_or_pct(opts.window_overlap, re.window_len))
         hits2: List[List[Hit]] = [[], []]
         for st in (0, 1):
@@ -436,33 +445,37 @@ class Mapper:
                        a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
                        b_gap_open=sc.b_gap_open, b_gap_ext=sc.b_gap_extend,
                        local_alignment=not cfg.global_alignment)
-        # fixed-size launches (see VEC_BATCH comment)
-        cg = np.zeros((FULL_BATCH, G), np.uint8)
-        cgl = np.ones(FULL_BATCH, np.int32)
-        cr = np.full((FULL_BATCH, R), 254, np.uint8)
-        crl = np.ones(FULL_BATCH, np.int32)
-        crect = np.zeros((FULL_BATCH, 4), np.int32)
-        crect[:, 2] = 1
-        crect[:, 3] = 1
-        crev = np.zeros(FULL_BATCH, bool)
+        # fixed-size async launches (see VEC_BATCH comment)
+        futures = []
         for off in range(0, n, FULL_BATCH):
             end = min(off + FULL_BATCH, n)
             k = end - off
+            cg = np.zeros((FULL_BATCH, G), np.uint8)
+            cgl = np.ones(FULL_BATCH, np.int32)
+            cr = np.full((FULL_BATCH, R), 254, np.uint8)
+            crl = np.ones(FULL_BATCH, np.int32)
+            crect = np.zeros((FULL_BATCH, 4), np.int32)
+            crect[:, 2] = 1
+            crect[:, 3] = 1
+            crev = np.zeros(FULL_BATCH, bool)
             cg[:k] = gwin[off:end]
             cgl[:k] = glen[off:end]
-            cgl[k:] = 1
             cr[:k] = rwin[off:end]
             crl[:k] = rlen[off:end]
             crect[:k] = rect[off:end]
-            crect[k:] = (0, 0, 1, 1)
             crev[:k] = rev[off:end]
-            score, mi, mj, plane, bp = sw_full_batch(
+            res = sw_full_and_traceback(
                 cg, cgl, cr, crl, crect[:, 0], crect[:, 1], crect[:, 2],
                 crect[:, 3], crev, **full_kw)
-            score = np.asarray(score)[:k]
-            tb = traceback_batch(np.asarray(bp)[:k], np.asarray(mi)[:k],
-                                 np.asarray(mj)[:k], np.asarray(plane)[:k],
-                                 cg[:k], cr[:k])
+            futures.append((off, k, res))
+        for off, k, (packed, ops_rev) in futures:
+            p = np.asarray(packed)[:k]
+            ops_rev = np.asarray(ops_rev)[:k]
+            score, mi, mj, nops = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
+            rs, gs, m_, mm_, ins, dele = (p[:, 4], p[:, 5], p[:, 6],
+                                          p[:, 7], p[:, 8], p[:, 9])
+            tb = tb_from_device(ops_rev, nops, rs, gs, mi, mj, m_, mm_,
+                                ins, dele)
             for b in range(k):
                 ri, h = jobs[off + b]
                 self._fill_hit(h, int(score[b]), tb, b)
@@ -541,6 +554,51 @@ class Mapper:
             if h.mqv < 4:
                 h.mqv = 0
 
+    # ------------------------------------------------- batched candidate gen
+    def hit_lists_batched(self, entries: List[ReadEntry]
+                          ) -> List[List[candidates.HitList]]:
+        """Cross-read flat-array candidate generation; same results as
+        hit_lists() per read (see core/batch_pipeline.py)."""
+        from .core import batch_pipeline as bp
+        cfg = self.config
+        opts = self._unpaired_opts[0]
+        out: List[Optional[List[candidates.HitList]]] = [None] * len(entries)
+        by_len: Dict[int, List[int]] = {}
+        for i, e in enumerate(entries):
+            by_len.setdefault(e.read_len, []).append(i)
+        for rl, idxs in by_len.items():
+            codes = np.stack([
+                np.stack([entries[i].codes[0], entries[i].codes[1]])
+                for i in idxs])
+            fh = bp.generate_candidates(
+                self.index, codes, rl, entries[idxs[0]].window_len,
+                self.cutoff, opts.hit_list.match_mode,
+                opts.hit_list.threshold, cfg.scores.match,
+                cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
+                min_kmer_pos=entries[idxs[0]].min_kmer_pos,
+                use_region_counts=opts.anchor_list.use_region_counts,
+                region_bits=cfg.region_bits,
+                region_overlap=cfg.region_overlap,
+                collapse=opts.anchor_list.collapse,
+                gapless=opts.hit_list.gapless,
+                search_strands=(cfg.search_forward, cfg.search_reverse))
+            for k, i in enumerate(idxs):
+                pair = []
+                for st in (0, 1):
+                    a, b = fh.seg_start[2 * k + st], fh.seg_start[2 * k
+                                                                  + st + 1]
+                    pair.append(candidates.HitList(
+                        st=st, cn=fh.cn[a:b], g_off=fh.g_off[a:b],
+                        w_len=fh.w_len[a:b],
+                        score_window_gen=fh.score_window_gen[a:b],
+                        matches=fh.matches[a:b], score_max=fh.score_max[a:b],
+                        ax=fh.ax[a:b], ay=fh.ay[a:b],
+                        alen=fh.alen[a:b].astype(np.int32),
+                        awid=fh.awid[a:b].astype(np.int32),
+                        aweight=fh.matches[a:b]))
+                out[i] = pair
+        return out  # type: ignore[return-value]
+
     # ------------------------------------------------------------- pipeline
     def map_unpaired(self, records: Sequence[SeqRecord]
                      ) -> List[Tuple[ReadEntry, List[Hit]]]:
@@ -549,7 +607,7 @@ class Mapper:
             re = self.prepare_read(rec)
             if re is not None:
                 entries.append(re)
-        hls = [self.hit_lists(re) for re in entries]
+        hls = self.hit_lists_batched(entries)
         scores = self._score_windows(entries, hls)
         pass1 = [self._pass1_select(re, hl2, sc2)
                  for re, hl2, sc2 in zip(entries, hls, scores)]
