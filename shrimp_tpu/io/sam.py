@@ -73,31 +73,103 @@ def cigar_ops(h: Hit, read_len: int) -> List[Tuple[int, str]]:
     return out
 
 
-def render_unpaired(re: ReadEntry, h: Optional[Hit], index: GenomeIndex,
-                    cfg: MapperConfig, fastq: bool = False) -> str:
-    """SAM line for an unpaired read (hit_output, output.c:296-761)."""
+def _pair_qname(name: str, mate_name: str) -> str:
+    """Longest common prefix, trailing ':' or '/' stripped
+    (output.c:372-385)."""
+    i = 0
+    n = min(len(name), len(mate_name))
+    while i < n and name[i] == mate_name[i]:
+        i += 1
+    if i > 0 and name[i - 1] in ":/":
+        i -= 1
+    return name[:i]
+
+
+def _requal(qual: str, qual_delta: int) -> str:
+    """Rescale quality string to PHRED+33 (output.c:562-568)."""
+    if qual_delta == 33:
+        return qual
+    return "".join(chr(ord(c) - qual_delta + 33) for c in qual)
+
+
+def _mate_coords(index: GenomeIndex, rh_mp: Hit) -> Tuple[int, int, bool]:
+    """1-based genome start/end of the mate (output.c:391-404)."""
+    glen = int(index.contig_lengths[rh_mp.cn])
+    rs1 = rh_mp.read_start + 1
+    re1 = rs1 + rh_mp.rmapped - 1
+    rev = rh_mp.gen_st == 1
+    if not rev:
+        gs = rh_mp.genome_start + 1
+    else:
+        right = glen - rh_mp.genome_start
+        gs = right - (re1 - rs1 - rh_mp.deletions + rh_mp.insertions)
+    return gs, gs + rh_mp.gmapped - 1, rev
+
+
+def render_hit(re: ReadEntry, rh: Optional[Hit], rh_mp: Optional[Hit],
+               first_in_pair: bool, index: GenomeIndex, cfg: MapperConfig,
+               fastq: bool = False, improper_mapping: bool = False) -> str:
+    """One SAM line (hit_output, output.c:227-774). rh may be None
+    (unmapped record); rh_mp is the mate's hit if any."""
+    paired_read = re.paired
+    re_mp = re.mate_pair
     qname = re.name
-    if h is None:
-        # unmapped record (output.c:417-473)
+    mrnm = "*"
+    mpos = 0
+    isize = 0
+    reverse_strand_mp = False
+    genome_start_mp = genome_end_mp = 0
+    mate_unmapped = False
+    if paired_read:
+        qname = _pair_qname(re.name, re_mp.name)
+        mate_unmapped = rh_mp is None
+        if not mate_unmapped:
+            genome_start_mp, genome_end_mp, reverse_strand_mp = \
+                _mate_coords(index, rh_mp)
+            mpos = genome_start_mp
+            mrnm = index.contig_names[rh_mp.cn]
+    query_unmapped = rh is None
+    second_in_pair = paired_read and not first_in_pair
+    paired_alignment = paired_read and (rh is not None and rh_mp is not None
+                                        and not improper_mapping)
+
+    def flags(reverse_strand: bool) -> int:
+        return ((0x0001 if paired_read else 0)
+                | (0x0002 if paired_alignment else 0)
+                | (0x0004 if query_unmapped else 0)
+                | (0x0008 if mate_unmapped else 0)
+                | (0x0010 if reverse_strand else 0)
+                | (0x0020 if reverse_strand_mp else 0)
+                | (0x0040 if first_in_pair else 0)
+                | (0x0080 if second_in_pair else 0))
+
+    # ---- unmapped-style record (output.c:417-474)
+    if query_unmapped or (not cfg.half_paired and paired_read
+                          and mate_unmapped):
         seq = (_clean_seq(re.seq) if cfg.mode == C.MODE_LETTER_SPACE
                else "*")
         qual = "*"
         if fastq and cfg.mode == C.MODE_LETTER_SPACE and re.qual:
             qual = _requal(re.qual, cfg.qual_delta)
-        fields = [qname, "4", "*", "0", "0", "*", "*", "0", "0", seq, qual]
+        fields = [qname, str(flags(False)), "*", "0", "0", "*", mrnm,
+                  str(mpos), "0", seq, qual]
         line = "\t".join(fields)
         if cfg.mode == C.MODE_COLOUR_SPACE:
             line += f"\tCQ:Z:{re.qual if fastq and re.qual else '*'}"
             line += f"\tCS:Z:{re.seq}"
+        if cfg.sam_r2 and re_mp is not None:
+            tag = "X2" if cfg.mode == C.MODE_COLOUR_SPACE else "R2"
+            line += f"\t{tag}:Z:{re_mp.seq}"
         if cfg.read_group_name:
             line += f"\tRG:Z:{cfg.read_group_name}"
         return line
 
-    reverse_strand = h.gen_st == 1
-    rname = index.contig_names[h.cn]
-    genome_length = int(index.contig_lengths[h.cn])
-    read_start1 = h.read_start + 1
-    read_end1 = read_start1 + h.rmapped - 1
+    # ---- mapped record
+    reverse_strand = rh.gen_st == 1
+    rname = index.contig_names[rh.cn]
+    genome_length = int(index.contig_lengths[rh.cn])
+    read_start1 = rh.read_start + 1
+    read_end1 = read_start1 + rh.rmapped - 1
 
     if cfg.mode == C.MODE_LETTER_SPACE:
         seq = _clean_seq(re.seq)
@@ -111,7 +183,7 @@ def render_unpaired(re: ReadEntry, h: Optional[Hit], index: GenomeIndex,
         q = re.qual[::-1] if reverse_strand else re.qual
         qual = _requal(q, cfg.qual_delta)
 
-    cig = cigar_ops(h, re.read_len)
+    cig = cigar_ops(rh, re.read_len)
     if cfg.mode == C.MODE_COLOUR_SPACE:
         cig = [(n, "H" if op == "S" else op) for n, op in cig]
     if reverse_strand:
@@ -119,29 +191,92 @@ def render_unpaired(re: ReadEntry, h: Optional[Hit], index: GenomeIndex,
     cigar = "".join(f"{n}{op}" for n, op in cig)
 
     if not reverse_strand:
-        pos = h.genome_start + 1
+        pos = rh.genome_start + 1
     else:
-        right_most = genome_length - h.genome_start
-        pos = right_most - (read_end1 - read_start1 - h.deletions
-                            + h.insertions)
+        right_most = genome_length - rh.genome_start
+        pos = right_most - (read_end1 - read_start1 - rh.deletions
+                            + rh.insertions)
+    genome_end = pos + rh.gmapped - 1
 
-    flag = 0x10 if reverse_strand else 0
-    mapq = h.mqv if h.mqv != 255 else 255
-    fields = [qname, str(flag), rname, str(pos), str(mapq), cigar, "*",
-              "0", "0", seq, qual]
+    if paired_read and not mate_unmapped:
+        if rname == mrnm:
+            mrnm = "="
+            fivep = genome_end if reverse_strand else pos - 1
+            fivep_mp = (genome_end_mp if reverse_strand_mp
+                        else genome_start_mp - 1)
+            isize = fivep_mp - fivep
+        else:
+            isize = 0
+
+    mapq = rh.mqv
+    fields = [qname, str(flags(reverse_strand)), rname, str(pos), str(mapq),
+              cigar, mrnm, str(mpos), str(isize), seq, qual]
     line = "\t".join(fields)
-    line += f"\tAS:i:{h.score_full}"
+    line += f"\tAS:i:{rh.score_full}"
     if cfg.compute_mapping_qualities and not cfg.all_contigs:
-        line += (f"\tZ0:i:{double_to_neglog(h.z0)}"
-                 f"\tZ1:i:{double_to_neglog(h.z1)}")
-    line += f"\tNM:i:{h.mismatches + h.deletions + h.insertions}"
+        if not paired_read:
+            line += (f"\tZ0:i:{double_to_neglog(rh.z0)}"
+                     f"\tZ1:i:{double_to_neglog(rh.z1)}")
+        else:
+            if rh is not None and rh_mp is not None and not improper_mapping:
+                line += (f"\tZ2:i:{double_to_neglog(rh.z2)}"
+                         f"\tZ3:i:{double_to_neglog(rh.z3)}"
+                         f"\tZ4:i:{double_to_neglog(rh.pr_top_random_at_location)}"
+                         f"\tZ6:i:{double_to_neglog(rh.insert_size_denom)}")
+            else:
+                line += (f"\tZ0:i:{double_to_neglog(rh.z0)}"
+                         f"\tZ1:i:{double_to_neglog(rh.z1)}"
+                         f"\tZ4:i:{double_to_neglog(rh.pr_top_random_at_location)}"
+                         f"\tZ5:i:{double_to_neglog(rh.pr_missed_mp)}")
+    line += f"\tNM:i:{rh.mismatches + rh.deletions + rh.insertions}"
+    if cfg.mode == C.MODE_COLOUR_SPACE:
+        if fastq and re.qual:
+            line += f"\tCQ:Z:{re.qual}"
+        line += f"\tCS:Z:{re.seq}"
+    if cfg.sam_r2 and re_mp is not None:
+        tag = "X2" if cfg.mode == C.MODE_COLOUR_SPACE else "R2"
+        line += f"\t{tag}:Z:{re_mp.seq}"
     if cfg.read_group_name:
         line += f"\tRG:Z:{cfg.read_group_name}"
+    if cfg.extra_sam_fields:
+        line += (f"\tZM:i:{rh.kmer_matches}\tZR:i:{rh.score_window_gen}"
+                 f"\tZV:i:{rh.score_vector}\tZH:i:{rh.sw_score}")
     return line
 
 
-def _requal(qual: str, qual_delta: int) -> str:
-    """Rescale quality string to PHRED+33 (output.c:562-568)."""
-    if qual_delta == 33:
-        return qual
-    return "".join(chr(ord(c) - qual_delta + 33) for c in qual)
+def render_unpaired(re: ReadEntry, h: Optional[Hit], index: GenomeIndex,
+                    cfg: MapperConfig, fastq: bool = False) -> str:
+    return render_hit(re, h, None, False, index, cfg, fastq)
+
+
+def render_pair_entry(pe, index: GenomeIndex, cfg: MapperConfig,
+                      paired_out, unpaired_out, fastq: bool = False
+                      ) -> List[str]:
+    """Emission order of readpair_output (output.c:1236-1282)."""
+    lines: List[str] = []
+    for ph in paired_out:
+        rh1, rh2 = ph.rh
+        imp = ph.improper_mapping
+        lines.append(render_hit(pe.re[0], rh1, rh2, True, index, cfg,
+                                fastq, imp))
+        lines.append(render_hit(pe.re[1], rh2, rh1, False, index, cfg,
+                                fastq, imp))
+    for nip in (0, 1):
+        rep = pe.re[nip]
+        for h in unpaired_out[nip]:
+            if rep.first_in_pair:
+                lines.append(render_hit(rep, h, None, True, index, cfg,
+                                        fastq))
+                lines.append(render_hit(rep.mate_pair, None, h, False,
+                                        index, cfg, fastq))
+            else:
+                lines.append(render_hit(rep.mate_pair, None, h, True,
+                                        index, cfg, fastq))
+                lines.append(render_hit(rep, h, None, False, index, cfg,
+                                        fastq))
+    if not lines and cfg.sam_unaligned:
+        lines.append(render_hit(pe.re[0], None, None, True, index, cfg,
+                                fastq))
+        lines.append(render_hit(pe.re[1], None, None, False, index, cfg,
+                                fastq))
+    return lines

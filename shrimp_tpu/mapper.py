@@ -68,6 +68,14 @@ class ReadEntry:
     min_kmer_pos: int = 0
     initbp: Tuple[int, int] = (-1, -1)
     mapped: bool = False
+    # paired-end state (gmapper read_entry)
+    input_strand: int = 0
+    paired: bool = False
+    first_in_pair: bool = False
+    mate_pair: Optional["ReadEntry"] = None
+    delta_g_off_min: Tuple[int, int] = (0, 0)
+    delta_g_off_max: Tuple[int, int] = (0, 0)
+    final_unpaired_hits: List["Hit"] = field(default_factory=list)
 
 
 @dataclass
@@ -108,6 +116,17 @@ class Hit:
     mqv: int = 255
     z0: float = 0.0
     z1: float = 0.0
+    # paired-end state
+    saved: int = 0
+    pair_min: int = -1
+    pair_max: int = -1
+    g_off_pos_strand: int = 0
+    pct_score_vector: int = 0
+    z2: float = 0.0
+    z3: float = 0.0
+    pr_top_random_at_location: float = 1.0
+    pr_missed_mp: float = 0.0
+    insert_size_denom: float = 0.0
 
 
 class ExtHeap:
@@ -328,51 +347,69 @@ class Mapper:
         return out
 
     # ----------------------------------------------------------- pass1 walk
-    def _pass1_select(self, re: ReadEntry, hl2: List[candidates.HitList],
-                      scores2: List[np.ndarray]) -> List[Hit]:
-        """Window-overlap suppression + threshold + extheap top-k
-        (read_pass1_per_strand mapping.c:1261-1339 and
-        read_get_vector_hits mapping.c:1376-1411)."""
-        cfg = self.config
-        opts = self._unpaired_opts[0].pass1
-        ov = int(abs_or_pct(opts.window_overlap, re.window_len))
+    def _make_hits(self, hl2: List[candidates.HitList]) -> List[List[Hit]]:
+        """Materialize Hit objects from hit-list arrays; assigns sort_idx
+        (mapping.c:1243-1246)."""
         hits2: List[List[Hit]] = [[], []]
         for st in (0, 1):
             hl = hl2[st]
-            scores = scores2[st]
-            last_good = None
             for i in range(hl.n):
-                h = Hit(st=st, gen_st=0, cn=int(hl.cn[i]),
-                        g_off=int(hl.g_off[i]), w_len=int(hl.w_len[i]),
-                        score_window_gen=int(hl.score_window_gen[i]),
-                        kmer_matches=int(hl.matches[i]),
-                        score_vector=-1, score_max=int(hl.score_max[i]),
-                        ax=int(hl.ax[i]), ay=int(hl.ay[i]),
-                        alen=int(hl.alen[i]), awid=int(hl.awid[i]))
-                hits2[st].append(h)
-                if h.kmer_matches < opts.min_matches:
-                    continue
-                if (last_good is not None and h.cn == last_good[0]
-                        and h.g_off + ov <= last_good[1] + re.window_len):
-                    h.score_vector = 0
-                    continue
-                h.score_vector = int(scores[i])
-                if h.score_vector >= int(abs_or_pct(opts.threshold,
-                                                    h.score_max)):
-                    last_good = (h.cn, h.g_off)
-
-        # sort_idx assignment (mapping.c:1243-1246)
+                hits2[st].append(Hit(
+                    st=st, gen_st=0, cn=int(hl.cn[i]),
+                    g_off=int(hl.g_off[i]),
+                    g_off_pos_strand=int(hl.g_off[i]),
+                    w_len=int(hl.w_len[i]),
+                    score_window_gen=int(hl.score_window_gen[i]),
+                    kmer_matches=int(hl.matches[i]),
+                    score_vector=-1, score_max=int(hl.score_max[i]),
+                    ax=int(hl.ax[i]), ay=int(hl.ay[i]),
+                    alen=int(hl.alen[i]), awid=int(hl.awid[i])))
         for i, h in enumerate(hits2[0]):
             h.sort_idx = i
         for i, h in enumerate(hits2[1]):
             h.sort_idx = len(hits2[0]) + i
+        return hits2
 
+    def _pass1_walk(self, re: ReadEntry, hits2: List[List[Hit]],
+                    scores2: List[np.ndarray], opts) -> None:
+        """Window-overlap suppression walk (read_pass1_per_strand,
+        mapping.c:1261-1339). Mutates score_vector/pct_score_vector;
+        scores2 holds the precomputed vector-SW values."""
+        ov = int(abs_or_pct(opts.window_overlap, re.window_len))
+        for st in (0, 1):
+            last_good = None
+            for i, h in enumerate(hits2[st]):
+                if opts.only_paired and h.pair_min < 0:
+                    continue
+                if h.kmer_matches < opts.min_matches:
+                    continue
+                if h.saved == 1:
+                    last_good = (h.cn, h.g_off_pos_strand)
+                    continue
+                if (last_good is not None and h.cn == last_good[0]
+                        and h.g_off_pos_strand + ov
+                        <= last_good[1] + re.window_len):
+                    h.score_vector = 0
+                    h.pct_score_vector = 0
+                    continue
+                if h.score_vector <= 0:
+                    h.score_vector = int(scores2[st][i])
+                    h.pct_score_vector = (1000 * 100 * h.score_vector
+                                          ) // h.score_max
+                    if h.score_vector >= int(abs_or_pct(opts.threshold,
+                                                        h.score_max)):
+                        last_good = (h.cn, h.g_off_pos_strand)
+
+    def _get_vector_hits(self, hits2: List[List[Hit]], opts) -> List[Hit]:
+        """extheap top-k over passing hits (read_get_vector_hits,
+        mapping.c:1376-1411); returns the heap array in heap order."""
         heap = ExtHeap(opts.num_outputs)
         absolute = is_absolute(opts.threshold)
         for st in (0, 1):
             for h in hits2[st]:
-                pct = (1000 * 100 * h.score_vector) // h.score_max
-                key = h.score_vector if absolute else pct
+                if h.saved == 1:
+                    continue
+                key = h.score_vector if absolute else h.pct_score_vector
                 if h.score_vector < int(abs_or_pct(opts.threshold,
                                                    h.score_max)):
                     continue
@@ -384,29 +421,44 @@ class Mapper:
                     heap.replace_min(h)
         return list(heap.a)
 
+    def _pass1_select(self, re: ReadEntry, hl2: List[candidates.HitList],
+                      scores2: List[np.ndarray]) -> List[Hit]:
+        opts = self._unpaired_opts[0].pass1
+        hits2 = self._make_hits(hl2)
+        self._pass1_walk(re, hits2, scores2, opts)
+        return self._get_vector_hits(hits2, opts)
+
     # ---------------------------------------------------------------- pass2
     def _pass2(self, entries: List[ReadEntry],
-               pass1_hits: List[List[Hit]]) -> None:
+               pass1_hits: List[List[Hit]],
+               thresholds: Optional[List[float]] = None) -> None:
         """Full SW + traceback for all selected hits, batched
-        (hit_run_full_sw mapping.c:331-402 + sw_full_ls)."""
+        (hit_run_full_sw mapping.c:331-402 + sw_full_ls).
+
+        thresholds[i] is the pass2 threshold (percent/absolute convention)
+        for read i; defaults to the unpaired sw_full_threshold.
+        """
         cfg = self.config
         sc = cfg.scores
         idx = self.index
         jobs: List[Tuple[int, Hit]] = []
         for ri, hits in enumerate(pass1_hits):
+            thr_spec = (thresholds[ri] if thresholds is not None
+                        else cfg.sw_full_threshold)
             for h in hits:
+                e = entries[ri]
                 # strand normalization (reverse_hit, mapping.c:254-263)
-                if h.st != 0:
+                if h.st != e.input_strand:
                     glen_c = int(idx.contig_lengths[h.cn])
                     h.g_off = glen_c - h.g_off - h.w_len
                     # anchor_reverse (anchors.h:30-34)
                     ax, ay = h.ax, h.ay
                     h.ax = -ax + (h.w_len - 1) - (h.alen - 1) - (h.awid - 1)
-                    h.ay = -ay + (entries[ri].read_len - 1) - (h.alen - 1) \
+                    h.ay = -ay + (e.read_len - 1) - (h.alen - 1) \
                         + (h.awid - 1)
-                    h.gen_st = 1
-                    h.st = 0
-                thresh = int(abs_or_pct(cfg.sw_full_threshold, h.score_max))
+                    h.gen_st = 1 - h.gen_st
+                    h.st = 1 - h.st
+                thresh = int(abs_or_pct(thr_spec, h.score_max))
                 # LS vector-score gate (mapping.c:386-398); our pass1 score
                 # is exact so reuse it
                 if h.score_vector >= thresh:
@@ -433,7 +485,7 @@ class Mapper:
             use_rc[b] = h.gen_st == 1
             glen[b] = h.w_len
             rl = entries[ri].read_len
-            rwin[b, :rl] = entries[ri].codes[0]
+            rwin[b, :rl] = entries[ri].codes[entries[ri].input_strand]
             rlen[b] = rl
             # anchor_widen (anchors.c:57-62)
             rect[b] = (h.ax - aw // 2, h.ay + aw // 2, h.alen, h.awid + aw)
@@ -541,6 +593,8 @@ class Mapper:
         if survivors and cfg.max_alignments and \
                 len(survivors) > cfg.max_alignments:
             survivors = []
+        for h in survivors:
+            h.saved = 1
         return survivors
 
     # ------------------------------------------------------------------ MQV
@@ -555,13 +609,14 @@ class Mapper:
                 h.mqv = 0
 
     # ------------------------------------------------- batched candidate gen
-    def hit_lists_batched(self, entries: List[ReadEntry]
+    def hit_lists_batched(self, entries: List[ReadEntry], opts=None
                           ) -> List[List[candidates.HitList]]:
         """Cross-read flat-array candidate generation; same results as
         hit_lists() per read (see core/batch_pipeline.py)."""
         from .core import batch_pipeline as bp
         cfg = self.config
-        opts = self._unpaired_opts[0]
+        if opts is None:
+            opts = self._unpaired_opts[0]
         out: List[Optional[List[candidates.HitList]]] = [None] * len(entries)
         by_len: Dict[int, List[int]] = {}
         for i, e in enumerate(entries):
