@@ -33,15 +33,20 @@ W_FROM_W, W_FROM_NW = 1, 2
 
 @functools.partial(jax.jit, static_argnames=(
     "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
-    "b_gap_ext"))
+    "b_gap_ext", "cs_mode"))
 def sw_vector_batch(genome: jnp.ndarray, glen: jnp.ndarray,
                     read: jnp.ndarray, rlen: jnp.ndarray,
+                    g_row0: jnp.ndarray = None,
                     *, match: int, mismatch: int,
                     a_gap_open: int, a_gap_ext: int,
-                    b_gap_open: int, b_gap_ext: int) -> jnp.ndarray:
+                    b_gap_open: int, b_gap_ext: int,
+                    cs_mode: bool = False) -> jnp.ndarray:
     """Local affine SW scores.
 
     genome: [B, G] uint8 codes, glen: [B]; read: [B, R] uint8, rlen: [B].
+    Colour space (cs_mode): genome holds colour codes, and the first read
+    row is scored against `g_row0` = lstocs(genome letters, initbp) — the
+    scalar first-row special case of sw-vector.c:108-146.
     Returns [B] int32 scores.
     """
     B, G = genome.shape
@@ -57,6 +62,7 @@ def sw_vector_batch(genome: jnp.ndarray, glen: jnp.ndarray,
     ivec = jnp.arange(R, dtype=jnp.int32)[None, :]        # [1, R]
     rmask = ivec < rlen[:, None]                          # [B, R]
     genome_i = genome.astype(jnp.int32)
+    g_row0_i = g_row0.astype(jnp.int32) if cs_mode else None
 
     def shift1(a, fill):
         return jnp.concatenate(
@@ -80,6 +86,11 @@ def sw_vector_batch(genome: jnp.ndarray, glen: jnp.ndarray,
         e_new = jnp.maximum(h_prev - goa, e_prev - gea)
         f_new = shift1(jnp.maximum(h_prev - gob, f_prev - geb), NEG)
         s = jnp.where(g_diag2 == read_i, m, mm)
+        if cs_mode:
+            gchar0 = jnp.where(d < G, g_row0_i[:, jnp.minimum(d, G - 1)],
+                               jnp.int32(-1))
+            s0 = jnp.where(gchar0 == read_i[:, 0], m, mm)
+            s = s.at[:, 0].set(s0)
         h_diag = shift1(h_prev2, 0)
         h_new = jnp.maximum(jnp.maximum(0, h_diag + s),
                             jnp.maximum(e_new, f_new))

@@ -176,12 +176,20 @@ def render_hit(re: ReadEntry, rh: Optional[Hit], rh_mp: Optional[Hit],
         if reverse_strand:
             seq = _revcomp_str(seq)
     else:
-        seq = "*"
+        # CS: the called letters of the aligned portion (output.c:491-545)
+        seq = _clean_seq("".join(c for c in (rh.qralign or "")
+                                 if c != "-"))
+        if reverse_strand:
+            seq = _revcomp_str(seq)
 
     qual = "*"
     if fastq and cfg.mode == C.MODE_LETTER_SPACE and re.qual:
         q = re.qual[::-1] if reverse_strand else re.qual
         qual = _requal(q, cfg.qual_delta)
+    elif (fastq and cfg.mode == C.MODE_COLOUR_SPACE
+          and cfg.compute_mapping_qualities and rh.qual_str):
+        # post-SW base qualities (output.c:613-622)
+        qual = (rh.qual_str[::-1] if reverse_strand else rh.qual_str)
 
     cig = cigar_ops(rh, re.read_len)
     if cfg.mode == C.MODE_COLOUR_SPACE:
@@ -232,7 +240,8 @@ def render_hit(re: ReadEntry, rh: Optional[Hit], rh_mp: Optional[Hit],
     if cfg.mode == C.MODE_COLOUR_SPACE:
         if fastq and re.qual:
             line += f"\tCQ:Z:{re.qual}"
-        line += f"\tCS:Z:{re.seq}"
+        line += (f"\tCS:Z:{re.seq}\tCM:i:{rh.crossovers}"
+                 f"\tXX:Z:{rh.qralign}")
     if cfg.sam_r2 and re_mp is not None:
         tag = "X2" if cfg.mode == C.MODE_COLOUR_SPACE else "R2"
         line += f"\t{tag}:Z:{re_mp.seq}"

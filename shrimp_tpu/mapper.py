@@ -76,6 +76,7 @@ class ReadEntry:
     delta_g_off_min: Tuple[int, int] = (0, 0)
     delta_g_off_max: Tuple[int, int] = (0, 0)
     final_unpaired_hits: List["Hit"] = field(default_factory=list)
+    crossover_score: Optional[np.ndarray] = None  # per-colour, CS+qvs
 
 
 @dataclass
@@ -116,6 +117,11 @@ class Hit:
     mqv: int = 255
     z0: float = 0.0
     z1: float = 0.0
+    # colour space extras
+    crossovers: int = 0
+    dbalign: Optional[str] = None
+    qralign: Optional[str] = None
+    qual_str: Optional[str] = None
     # paired-end state
     saved: int = 0
     pair_min: int = -1
@@ -192,6 +198,15 @@ def double_to_neglog(x: float, shift: int = 1000) -> int:
     return int(shift * -math.log(x))
 
 
+def _pr_err_from_qv(qv: int) -> float:
+    """util.h:284-293."""
+    if qv <= 0:
+        return .99999999
+    if qv >= 250:
+        return 1e-25
+    return math.pow(10.0, -qv / 10.0)
+
+
 class Mapper:
     def __init__(self, index: GenomeIndex, config: Optional[MapperConfig]
                  = None):
@@ -228,10 +243,23 @@ class Mapper:
         if read_len > cfg.longest_read_len or read_len == 0:
             return None
         window_len = int(abs_or_pct(cfg.window_len, read_len))
-        return ReadEntry(name=rec.name, seq=seq, qual=rec.qual,
-                         read_len=read_len, codes=(codes0, codes1),
-                         window_len=window_len, min_kmer_pos=min_kmer_pos,
-                         initbp=initbp)
+        e = ReadEntry(name=rec.name, seq=seq, qual=rec.qual,
+                      read_len=read_len, codes=(codes0, codes1),
+                      window_len=window_len, min_kmer_pos=min_kmer_pos,
+                      initbp=initbp)
+        if (cfg.mode == C.MODE_COLOUR_SPACE and rec.qual is not None
+                and not cfg.ignore_qvs):
+            # per-position crossover scores from qvs (gmapper.c:532-543)
+            cal = self.cal
+            xs = np.empty(read_len, np.int64)
+            for j in range(read_len):
+                pe = _pr_err_from_qv(ord(rec.qual[j]) - cfg.qual_delta)
+                v = int(cal.alpha * math.log2(pe / 3.0))
+                v = min(v, -1)
+                v = max(v, 2 * cfg.scores.crossover)
+                xs[j] = v
+            e.crossover_score = xs
+        return e
 
     # ------------------------------------------------------------- filter 1
     def hit_lists(self, re: ReadEntry) -> List[candidates.HitList]:
@@ -299,18 +327,45 @@ class Mapper:
 
         G = _round_up(max(int(wl_a.max()), 16), 32)
         R = _round_up(max(e.read_len for e in entries), 8)
-        gwin = _gather_rows(idx.codes, goff_a, G)
         glen = wl_a.astype(np.int32)
-        # reads: gather per (read, strand) via a stacked read-code table
-        rtab = np.full((len(entries) * 2, R), 254, np.uint8)
-        for ri, e in enumerate(entries):
-            rtab[2 * ri, :e.read_len] = e.codes[0]
-            rtab[2 * ri + 1, :e.read_len] = e.codes[1]
-        rwin = rtab[2 * ri_a + st_a]
         rlens = np.array([e.read_len for e in entries], np.int32)
         rlen = rlens[ri_a]
-
-        scores = self._vec_chunked(gwin, glen, rwin, rlen)
+        if self.config.mode == C.MODE_LETTER_SPACE:
+            # LS pass1 scores the forward-strand window against the
+            # strand-st read (mapping.c:1323-1328)
+            gwin = _gather_rows(idx.codes, goff_a, G)
+            rtab = np.full((len(entries) * 2, R), 254, np.uint8)
+            for ri, e in enumerate(entries):
+                rtab[2 * ri, :e.read_len] = e.codes[0]
+                rtab[2 * ri + 1, :e.read_len] = e.codes[1]
+            rwin = rtab[2 * ri_a + st_a]
+            scores = self._vec_chunked(gwin, glen, rwin, rlen)
+        else:
+            # CS pass1 reverse-normalizes first (mapping.c:1297-1319):
+            # window from the CS genome (fwd or per-contig rc), read is
+            # the input-strand colour read, first row vs lstocs(ls, initbp)
+            inp = np.array([e.input_strand for e in entries], np.int64)
+            eff_rc = st_a != inp[ri_a]
+            cn_a = idx.contig_of(goff_a)
+            coff2 = idx.contig_offsets[cn_a].astype(np.int64)
+            clen2 = idx.contig_lengths[cn_a].astype(np.int64)
+            local = goff_a - coff2
+            local_rc = clen2 - local - wl_a
+            starts = coff2 + np.where(eff_rc, local_rc, local)
+            cs_f = _gather_rows(idx.cs_codes, starts, G)
+            cs_r = _gather_rows(idx.cs_codes_rc, starts, G)
+            gwin = np.where(eff_rc[:, None], cs_r, cs_f)
+            ls_f = _gather_rows(idx.codes, starts, G)
+            ls_r = _gather_rows(idx.codes_rc, starts, G)
+            lswin = np.where(eff_rc[:, None], ls_r, ls_f)
+            initbp = np.array([e.initbp[0] for e in entries], np.int64)
+            g_row0 = C.COLOUR_MAT[lswin, initbp[ri_a][:, None]]
+            rtab = np.full((len(entries) * 2, R), 254, np.uint8)
+            for ri, e in enumerate(entries):
+                rtab[2 * ri, :e.read_len] = e.codes[e.input_strand]
+                rtab[2 * ri + 1, :e.read_len] = e.codes[e.input_strand]
+            rwin = rtab[2 * ri_a + st_a]
+            scores = self._vec_chunked(gwin, glen, rwin, rlen, g_row0)
         # scatter back per (read, strand)
         pos = 0
         for ri, hl2 in enumerate(hls):
@@ -321,11 +376,12 @@ class Mapper:
                     pos += c
         return out
 
-    def _vec_chunked(self, gwin, glen, rwin, rlen) -> np.ndarray:
+    def _vec_chunked(self, gwin, glen, rwin, rlen, g_row0=None) -> np.ndarray:
         """Run sw_vector_batch in fixed-size [VEC_BATCH] launches; all
         launches are dispatched asynchronously before any fetch."""
         n = len(glen)
         G, R = gwin.shape[1], rwin.shape[1]
+        cs = g_row0 is not None
         out = np.empty(n, np.int64)
         futures = []
         for off in range(0, n, VEC_BATCH):
@@ -339,9 +395,14 @@ class Mapper:
             cgl[:k] = glen[off:end]
             cr[:k] = rwin[off:end]
             crl[:k] = rlen[off:end]
-            futures.append((off, end,
-                            sw_vector_batch(cg, cgl, cr, crl,
-                                            **self._vec_kw)))
+            if cs:
+                c0 = np.full((VEC_BATCH, G), 255, np.uint8)
+                c0[:k] = g_row0[off:end]
+                fut = sw_vector_batch(cg, cgl, cr, crl, c0, cs_mode=True,
+                                      **self._vec_kw)
+            else:
+                fut = sw_vector_batch(cg, cgl, cr, crl, **self._vec_kw)
+            futures.append((off, end, fut))
         for off, end, fut in futures:
             out[off:end] = np.asarray(fut)[:end - off]
         return out
@@ -439,6 +500,9 @@ class Mapper:
         for read i; defaults to the unpaired sw_full_threshold.
         """
         cfg = self.config
+        if cfg.mode == C.MODE_COLOUR_SPACE:
+            self._pass2_cs(entries, pass1_hits, thresholds)
+            return
         sc = cfg.scores
         idx = self.index
         jobs: List[Tuple[int, Hit]] = []
@@ -447,17 +511,7 @@ class Mapper:
                         else cfg.sw_full_threshold)
             for h in hits:
                 e = entries[ri]
-                # strand normalization (reverse_hit, mapping.c:254-263)
-                if h.st != e.input_strand:
-                    glen_c = int(idx.contig_lengths[h.cn])
-                    h.g_off = glen_c - h.g_off - h.w_len
-                    # anchor_reverse (anchors.h:30-34)
-                    ax, ay = h.ax, h.ay
-                    h.ax = -ax + (h.w_len - 1) - (h.alen - 1) - (h.awid - 1)
-                    h.ay = -ay + (e.read_len - 1) - (h.alen - 1) \
-                        + (h.awid - 1)
-                    h.gen_st = 1 - h.gen_st
-                    h.st = 1 - h.st
+                self._normalize_hit(e, h)
                 thresh = int(abs_or_pct(thr_spec, h.score_max))
                 # LS vector-score gate (mapping.c:386-398); our pass1 score
                 # is exact so reuse it
@@ -531,6 +585,97 @@ class Mapper:
             for b in range(k):
                 ri, h = jobs[off + b]
                 self._fill_hit(h, int(score[b]), tb, b)
+
+    def _normalize_hit(self, e: ReadEntry, h: Hit) -> None:
+        """Strand normalization (reverse_hit, mapping.c:254-263)."""
+        if h.st != e.input_strand:
+            glen_c = int(self.index.contig_lengths[h.cn])
+            h.g_off = glen_c - h.g_off - h.w_len
+            ax, ay = h.ax, h.ay
+            h.ax = -ax + (h.w_len - 1) - (h.alen - 1) - (h.awid - 1)
+            h.ay = -ay + (e.read_len - 1) - (h.alen - 1) + (h.awid - 1)
+            h.gen_st = 1 - h.gen_st
+            h.st = 1 - h.st
+
+    def _pass2_cs(self, entries: List[ReadEntry],
+                  pass1_hits: List[List[Hit]],
+                  thresholds: Optional[List[float]] = None) -> None:
+        """Colour-space pass2: 4-layer full SW + post-SW rescoring
+        (hit_run_full_sw mapping.c:375-379, hit_run_post_sw :1609-1614).
+
+        Currently runs the exact scalar kernel per hit; the batched TPU
+        version follows the same oracle.
+        """
+        from .core import sw_cs_np
+        cfg = self.config
+        sc = cfg.scores
+        idx = self.index
+        for ri, hits in enumerate(pass1_hits):
+            e = entries[ri]
+            thr_spec = (thresholds[ri] if thresholds is not None
+                        else cfg.sw_full_threshold)
+            for h in hits:
+                self._normalize_hit(e, h)
+                thresh = int(abs_or_pct(thr_spec, h.score_max))
+                coff = int(idx.contig_offsets[h.cn])
+                src = idx.codes if h.gen_st == 0 else idx.codes_rc
+                win = src[coff + h.g_off: coff + h.g_off + h.w_len]
+                res = sw_cs_np.sw_full_cs(
+                    win, e.codes[h.st], e.initbp[h.st],
+                    sc.match, sc.mismatch, sc.a_gap_open, sc.a_gap_extend,
+                    sc.b_gap_open, sc.b_gap_extend,
+                    threshscore=thresh, global_xover=sc.crossover,
+                    revcmpl=bool(h.gen_st) and cfg.rev_tiebreak,
+                    anchor=(h.ax, h.ay, h.alen, h.awid),
+                    anchor_width=cfg.anchor_width,
+                    local_alignment=not cfg.global_alignment,
+                    crossover_score=e.crossover_score,
+                    indel_taboo_len=cfg.indel_taboo_len)
+                h.sw_score = res.score
+                h.score_full = res.score
+                h.pct_score_full = (1000 * 100 * res.score) // h.score_max
+                if res.score == 0:
+                    continue
+                h.read_start = res.read_start
+                h.genome_start = res.genome_start + h.g_off
+                h.rmapped = res.rmapped
+                h.gmapped = res.gmapped
+                h.matches = res.matches
+                h.mismatches = res.mismatches
+                h.insertions = res.insertions
+                h.deletions = res.deletions
+                h.crossovers = res.crossovers
+                h.ops = (res.steps & 3).astype(np.int8)
+                h.dbalign = res.dbalign
+                h.qralign = res.qralign
+                if cfg.compute_mapping_qualities and h.score_full > 0:
+                    self._post_sw_cs(e, h)
+
+    def _post_sw_cs(self, e: ReadEntry, h: Hit) -> None:
+        """post_sw + posterior_score (mapping.c:1609-1625)."""
+        from .core import sw_cs_np
+        cfg = self.config
+        cal = self.cal
+        qual = (e.qual if e.qual is not None and not cfg.ignore_qvs
+                else None)
+        res = sw_cs_np.post_sw(
+            e.codes[h.st], e.initbp[h.st], qual, h.read_start,
+            h.dbalign, h.qralign,
+            pr_snp=cal.pr_mismatch, pr_xover=cal.pr_xover,
+            pr_del_open=cal.pr_del_open, pr_del_extend=cal.pr_del_extend,
+            pr_ins_open=cal.pr_ins_open, pr_ins_extend=cal.pr_ins_extend,
+            qual_delta=cfg.qual_delta)
+        h.posterior = res.posterior
+        h.qralign = res.qralign
+        h.matches = res.matches
+        h.mismatches = res.mismatches
+        h.crossovers = res.crossovers
+        h.qual_str = res.qual
+        ps = int(round(cal.alpha * math.log2(h.posterior)
+                       + h.rmapped * (2 * cal.alpha + cal.beta)))
+        h.posterior_score = max(ps, 0)
+        h.score_full = h.posterior_score
+        h.pct_score_full = (1000 * 100 * h.posterior_score) // h.score_max
 
     def _fill_hit(self, h: Hit, score: int, tb: TracebackResult, b: int
                   ) -> None:
