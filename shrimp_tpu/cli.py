@@ -1,0 +1,348 @@
+"""Command-line interface: `python -m shrimp_tpu {index,map,merge} ...`
+
+Mirrors the gmapper driver surface (gmapper/gmapper.c:1720-3110) with
+explicit subcommands instead of argv[0] dispatch; `map --cs` replaces the
+gmapper-cs symlink. Flag names follow gmapper's long options
+(gmapper-defaults.h:74-173).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+from . import constants as C
+
+
+def _add_map_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cs", action="store_true",
+                   help="colour-space mode (gmapper-cs)")
+    p.add_argument("-s", "--seeds", default=None,
+                   help="comma-separated spaced seeds or w<N>")
+    p.add_argument("-o", "--report", type=int, default=C.DEF_NUM_OUTPUTS,
+                   help="maximum hits to report per read")
+    p.add_argument("-w", "--match-window", type=float,
+                   default=C.DEF_WINDOW_LEN)
+    p.add_argument("-n", "--cmw-mode", type=int, default=None)
+    p.add_argument("-l", "--cmw-overlap", type=float,
+                   default=C.DEF_WINDOW_OVERLAP)
+    p.add_argument("-a", "--anchor-width", type=int,
+                   default=C.DEF_ANCHOR_WIDTH)
+    p.add_argument("-r", "--cmw-threshold", type=float,
+                   default=C.DEF_WINDOW_GEN_THRESHOLD)
+    p.add_argument("-h-threshold", "--full-threshold", type=float,
+                   default=C.DEF_SW_FULL_THRESHOLD, dest="full_threshold")
+    p.add_argument("-v", "--vec-threshold", type=float,
+                   default=C.DEF_SW_VECT_THRESHOLD)
+    p.add_argument("-m", "--match", type=int, default=None)
+    p.add_argument("-i", "--mismatch", type=int, default=None)
+    p.add_argument("-g", "--open-r", type=int, default=None)
+    p.add_argument("-q", "--open-q", type=int, default=None)
+    p.add_argument("-e", "--ext-r", type=int, default=None)
+    p.add_argument("-f", "--ext-q", type=int, default=None)
+    p.add_argument("-x", "--crossover", type=int, default=None)
+    p.add_argument("-p", "--pair-mode", default="none",
+                   choices=["none", "opp-in", "opp-out", "col-fw", "col-bw"])
+    p.add_argument("-I", "--isize", default=None,
+                   help="min,max insert size")
+    p.add_argument("--insert-size-dist", default=None, help="mean,stddev")
+    p.add_argument("-z", "--cutoff", type=int, default=None,
+                   help="index list cutoff")
+    p.add_argument("-V", "--trim-off", action="store_true",
+                   help="disable automatic index trimming")
+    p.add_argument("--strata", action="store_true")
+    p.add_argument("--max-alignments", type=int, default=0)
+    p.add_argument("--local", action="store_true",
+                   help="local alignment instead of global")
+    p.add_argument("-U", "--ungapped", action="store_true")
+    p.add_argument("-C", "--negative", action="store_true",
+                   help="reverse strand only")
+    p.add_argument("-F", "--positive", action="store_true",
+                   help="forward strand only")
+    p.add_argument("-t", "--tiebreak-off", action="store_true")
+    p.add_argument("--no-mapping-qualities", action="store_true")
+    p.add_argument("--single-best-mapping", action="store_true")
+    p.add_argument("--all-contigs", action="store_true")
+    p.add_argument("--no-half-paired", action="store_true")
+    p.add_argument("--no-improper-mappings", action="store_true")
+    p.add_argument("--sam-unaligned", action="store_true")
+    p.add_argument("--sam-r2", action="store_true")
+    p.add_argument("--read-group", default=None, help="name,sample")
+    p.add_argument("--qv-offset", type=int, default=None)
+    p.add_argument("--ignore-qvs", action="store_true")
+    p.add_argument("--longest-read", type=int,
+                   default=C.DEF_LONGEST_READ_LENGTH)
+    p.add_argument("--trim-front", type=int, default=0)
+    p.add_argument("--trim-end", type=int, default=0)
+    p.add_argument("--trim-illumina", action="store_true")
+    p.add_argument("--un", default=None,
+                   help="write unaligned reads to this file")
+    p.add_argument("--al", default=None,
+                   help="write aligned reads to this file")
+    p.add_argument("--extra-sam-fields", action="store_true")
+    p.add_argument("--progress", type=int, default=100000)
+    p.add_argument("-B", "--batch-size", type=int, default=4096)
+    p.add_argument("-Q", "--fastq", action="store_true",
+                   help="force fastq input")
+    p.add_argument("-M", "--mode", default=None,
+                   help="mode presets, e.g. mirna")
+
+
+def build_config(args) -> "MapperConfig":
+    from .config import MapperConfig, Scores
+    mode = C.MODE_COLOUR_SPACE if args.cs else C.MODE_LETTER_SPACE
+    sc = Scores() if mode == C.MODE_LETTER_SPACE else Scores.cs_defaults()
+    if args.match is not None:
+        sc.match = args.match
+    if args.mismatch is not None:
+        sc.mismatch = args.mismatch
+    if args.open_r is not None:
+        sc.a_gap_open = args.open_r
+        if args.open_q is None:
+            sc.b_gap_open = args.open_r
+    if args.open_q is not None:
+        sc.b_gap_open = args.open_q
+    if args.ext_r is not None:
+        sc.a_gap_extend = args.ext_r
+        if args.ext_q is None:
+            sc.b_gap_extend = args.ext_r
+    if args.ext_q is not None:
+        sc.b_gap_extend = args.ext_q
+    if args.crossover is not None:
+        sc.crossover = args.crossover
+    kw = dict(
+        mode=mode, scores=sc,
+        window_len=args.match_window,
+        window_overlap=args.cmw_overlap,
+        window_gen_threshold=args.cmw_threshold,
+        sw_full_threshold=args.full_threshold,
+        sw_vect_threshold=args.vec_threshold,
+        num_outputs=args.report,
+        num_tmp_outputs=20 + args.report,
+        anchor_width=args.anchor_width,
+        longest_read_len=args.longest_read,
+        global_alignment=not args.local,
+        gapless=args.ungapped,
+        strata=args.strata,
+        max_alignments=args.max_alignments,
+        rev_tiebreak=not args.tiebreak_off,
+        compute_mapping_qualities=not args.no_mapping_qualities,
+        single_best_mapping=args.single_best_mapping,
+        all_contigs=args.all_contigs,
+        half_paired=not args.no_half_paired,
+        improper_mappings=not args.no_improper_mappings,
+        sam_unaligned=args.sam_unaligned,
+        sam_r2=args.sam_r2,
+        ignore_qvs=args.ignore_qvs,
+        pair_mode=args.pair_mode,
+        extra_sam_fields=args.extra_sam_fields,
+        list_cutoff=args.cutoff,
+    )
+    if args.cmw_mode is not None:
+        kw["match_mode"] = args.cmw_mode
+    if args.isize:
+        mn, mx = args.isize.split(",")
+        kw["min_insert_size"] = int(mn)
+        kw["max_insert_size"] = int(mx)
+    if args.insert_size_dist:
+        mean, std = args.insert_size_dist.split(",")
+        kw["insert_size_mean"] = float(mean)
+        kw["insert_size_stddev"] = float(std)
+    if args.read_group:
+        parts = args.read_group.split(",")
+        kw["read_group_name"] = parts[0]
+        kw["sam_sample_name"] = parts[1] if len(parts) > 1 else parts[0]
+    if args.qv_offset is not None:
+        kw["qual_delta"] = args.qv_offset
+    if args.negative and not args.positive:
+        kw["search_forward"] = False
+    if args.positive and not args.negative:
+        kw["search_reverse"] = False
+    return MapperConfig(**kw)
+
+
+def load_or_build_index(genome_args: List[str], seeds_spec: Optional[str],
+                        mode: str, mirna: bool = False):
+    from .core import encode
+    from .index.build import GenomeIndex, build_index
+    from .index.seeds import default_seeds, mirna_seeds, parse_seeds
+    from .io.fasta import read_fasta
+    if len(genome_args) == 1 and genome_args[0].endswith(".npz"):
+        return GenomeIndex.load(genome_args[0])
+    if mirna:
+        seeds = mirna_seeds()
+    elif seeds_spec:
+        seeds = parse_seeds(seeds_spec)
+    else:
+        seeds = default_seeds()
+    contigs = []
+    for path in genome_args:
+        for rec in read_fasta(path):
+            print(f"- Processing contig {rec.name}", file=sys.stderr)
+            contigs.append((rec.name, encode.encode_ls(rec.seq)))
+    return build_index(contigs, seeds, mode=mode)
+
+
+def cmd_index(args) -> int:
+    mode = C.MODE_COLOUR_SPACE if args.cs else C.MODE_LETTER_SPACE
+    idx = load_or_build_index(args.genome, args.seeds, mode,
+                              mirna=args.mode == "mirna")
+    idx.save(args.output)
+    print(f"Saved genome index to {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_map(args) -> int:
+    from .io import sam
+    from .io.fasta import detect_fastq, read_seqs
+    from .mapper import Mapper
+    from .paired import PairedMapper
+
+    t_load = time.time()
+    cfg = build_config(args)
+    idx = load_or_build_index(args.genome, args.seeds, cfg.mode,
+                              mirna=args.mode == "mirna")
+    print(f"Loaded genome in {time.time()-t_load:.1f}s", file=sys.stderr)
+
+    paired = cfg.pair_mode != C.PAIR_NONE
+    mapper = PairedMapper(idx, cfg) if paired else Mapper(idx, cfg)
+
+    fastq = args.fastq or detect_fastq(args.reads)
+    out = sys.stdout
+    for line in sam.sam_header(idx, " ".join(sys.argv), cfg):
+        out.write(line + "\n")
+
+    un_f = open(args.un, "w") if args.un else None
+    al_f = open(args.al, "w") if args.al else None
+
+    def write_read(f, re_):
+        if re_.qual is not None:
+            f.write(f"@{re_.name}\n{re_.seq}\n+\n{re_.qual}\n")
+        else:
+            f.write(f">{re_.name}\n{re_.seq}\n")
+
+    nreads = 0
+    t0 = time.time()
+    B = args.batch_size
+    if paired and B % 2:
+        B += 1
+    batch = []
+    total_lines = 0
+
+    def flush(batch):
+        nonlocal total_lines
+        if not batch:
+            return
+        if paired:
+            pairs = mapper.map_paired(batch)
+            for pe in pairs:
+                p_out, u_out = mapper.select_output(pe)
+                for line in sam.render_pair_entry(pe, idx, cfg, p_out,
+                                                  u_out, fastq=fastq):
+                    out.write(line + "\n")
+                    total_lines += 1
+                any_mapped = pe.mapped or any(e.mapped for e in pe.re)
+                for e in pe.re:
+                    if al_f and any_mapped:
+                        write_read(al_f, e)
+                    if un_f and not any_mapped:
+                        write_read(un_f, e)
+        else:
+            for re_, hits in mapper.map_unpaired(batch):
+                for h in hits:
+                    out.write(sam.render_unpaired(re_, h, idx, cfg,
+                                                  fastq=fastq) + "\n")
+                    total_lines += 1
+                if not hits and cfg.sam_unaligned:
+                    out.write(sam.render_unpaired(re_, None, idx, cfg,
+                                                  fastq=fastq) + "\n")
+                    total_lines += 1
+                if al_f and hits:
+                    write_read(al_f, re_)
+                if un_f and not hits:
+                    write_read(un_f, re_)
+
+    from .io.fasta import SeqRecord
+    for rec in read_seqs(args.reads, fastq=fastq):
+        if args.trim_front or args.trim_end:
+            end = len(rec.seq) - args.trim_end
+            rec = SeqRecord(rec.name, rec.seq[args.trim_front:end],
+                            rec.qual[args.trim_front:end]
+                            if rec.qual else None)
+        batch.append(rec)
+        nreads += 1
+        if len(batch) >= B:
+            flush(batch)
+            batch = []
+            if args.progress and nreads % args.progress < B:
+                dt = time.time() - t0
+                print(f"{nreads} reads, {nreads/dt:.0f} reads/s",
+                      file=sys.stderr)
+    flush(batch)
+    dt = time.time() - t0
+    print(f"Mapped {nreads} reads in {dt:.1f}s "
+          f"({nreads/max(dt,1e-9):.0f} reads/s, "
+          f"{nreads/max(dt,1e-9)*3600:.0f} reads/hour); "
+          f"{total_lines} alignments", file=sys.stderr)
+    if un_f:
+        un_f.close()
+    if al_f:
+        al_f.close()
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from .tools.mergesam import merge_sam_files
+    return merge_sam_files(args.reads, args.sams, sys.stdout,
+                           single_best=args.single_best_mapping,
+                           strata=args.strata,
+                           max_alignments=args.max_alignments,
+                           insert_size_mean=args.insert_size_mean,
+                           insert_size_stddev=args.insert_size_stddev)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="shrimp_tpu",
+        description="TPU-native short-read mapper (SHRiMP2 capabilities)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_idx = sub.add_parser("index", help="build and save a genome index")
+    p_idx.add_argument("genome", nargs="+")
+    p_idx.add_argument("-o", "--output", required=True)
+    p_idx.add_argument("-s", "--seeds", default=None)
+    p_idx.add_argument("--cs", action="store_true")
+    p_idx.add_argument("-M", "--mode", default=None)
+
+    p_map = sub.add_parser("map", help="map reads", add_help=False)
+    p_map.add_argument("--help", action="help")
+    p_map.add_argument("reads")
+    p_map.add_argument("genome", nargs="+",
+                       help="genome fasta file(s) or a saved .npz index")
+    _add_map_flags(p_map)
+
+    p_mrg = sub.add_parser("merge",
+                           help="merge per-shard SAM files (mergesam)")
+    p_mrg.add_argument("reads")
+    p_mrg.add_argument("sams", nargs="+")
+    p_mrg.add_argument("--single-best-mapping", action="store_true")
+    p_mrg.add_argument("--strata", action="store_true")
+    p_mrg.add_argument("--max-alignments", type=int, default=0)
+    p_mrg.add_argument("--insert-size-mean", type=float,
+                       default=C.DEF_INSERT_SIZE_MEAN)
+    p_mrg.add_argument("--insert-size-stddev", type=float,
+                       default=C.DEF_INSERT_SIZE_STDDEV)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "index":
+        return cmd_index(args)
+    if args.cmd == "map":
+        return cmd_map(args)
+    if args.cmd == "merge":
+        return cmd_merge(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
