@@ -223,6 +223,14 @@ class Mapper:
                             b_gap_open=sc.b_gap_open,
                             b_gap_ext=sc.b_gap_extend)
         self._unpaired_opts = cfg.unpaired_options()
+        self.device = None   # optional jax device for kernel placement
+
+    def _device_ctx(self):
+        import contextlib
+        if self.device is None:
+            return contextlib.nullcontext()
+        import jax
+        return jax.default_device(self.device)
 
     # ------------------------------------------------------------ read prep
     def prepare_read(self, rec: SeqRecord) -> Optional[ReadEntry]:
@@ -395,13 +403,14 @@ class Mapper:
             cgl[:k] = glen[off:end]
             cr[:k] = rwin[off:end]
             crl[:k] = rlen[off:end]
-            if cs:
-                c0 = np.full((VEC_BATCH, G), 255, np.uint8)
-                c0[:k] = g_row0[off:end]
-                fut = sw_vector_batch(cg, cgl, cr, crl, c0, cs_mode=True,
-                                      **self._vec_kw)
-            else:
-                fut = sw_vector_batch(cg, cgl, cr, crl, **self._vec_kw)
+            with self._device_ctx():
+                if cs:
+                    c0 = np.full((VEC_BATCH, G), 255, np.uint8)
+                    c0[:k] = g_row0[off:end]
+                    fut = sw_vector_batch(cg, cgl, cr, crl, c0,
+                                          cs_mode=True, **self._vec_kw)
+                else:
+                    fut = sw_vector_batch(cg, cgl, cr, crl, **self._vec_kw)
             futures.append((off, end, fut))
         for off, end, fut in futures:
             out[off:end] = np.asarray(fut)[:end - off]
@@ -570,9 +579,10 @@ class Mapper:
             crl[:k] = rlen[off:end]
             crect[:k] = rect[off:end]
             crev[:k] = rev[off:end]
-            res = sw_full_and_traceback(
-                cg, cgl, cr, crl, crect[:, 0], crect[:, 1], crect[:, 2],
-                crect[:, 3], crev, **full_kw)
+            with self._device_ctx():
+                res = sw_full_and_traceback(
+                    cg, cgl, cr, crl, crect[:, 0], crect[:, 1],
+                    crect[:, 2], crect[:, 3], crev, **full_kw)
             futures.append((off, k, res))
         for off, k, (packed, ops_rev) in futures:
             p = np.asarray(packed)[:k]
