@@ -81,6 +81,10 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--al", default=None,
                    help="write aligned reads to this file")
     p.add_argument("--extra-sam-fields", action="store_true")
+    p.add_argument("--shrimp-format", action="store_true",
+                   help="legacy SHRiMP output format instead of SAM")
+    p.add_argument("-R", "--print-reads", action="store_true",
+                   help="include read sequence in legacy format")
     p.add_argument("--progress", type=int, default=100000)
     p.add_argument("-B", "--batch-size", type=int, default=4096)
     p.add_argument("-Q", "--fastq", action="store_true",
@@ -134,6 +138,7 @@ def build_config(args) -> "MapperConfig":
         improper_mappings=not args.no_improper_mappings,
         sam_unaligned=args.sam_unaligned,
         sam_r2=args.sam_r2,
+        shrimp_format=args.shrimp_format,
         ignore_qvs=args.ignore_qvs,
         pair_mode=args.pair_mode,
         extra_sam_fields=args.extra_sam_fields,
@@ -210,8 +215,15 @@ def cmd_map(args) -> int:
 
     fastq = args.fastq or detect_fastq(args.reads)
     out = sys.stdout
-    for line in sam.sam_header(idx, " ".join(sys.argv), cfg):
+    if cfg.shrimp_format:
+        from .io import shrimp_format
+        line = shrimp_format.FORMAT_LINE
+        if args.print_reads:
+            line += " readsequence"
         out.write(line + "\n")
+    else:
+        for line in sam.sam_header(idx, " ".join(sys.argv), cfg):
+            out.write(line + "\n")
 
     un_f = open(args.un, "w") if args.un else None
     al_f = open(args.al, "w") if args.al else None
@@ -248,6 +260,17 @@ def cmd_map(args) -> int:
                         write_read(al_f, e)
                     if un_f and not any_mapped:
                         write_read(un_f, e)
+        elif cfg.shrimp_format:
+            from .io import shrimp_format
+            for re_, hits in mapper.map_unpaired(batch):
+                for h in hits:
+                    out.write(shrimp_format.output_normal(
+                        re_, h, idx, include_read=args.print_reads) + "\n")
+                    total_lines += 1
+                if al_f and hits:
+                    write_read(al_f, re_)
+                if un_f and not hits:
+                    write_read(un_f, re_)
         else:
             for re_, hits in mapper.map_unpaired(batch):
                 for h in hits:
@@ -285,6 +308,7 @@ def cmd_map(args) -> int:
           f"({nreads/max(dt,1e-9):.0f} reads/s, "
           f"{nreads/max(dt,1e-9)*3600:.0f} reads/hour); "
           f"{total_lines} alignments", file=sys.stderr)
+    mapper.stats.report(sys.stderr)
     if un_f:
         un_f.close()
     if al_f:

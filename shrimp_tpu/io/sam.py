@@ -248,8 +248,16 @@ def render_hit(re: ReadEntry, rh: Optional[Hit], rh_mp: Optional[Hit],
     if cfg.read_group_name:
         line += f"\tRG:Z:{cfg.read_group_name}"
     if cfg.extra_sam_fields:
+        from .shrimp_format import (alignment_edit_string,
+                                    materialize_alignment,
+                                    reverse_edit_string)
+        materialize_alignment(rh, re, index)
+        editstr = alignment_edit_string(rh.dbalign, rh.qralign)
+        if reverse_strand:
+            editstr = reverse_edit_string(editstr)
         line += (f"\tZM:i:{rh.kmer_matches}\tZR:i:{rh.score_window_gen}"
-                 f"\tZV:i:{rh.score_vector}\tZH:i:{rh.sw_score}")
+                 f"\tZV:i:{rh.score_vector}\tZH:i:{rh.sw_score}"
+                 f"\tZE:Z:{editstr}")
     return line
 
 

@@ -224,6 +224,8 @@ class Mapper:
                             b_gap_ext=sc.b_gap_extend)
         self._unpaired_opts = cfg.unpaired_options()
         self.device = None   # optional jax device for kernel placement
+        from .utils.stats import MapperStats
+        self.stats = MapperStats()
 
     def _device_ctx(self):
         import contextlib
@@ -387,6 +389,8 @@ class Mapper:
     def _vec_chunked(self, gwin, glen, rwin, rlen, g_row0=None) -> np.ndarray:
         """Run sw_vector_batch in fixed-size [VEC_BATCH] launches; all
         launches are dispatched asynchronously before any fetch."""
+        import time as _time
+        t0 = _time.perf_counter()
         n = len(glen)
         G, R = gwin.shape[1], rwin.shape[1]
         cs = g_row0 is not None
@@ -414,6 +418,10 @@ class Mapper:
             futures.append((off, end, fut))
         for off, end, fut in futures:
             out[off:end] = np.asarray(fut)[:end - off]
+        self.stats.vec_invocs += n
+        self.stats.vec_cells += int((glen.astype(np.int64)
+                                     * rlen.astype(np.int64)).sum())
+        self.stats.vec_secs += _time.perf_counter() - t0
         return out
 
     # ----------------------------------------------------------- pass1 walk
@@ -532,6 +540,8 @@ class Mapper:
                     h.pct_score_full = 0
         if not jobs:
             return
+        import time as _time
+        _t0 = _time.perf_counter()
         n = len(jobs)
         G = _round_up(max(max(h.w_len for _, h in jobs), 16), 32)
         R = _round_up(max(entries[ri].read_len for ri, _ in jobs), 8)
@@ -595,6 +605,10 @@ class Mapper:
             for b in range(k):
                 ri, h = jobs[off + b]
                 self._fill_hit(h, int(score[b]), tb, b)
+        self.stats.full_invocs += n
+        self.stats.full_cells += sum(
+            h.w_len * entries[ri].read_len for ri, h in jobs)
+        self.stats.full_secs += _time.perf_counter() - _t0
 
     def _normalize_hit(self, e: ReadEntry, h: Hit) -> None:
         """Strand normalization (reverse_hit, mapping.c:254-263)."""
@@ -835,6 +849,9 @@ class Mapper:
                                    key=lambda i: (final[i].mqv, -i))
                         final = [final[best]]
             results.append((re, final))
+        self.stats.reads += len(entries)
+        self.stats.reads_mapped += sum(1 for _, f in results if f)
+        self.stats.alignments += sum(len(f) for _, f in results)
         return results
 
 
