@@ -91,11 +91,24 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
                    help="force fastq input")
     p.add_argument("-M", "--mode", default=None,
                    help="mode presets, e.g. mirna")
+    p.add_argument("-H", "--hash-spaced-kmers", action="store_true",
+                   help="24-bit hashed mapidx (for seeds of weight > 14)")
 
 
 def build_config(args) -> "MapperConfig":
     from .config import MapperConfig, Scores
     mode = C.MODE_COLOUR_SPACE if args.cs else C.MODE_LETTER_SPACE
+    if args.mode == "mirna":
+        # miRNA preset (set_mode_from_string, gmapper.c:1498-1521)
+        args.hash_spaced_kmers = True
+        args.ungapped = True
+        args.anchor_width = 0
+        args.open_r = args.open_q = -255
+        args.match_window = 100.0
+        args.local = True
+        args.no_mapping_qualities = True
+        if args.cmw_mode is None:
+            args.cmw_mode = 1
     sc = Scores() if mode == C.MODE_LETTER_SPACE else Scores.cs_defaults()
     if args.match is not None:
         sc.match = args.match
@@ -168,7 +181,8 @@ def build_config(args) -> "MapperConfig":
 
 
 def load_or_build_index(genome_args: List[str], seeds_spec: Optional[str],
-                        mode: str, mirna: bool = False):
+                        mode: str, mirna: bool = False,
+                        hashed: bool = False):
     from .core import encode
     from .index.build import GenomeIndex, build_index
     from .index.seeds import default_seeds, mirna_seeds, parse_seeds
@@ -186,13 +200,15 @@ def load_or_build_index(genome_args: List[str], seeds_spec: Optional[str],
         for rec in read_fasta(path):
             print(f"- Processing contig {rec.name}", file=sys.stderr)
             contigs.append((rec.name, encode.encode_ls(rec.seq)))
-    return build_index(contigs, seeds, mode=mode)
+    return build_index(contigs, seeds, mode=mode, hashed=hashed)
 
 
 def cmd_index(args) -> int:
     mode = C.MODE_COLOUR_SPACE if args.cs else C.MODE_LETTER_SPACE
     idx = load_or_build_index(args.genome, args.seeds, mode,
-                              mirna=args.mode == "mirna")
+                              mirna=args.mode == "mirna",
+                              hashed=getattr(args, "hash_spaced_kmers",
+                                             False) or args.mode == "mirna")
     idx.save(args.output)
     print(f"Saved genome index to {args.output}", file=sys.stderr)
     return 0
@@ -207,7 +223,8 @@ def cmd_map(args) -> int:
     t_load = time.time()
     cfg = build_config(args)
     idx = load_or_build_index(args.genome, args.seeds, cfg.mode,
-                              mirna=args.mode == "mirna")
+                              mirna=args.mode == "mirna",
+                              hashed=args.hash_spaced_kmers)
     print(f"Loaded genome in {time.time()-t_load:.1f}s", file=sys.stderr)
 
     paired = cfg.pair_mode != C.PAIR_NONE
@@ -338,6 +355,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_idx.add_argument("-s", "--seeds", default=None)
     p_idx.add_argument("--cs", action="store_true")
     p_idx.add_argument("-M", "--mode", default=None)
+    p_idx.add_argument("-H", "--hash-spaced-kmers", action="store_true")
 
     p_map = sub.add_parser("map", help="map reads", add_help=False)
     p_map.add_argument("--help", action="help")

@@ -88,11 +88,9 @@ def generate_candidates(index: GenomeIndex, codes: np.ndarray,
         if last < min_kmer_pos:
             continue
         starts = np.arange(min_kmer_pos, last + 1, dtype=np.int64)
-        K = len(starts)
-        keys = np.zeros((n_owners, K), np.uint32)
-        for j, o in enumerate(si.seed.offsets):
-            keys |= ((flat_codes[:, starts + o].astype(np.uint32) & 3)
-                     << np.uint32(2 * j))
+        from ..index.seeds import mapidx_matrix
+        keys = mapidx_matrix(flat_codes, starts, si.seed, index.hashed,
+                             max(s.seed.span for s in index.seeds))
         lo = si.offsets[keys]          # [n_owners, K]
         hi = si.offsets[keys + 1]
         ln = hi - lo

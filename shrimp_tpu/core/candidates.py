@@ -74,7 +74,10 @@ def read_kmers(index: GenomeIndex, read_codes: np.ndarray, min_kmer_pos: int
             out.append((np.zeros(0, np.int64), np.zeros(0, np.uint32)))
             continue
         starts = np.arange(min_kmer_pos, last + 1, dtype=np.int64)
-        out.append((starts, kmer_mapidx(read_codes, starts, si.seed)))
+        from ..index.seeds import mapidx_matrix
+        keys = mapidx_matrix(read_codes[None, :], starts, si.seed,
+                             index.hashed, index.max_seed_span)[0]
+        out.append((starts, keys))
     return out
 
 

@@ -23,7 +23,7 @@ import numpy as np
 
 from .. import constants as C
 from ..core import encode
-from .seeds import Seed, sliding_mapidx
+from .seeds import Seed, sliding_mapidx, sliding_mapidx_hash
 
 
 @dataclass
@@ -50,6 +50,11 @@ class GenomeIndex:
     # colour-space projection of the concatenated genome (built lazily for CS)
     cs_codes: Optional[np.ndarray] = None
     cs_codes_rc: Optional[np.ndarray] = None
+    hashed: bool = False  # -H: 24-bit hashed mapidx (gmapper.h:323-338)
+
+    @property
+    def max_seed_span(self) -> int:
+        return max(si.seed.span for si in self.seeds)
 
     @property
     def total_len(self) -> int:
@@ -65,8 +70,10 @@ class GenomeIndex:
         return np.searchsorted(self.contig_offsets, pos, side="right") - 1
 
     def auto_list_cutoff(self) -> int:
-        """cutoff = max(1000, 100 * L / 4^max_weight) (gmapper.c:2830-2834)."""
-        max_w = max(si.seed.weight for si in self.seeds)
+        """cutoff = max(1000, 100 * L / 4^max_weight) (gmapper.c:2830-2834);
+        hashed mode uses the hash table power (gmapper.c:2820-2828)."""
+        max_w = (C.HASH_TABLE_POWER if self.hashed
+                 else max(si.seed.weight for si in self.seeds))
         return max(1000, int((100 * self.total_len) // (4 ** max_w)))
 
     def save(self, path: str) -> None:
@@ -75,6 +82,7 @@ class GenomeIndex:
             "contig_names": self.contig_names,
             "is_rna": self.is_rna,
             "seeds": [si.seed.mask_string for si in self.seeds],
+            "hashed": self.hashed,
         }
         arrays: Dict[str, np.ndarray] = {
             "contig_offsets": self.contig_offsets,
@@ -106,7 +114,8 @@ class GenomeIndex:
             mode=meta["mode"], contig_names=list(meta["contig_names"]),
             contig_offsets=contig_offsets, contig_lengths=contig_lengths,
             codes=codes, codes_rc=codes_rc, seeds=seeds,
-            is_rna=bool(meta["is_rna"]))
+            is_rna=bool(meta["is_rna"]),
+            hashed=bool(meta.get("hashed", False)))
         if gi.mode == C.MODE_COLOUR_SPACE:
             gi.build_cs_projection()
         return gi
@@ -137,7 +146,7 @@ def _per_contig_cs(codes: np.ndarray, offsets: np.ndarray,
 
 def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
                 mode: str = C.MODE_LETTER_SPACE, is_rna: bool = False,
-                ) -> GenomeIndex:
+                hashed: bool = False) -> GenomeIndex:
     """Build a GenomeIndex from [(name, codes_uint8), ...].
 
     Matches load_genome (genome.c:1012-1182): windows containing N/X are
@@ -155,15 +164,16 @@ def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
 
     gi = GenomeIndex(mode=mode, contig_names=names, contig_offsets=offsets,
                      contig_lengths=lengths, codes=codes, codes_rc=codes_rc,
-                     seeds=[], is_rna=is_rna)
+                     seeds=[], is_rna=is_rna, hashed=hashed)
     if mode == C.MODE_COLOUR_SPACE:
         gi.build_cs_projection()
         indexed = gi.cs_codes
     else:
         indexed = codes
 
+    max_span = max(s.span for s in seeds)
     for seed in seeds:
-        seed.validate()
+        seed.validate(hashed=hashed)
         all_keys = []
         all_pos = []
         for o, l in zip(offsets, lengths):
@@ -171,7 +181,8 @@ def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
             n = int(l) - seed.span + 1
             if n <= 0:
                 continue
-            keys = sliding_mapidx(cseq, seed)
+            keys = (sliding_mapidx_hash(cseq, seed, max_span) if hashed
+                    else sliding_mapidx(cseq, seed))
             # exclude windows containing N/X (genome.c:1145-1147)
             isn = (cseq == C.BASE_N).astype(np.int32)
             cum = np.concatenate([[0], np.cumsum(isn)])
@@ -185,8 +196,9 @@ def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
         else:
             keys = np.zeros(0, np.uint32)
             pos = np.zeros(0, np.uint32)
-        counts = np.bincount(keys, minlength=seed.n_mapidx)
-        csr_offsets = np.zeros(seed.n_mapidx + 1, dtype=np.int64)
+        n_mapidx = (4 ** C.HASH_TABLE_POWER if hashed else seed.n_mapidx)
+        counts = np.bincount(keys, minlength=n_mapidx)
+        csr_offsets = np.zeros(n_mapidx + 1, dtype=np.int64)
         np.cumsum(counts, out=csr_offsets[1:])
         order = np.argsort(keys, kind="stable")
         gi.seeds.append(SeedIndex(seed=seed, offsets=csr_offsets,

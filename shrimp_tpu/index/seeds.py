@@ -35,17 +35,17 @@ class Seed:
         return np.array([i for i, c in enumerate(self.mask_string)
                          if c == "1"], dtype=np.int64)
 
-    def validate(self) -> None:
+    def validate(self, hashed: bool = False) -> None:
         if not (1 <= self.span <= C.MAX_SEED_SPAN):
             raise ValueError(f"seed span out of range: {self.mask_string}")
         if self.weight < 1:
             raise ValueError(f"seed weight < 1: {self.mask_string}")
         if any(c not in "01" for c in self.mask_string):
             raise ValueError(f"bad seed string: {self.mask_string}")
-        if self.weight > C.MAX_SEED_WEIGHT:
+        if not hashed and self.weight > C.MAX_SEED_WEIGHT:
             raise ValueError(
                 f"seed weight {self.weight} > {C.MAX_SEED_WEIGHT}; "
-                "hashed mapidx mode not implemented yet")
+                "use hashed mapidx mode (-H)")
 
     @property
     def n_mapidx(self) -> int:
@@ -89,6 +89,98 @@ def kmer_mapidx(codes: np.ndarray, starts: np.ndarray, seed: Seed
     for j, o in enumerate(seed.offsets):
         m |= (codes[starts + o].astype(np.uint32) & 3) << np.uint32(2 * j)
     return m
+
+
+def _hash_u32(a: np.ndarray) -> np.ndarray:
+    """gmapper.h:309-319 (uint32 wrapping)."""
+    a = a.astype(np.uint32)
+    with np.errstate(over="ignore"):
+        a = (a + np.uint32(0x7ed55d16)) + (a << np.uint32(12))
+        a = (a ^ np.uint32(0xc761c23c)) ^ (a >> np.uint32(19))
+        a = (a + np.uint32(0x165667b1)) + (a << np.uint32(5))
+        a = (a + np.uint32(0xd3a2646c)) ^ (a << np.uint32(9))
+        a = (a + np.uint32(0xfd7046c5)) + (a << np.uint32(3))
+        a = (a ^ np.uint32(0xb55a4f09)) ^ (a >> np.uint32(16))
+    return a
+
+
+def sliding_mapidx_hash(codes: np.ndarray, seed: Seed, max_seed_span: int
+                        ) -> np.ndarray:
+    """Hashed mapidx for every window start (kmer_to_mapidx_hash,
+    gmapper.h:323-338): the masked 4-bit kmer window words are chained
+    through the mixing hash, truncated to 24 bits.
+
+    Window field j holds the base at kmer start + (span-1-j); fields
+    >= span are zeroed by the seed hash mask.
+    """
+    n = len(codes) - seed.span + 1
+    if n <= 0:
+        return np.zeros(0, np.uint32)
+    span = seed.span
+    maskbit = np.zeros(max_seed_span, bool)
+    for j in range(span):
+        maskbit[j] = seed.mask_string[span - 1 - j] == "1"
+    n_words = (max_seed_span + 7) // 8
+    mapidx = np.zeros(n, np.uint32)
+    base = np.arange(n, dtype=np.int64)
+    for w in range(n_words):
+        word = np.zeros(n, np.uint32)
+        for f in range(8):
+            j = 8 * w + f
+            if j >= max_seed_span or not maskbit[j]:
+                continue
+            word |= (codes[base + (span - 1 - j)].astype(np.uint32)
+                     << np.uint32(4 * f))
+        mapidx = _hash_u32(word ^ mapidx)
+    return mapidx & np.uint32((1 << (2 * C.HASH_TABLE_POWER)) - 1)
+
+
+def kmer_mapidx_hash(codes: np.ndarray, starts: np.ndarray, seed: Seed,
+                     max_seed_span: int) -> np.ndarray:
+    """Hashed mapidx at explicit start positions."""
+    span = seed.span
+    maskbit = [seed.mask_string[span - 1 - j] == "1" if j < span else False
+               for j in range(max_seed_span)]
+    n_words = (max_seed_span + 7) // 8
+    mapidx = np.zeros(len(starts), np.uint32)
+    for w in range(n_words):
+        word = np.zeros(len(starts), np.uint32)
+        for f in range(8):
+            j = 8 * w + f
+            if j >= max_seed_span or not maskbit[j]:
+                continue
+            word |= (codes[starts + (span - 1 - j)].astype(np.uint32)
+                     << np.uint32(4 * f))
+        mapidx = _hash_u32(word ^ mapidx)
+    return mapidx & np.uint32((1 << (2 * C.HASH_TABLE_POWER)) - 1)
+
+
+def mapidx_matrix(flat_codes: np.ndarray, starts: np.ndarray, seed: Seed,
+                  hashed: bool, max_seed_span: int) -> np.ndarray:
+    """mapidx for kmers at `starts` in every row of [N, L] `flat_codes`."""
+    N = flat_codes.shape[0]
+    K = len(starts)
+    if not hashed:
+        keys = np.zeros((N, K), np.uint32)
+        for j, o in enumerate(seed.offsets):
+            keys |= ((flat_codes[:, starts + o].astype(np.uint32) & 3)
+                     << np.uint32(2 * j))
+        return keys
+    span = seed.span
+    maskbit = [seed.mask_string[span - 1 - j] == "1" if j < span else False
+               for j in range(max_seed_span)]
+    n_words = (max_seed_span + 7) // 8
+    mapidx = np.zeros((N, K), np.uint32)
+    for w in range(n_words):
+        word = np.zeros((N, K), np.uint32)
+        for f in range(8):
+            j = 8 * w + f
+            if j >= max_seed_span or not maskbit[j]:
+                continue
+            word |= (flat_codes[:, starts + (span - 1 - j)]
+                     .astype(np.uint32) << np.uint32(4 * f))
+        mapidx = _hash_u32(word ^ mapidx)
+    return mapidx & np.uint32((1 << (2 * C.HASH_TABLE_POWER)) - 1)
 
 
 def sliding_mapidx(codes: np.ndarray, seed: Seed) -> np.ndarray:

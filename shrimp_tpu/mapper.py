@@ -340,7 +340,16 @@ class Mapper:
         glen = wl_a.astype(np.int32)
         rlens = np.array([e.read_len for e in entries], np.int32)
         rlen = rlens[ri_a]
-        if self.config.mode == C.MODE_LETTER_SPACE:
+        if self._unpaired_opts[0].pass1.gapless:
+            ax_a = np.concatenate(
+                [hl2[st].ax for hl2 in hls for st in (0, 1)
+                 if hl2[st].n]) if n else np.zeros(0, np.int64)
+            ay_a = np.concatenate(
+                [hl2[st].ay for hl2 in hls for st in (0, 1)
+                 if hl2[st].n]) if n else np.zeros(0, np.int64)
+            scores = self._gapless_scores(entries, ri_a, st_a, goff_a,
+                                          ax_a, ay_a, rlens)
+        elif self.config.mode == C.MODE_LETTER_SPACE:
             # LS pass1 scores the forward-strand window against the
             # strand-st read (mapping.c:1323-1328)
             gwin = _gather_rows(idx.codes, goff_a, G)
@@ -385,6 +394,92 @@ class Mapper:
                     out[ri][st] = scores[pos:pos + c]
                     pos += c
         return out
+
+    def _gapless_scores(self, entries, ri_a, st_a, goff_abs, ax_a, ay_a,
+                        rlens) -> np.ndarray:
+        """Gapless (Kadane) scoring along each hit's anchor diagonal
+        (sw_gapless, common/sw-gapless.c:57-117), vectorized in numpy.
+
+        Ungapped mode is the miRNA path; the per-hit work is a single
+        read-length diagonal, so the host handles it directly.
+        """
+        cfg = self.config
+        idx = self.index
+        sc = cfg.scores
+        n = len(ri_a)
+        if n == 0:
+            return np.zeros(0, np.int64)
+        cs = cfg.mode == C.MODE_COLOUR_SPACE
+        inp = np.array([e.input_strand for e in entries], np.int64)
+        cn_a = idx.contig_of(goff_abs)
+        coff = idx.contig_offsets[cn_a].astype(np.int64)
+        clen = idx.contig_lengths[cn_a].astype(np.int64)
+        g_off_local = goff_abs - coff
+        if cs:
+            # CS normalizes strand first (mapping.c:1297-1319)
+            eff_rc = st_a != inp[ri_a]
+            # reverse_hit also flips g_off and the anchor
+            wl = np.array([entries[ri].window_len for ri in ri_a], np.int64)
+            rl = rlens[ri_a].astype(np.int64)
+            g_loc = np.where(eff_rc, clen - g_off_local - wl, g_off_local)
+            # gapless hits are unjoined (hit_list gapless skips pairing),
+            # so the anchor is a width-1 rectangle and reverses simply
+            ax = np.where(eff_rc, -ax_a + (wl - 1), ax_a)
+            ay = np.where(eff_rc, -ay_a + (rl - 1), ay_a)
+        else:
+            g_loc = g_off_local
+            ax, ay = ax_a, ay_a
+            eff_rc = np.zeros(n, bool)
+        g_idx = g_loc + ax          # contig-local anchor genome pos
+        r_idx = ay
+        rl = rlens[ri_a].astype(np.int64)
+
+        gl0 = np.where(g_idx < r_idx, 0, g_idx - r_idx)
+        rl0 = np.where(g_idx < r_idx, r_idx - g_idx, 0)
+        L = int(rl.max())
+        t = np.arange(L, dtype=np.int64)[None, :]
+        gpos = gl0[:, None] + t
+        rpos = rl0[:, None] + t
+        valid = (gpos < clen[:, None]) & (rpos < rl[:, None])
+
+        if cs:
+            src = np.where(eff_rc[:, None],
+                           idx.cs_codes_rc[np.clip(coff[:, None] + gpos, 0,
+                                                   idx.total_len - 1)],
+                           idx.cs_codes[np.clip(coff[:, None] + gpos, 0,
+                                                idx.total_len - 1)])
+        else:
+            src = idx.codes[np.clip(coff[:, None] + gpos, 0,
+                                    idx.total_len - 1)]
+        rtab = np.full((len(entries) * 2, L), 254, np.uint8)
+        for ri, e in enumerate(entries):
+            cseq = e.codes[e.input_strand] if cs else None
+            rtab[2 * ri, :e.read_len] = cseq if cs else e.codes[0]
+            rtab[2 * ri + 1, :e.read_len] = cseq if cs else e.codes[1]
+        rchars = rtab[2 * ri_a] if cs else rtab[2 * ri_a + st_a]
+        rdiag = np.take_along_axis(rchars, np.clip(rpos, 0, L - 1), axis=1)
+
+        s = np.where(src == rdiag, sc.match, sc.mismatch).astype(np.int64)
+        if cs:
+            # forced first-colour match (sw-gapless.c:83-92)
+            first = rl0 == 0
+            g0 = np.where(
+                eff_rc,
+                idx.codes_rc[np.clip(coff + gl0, 0, idx.total_len - 1)],
+                idx.codes[np.clip(coff + gl0, 0, idx.total_len - 1)])
+            initbp = np.array([entries[ri].initbp[0] for ri in ri_a])
+            col0 = C.COLOUR_MAT[g0, initbp]
+            match0 = col0 == rdiag[:, 0]
+            s[:, 0] = np.where(first, np.where(match0, sc.match, 0),
+                               s[:, 0])
+        s = np.where(valid, s, 0)
+        # Kadane: running = max(0, running + s); vectorized via prefix sums
+        prefix = np.cumsum(s, axis=1)
+        zero = np.zeros((n, 1), np.int64)
+        pref0 = np.concatenate([zero, prefix], axis=1)
+        cummin = np.minimum.accumulate(pref0[:, :-1], axis=1)
+        running_best = np.where(valid, prefix - cummin, 0)
+        return np.maximum(running_best.max(axis=1), 0)
 
     def _vec_chunked(self, gwin, glen, rwin, rlen, g_row0=None) -> np.ndarray:
         """Run sw_vector_batch in fixed-size [VEC_BATCH] launches; all
@@ -522,22 +617,49 @@ class Mapper:
             return
         sc = cfg.scores
         idx = self.index
-        jobs: List[Tuple[int, Hit]] = []
+        cand: List[Tuple[int, Hit, int]] = []
         for ri, hits in enumerate(pass1_hits):
             thr_spec = (thresholds[ri] if thresholds is not None
                         else cfg.sw_full_threshold)
             for h in hits:
                 e = entries[ri]
                 self._normalize_hit(e, h)
-                thresh = int(abs_or_pct(thr_spec, h.score_max))
-                # LS vector-score gate (mapping.c:386-398); our pass1 score
-                # is exact so reuse it
-                if h.score_vector >= thresh:
-                    jobs.append((ri, h))
-                else:
-                    h.sw_score = 0
-                    h.score_full = 0
-                    h.pct_score_full = 0
+                cand.append((ri, h, int(abs_or_pct(thr_spec, h.score_max))))
+        if cfg.gapless and cand:
+            # hit_run_full_sw always rescores LS hits with the full vector
+            # SW (mapping.c:386); in gapless mode the pass1 scores were
+            # Kadane scores, so the gate needs real vector scores
+            cstarts = np.array([int(idx.contig_offsets[h.cn]) + h.g_off
+                                for _, h, _ in cand], np.int64)
+            c_rc = np.array([h.gen_st == 1 for _, h, _ in cand], bool)
+            Gr = _round_up(max(h.w_len for _, h, _ in cand), 32)
+            Rr = _round_up(max(entries[ri].read_len
+                               for ri, _, _ in cand), 8)
+            gwin_r = np.where(c_rc[:, None],
+                              _gather_rows(idx.codes_rc, cstarts, Gr),
+                              _gather_rows(idx.codes, cstarts, Gr))
+            glen_r = np.array([h.w_len for _, h, _ in cand], np.int32)
+            rwin_r = np.full((len(cand), Rr), 254, np.uint8)
+            rlen_r = np.zeros(len(cand), np.int32)
+            for b, (ri, h, _) in enumerate(cand):
+                e = entries[ri]
+                rwin_r[b, :e.read_len] = e.codes[e.input_strand]
+                rlen_r[b] = e.read_len
+            vsc = self._vec_chunked(gwin_r, glen_r, rwin_r, rlen_r)
+            for b, (_, h, _) in enumerate(cand):
+                h.score_vector = int(vsc[b])
+        jobs: List[Tuple[int, Hit]] = []
+        job_thresh: List[int] = []
+        for ri, h, thresh in cand:
+            # LS vector-score gate (mapping.c:386-398); in the gapped
+            # default our exact pass1 score equals the rescore
+            if h.score_vector >= thresh:
+                jobs.append((ri, h))
+                job_thresh.append(thresh)
+            else:
+                h.sw_score = 0
+                h.score_full = 0
+                h.pct_score_full = 0
         if not jobs:
             return
         import time as _time
@@ -572,6 +694,7 @@ class Mapper:
                        local_alignment=not cfg.global_alignment)
         # fixed-size async launches (see VEC_BATCH comment)
         futures = []
+        retries: List[int] = []
         for off in range(0, n, FULL_BATCH):
             end = min(off + FULL_BATCH, n)
             k = end - off
@@ -605,10 +728,62 @@ class Mapper:
             for b in range(k):
                 ri, h = jobs[off + b]
                 self._fill_hit(h, int(score[b]), tb, b)
+                if (not cfg.global_alignment
+                        and int(score[b]) != h.score_vector):
+                    retries.append(off + b)
+        if retries:
+            self._pass2_local_retry(entries, jobs, job_thresh, retries)
         self.stats.full_invocs += n
         self.stats.full_cells += sum(
             h.w_len * entries[ri].read_len for ri, h in jobs)
         self.stats.full_secs += _time.perf_counter() - _t0
+
+    def _pass2_local_retry(self, entries, jobs, job_thresh, retries
+                           ) -> None:
+        """Local-mode banded miss: when the banded local DP does not reach
+        the vector-SW max, the reference retries with the threshold-derived
+        band (sw-full-ls.c:395-398). Rare, so handled one batch at a time.
+        """
+        cfg = self.config
+        sc = cfg.scores
+        idx = self.index
+        from .core.sw_np import _join2_rect
+        n = len(retries)
+        G = _round_up(max(jobs[i][1].w_len for i in retries), 32)
+        R = _round_up(max(entries[jobs[i][0]].read_len for i in retries), 8)
+        gwin = np.zeros((n, G), np.uint8)
+        glen = np.ones(n, np.int32)
+        rwin = np.full((n, R), 254, np.uint8)
+        rlen = np.ones(n, np.int32)
+        rect = np.zeros((n, 4), np.int32)
+        rev = np.zeros(n, bool)
+        for b, ji in enumerate(retries):
+            ri, h = jobs[ji]
+            e = entries[ri]
+            coff = int(idx.contig_offsets[h.cn])
+            src = idx.codes if h.gen_st == 0 else idx.codes_rc
+            gwin[b, :h.w_len] = src[coff + h.g_off:coff + h.g_off + h.w_len]
+            glen[b] = h.w_len
+            rwin[b, :e.read_len] = e.codes[e.input_strand]
+            rlen[b] = e.read_len
+            y0 = (e.read_len * sc.match - job_thresh[ji]) // sc.match
+            rect[b] = _join2_rect((0, y0, 1, 1),
+                                  (h.w_len - 1, e.read_len - 1 - y0, 1, 1))
+            rev[b] = bool(h.gen_st) and cfg.rev_tiebreak
+        res = sw_full_and_traceback(
+            gwin, glen, rwin, rlen, rect[:, 0], rect[:, 1], rect[:, 2],
+            rect[:, 3], rev, match=sc.match, mismatch=sc.mismatch,
+            a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
+            b_gap_open=sc.b_gap_open, b_gap_ext=sc.b_gap_extend,
+            local_alignment=True)
+        packed, ops_rev = res
+        p = np.asarray(packed)[:n]
+        ops_rev = np.asarray(ops_rev)[:n]
+        tb = tb_from_device(ops_rev, p[:, 3], p[:, 4], p[:, 5], p[:, 1],
+                            p[:, 2], p[:, 6], p[:, 7], p[:, 8], p[:, 9])
+        for b, ji in enumerate(retries):
+            ri, h = jobs[ji]
+            self._fill_hit(h, int(p[b, 0]), tb, b)
 
     def _normalize_hit(self, e: ReadEntry, h: Hit) -> None:
         """Strand normalization (reverse_hit, mapping.c:254-263)."""
