@@ -191,30 +191,62 @@ def generate_candidates(index: GenomeIndex, codes: np.ndarray,
     max_idx = np.arange(n, dtype=np.int64)
 
     if not gapless and n:
+        # enumerate every (anchor i, upstream anchor j) pair inside the
+        # window as flat arrays and take a segmented max; the scan order
+        # tie-break (largest j wins, self beats pairs) is encoded in the
+        # combined (score, j) sort key. Pair counts can explode in repeat
+        # pileups, so work proceeds in bounded slices.
         BIG = np.int64(1) << 40
         xkey = owner * BIG + x
         lo = np.searchsorted(xkey, owner * BIG + coff + gstart, side="left")
         i_all = np.arange(n, dtype=np.int64)
-        dmax = int((i_all - lo).max()) if n else 0
-        active = i_all[i_all - lo >= 1]
-        d = 1
-        while len(active) and d <= dmax:
-            i = active
-            j = i - d
-            valid = (j >= lo[i]) & (y[j] < y[i])
-            dx = x[i] - x[j]
-            dy = y[i] - y[j]
-            deletion = dx > dy
-            short_len = np.where(deletion, dy, dx) + alen[i]
-            long_len = np.where(deletion, dx, dy) + alen[i]
-            gap = long_len > short_len
-            tmp = short_len * match_score + np.where(
-                gap, b_gap_open + (long_len - short_len) * b_gap_extend, 0)
-            better = valid & (tmp > max_score[i])
-            max_score[i] = np.where(better, tmp, max_score[i])
-            max_idx[i] = np.where(better, j, max_idx[i])
-            d += 1
-            active = active[active - lo[active] >= d]
+        cnt = i_all - lo
+        KOFF = np.int64(1) << 24          # score offset to keep keys >= 0
+        JBITS = np.int64(1) << 28
+        base_key = (max_score + KOFF) * JBITS + i_all
+        MAX_PAIRS = 20_000_000
+        start = 0
+        while start < n:
+            end = start
+            tot = 0
+            while end < n and tot + cnt[end] <= MAX_PAIRS:
+                tot += cnt[end]
+                end += 1
+            if end == start:
+                end = start + 1
+                tot = int(cnt[start])
+            if tot > 0:
+                seg_cnt = cnt[start:end]
+                seg_i = np.repeat(np.arange(start, end), seg_cnt)
+                offs = np.zeros(end - start, np.int64)
+                np.cumsum(seg_cnt[:-1], out=offs[1:])
+                within = np.arange(len(seg_i), dtype=np.int64) - \
+                    np.repeat(offs, seg_cnt)
+                seg_j = seg_i - 1 - within          # j descending from i-1
+                valid = y[seg_j] < y[seg_i]
+                dx = x[seg_i] - x[seg_j]
+                dy = y[seg_i] - y[seg_j]
+                deletion = dx > dy
+                short_len = np.where(deletion, dy, dx) + alen[seg_i]
+                long_len = np.where(deletion, dx, dy) + alen[seg_i]
+                gap = long_len > short_len
+                tmp = short_len * match_score + np.where(
+                    gap, b_gap_open + (long_len - short_len) * b_gap_extend,
+                    0)
+                key = np.where(valid, (tmp + KOFF) * JBITS + seg_j,
+                               np.int64(-1))
+                starts_r = offs
+                nonempty = seg_cnt > 0
+                red = np.full(end - start, -1, np.int64)
+                if nonempty.any():
+                    red_ne = np.maximum.reduceat(key, starts_r[nonempty])
+                    red[nonempty] = red_ne
+                better = red > base_key[start:end]
+                sl = slice(start, end)
+                max_score[sl] = np.where(better, red // JBITS - KOFF,
+                                         max_score[sl])
+                max_idx[sl] = np.where(better, red % JBITS, max_idx[sl])
+            start = end
 
     cap = np.minimum(read_len, w_len) * match_score
     if gapless or match_mode == 1:

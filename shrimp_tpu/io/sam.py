@@ -19,6 +19,16 @@ from ..mapper import Hit, ReadEntry, double_to_neglog
 _COMP = {"A": "T", "T": "A", "C": "G", "G": "C", "N": "N",
          "a": "t", "t": "a", "c": "g", "g": "c", "n": "n", "-": "-"}
 
+# str.translate tables (C-speed per-character maps)
+_CLEAN_TBL = {}
+for _c in map(chr, range(256)):
+    _u = _c.upper()
+    _CLEAN_TBL[ord(_c)] = "N" if _u in "RYSWKMBDHV" else _u
+_CLEAN_TBL = str.maketrans(_CLEAN_TBL)
+_COMP_TBL = str.maketrans(
+    {ord(k): v for k, v in _COMP.items()} | {
+        ord(c): "N" for c in "RYSWKMBDHVryswkmbdhv"})
+
 
 def sam_header(index: GenomeIndex, command_line: str,
                cfg: Optional[MapperConfig] = None,
@@ -36,17 +46,11 @@ def sam_header(index: GenomeIndex, command_line: str,
 
 def _clean_seq(seq: str) -> str:
     """output.c:326-352: uppercase, wobble codes -> N."""
-    out = []
-    for ch in seq:
-        c = ch.upper()
-        if c in "RYSWKMBDHV":
-            c = "N"
-        out.append(c)
-    return "".join(out)
+    return seq.translate(_CLEAN_TBL)
 
 
 def _revcomp_str(s: str) -> str:
-    return "".join(_COMP.get(c, "N") for c in reversed(s))
+    return s[::-1].translate(_COMP_TBL)
 
 
 def cigar_ops(h: Hit, read_len: int) -> List[Tuple[int, str]]:

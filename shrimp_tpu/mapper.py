@@ -601,6 +601,67 @@ class Mapper:
         self._pass1_walk(re, hits2, scores2, opts)
         return self._get_vector_hits(hits2, opts)
 
+    def _pass1_select_fast(self, re: ReadEntry,
+                           hl2: List[candidates.HitList],
+                           scores2: List[np.ndarray]) -> List[Hit]:
+        """Array-level pass1 for the single-option-set unpaired flow:
+        identical selections to _pass1_select without materializing a Hit
+        object per candidate window.
+
+        Key observation: with fresh (unsaved) hits, the window-overlap
+        chain (mapping.c:1287-1335) only advances at hits whose computed
+        score passes the threshold, and only those hits can be selected —
+        so the greedy walk need only visit threshold-passing candidates.
+        """
+        opts = self._unpaired_opts[0].pass1
+        ov = int(abs_or_pct(opts.window_overlap, re.window_len))
+        absolute = is_absolute(opts.threshold)
+        heap = ExtHeap(opts.num_outputs)
+        n0 = hl2[0].n
+        for st in (0, 1):
+            hl = hl2[st]
+            if hl.n == 0:
+                continue
+            scores = scores2[st]
+            smax = hl.score_max.astype(np.int64)
+            # C truncates the threshold to int (abs_or_pct + (int) cast)
+            if absolute:
+                tvec = np.full(hl.n, int(-opts.threshold), np.int64)
+            else:
+                tvec = np.trunc(smax * (opts.threshold / 100.0)
+                                ).astype(np.int64)
+            passing = (scores >= tvec) & (hl.matches >= opts.min_matches)
+            idxs = np.nonzero(passing)[0]
+            last_cn = -1
+            last_goff = 0
+            for i in idxs:
+                i = int(i)
+                cn = int(hl.cn[i])
+                goff = int(hl.g_off[i])
+                if (last_cn >= 0 and cn == last_cn
+                        and goff + ov <= last_goff + re.window_len):
+                    continue  # suppressed
+                last_cn, last_goff = cn, goff
+                sv = int(scores[i])
+                pct = (1000 * 100 * sv) // int(smax[i])
+                key = sv if absolute else pct
+                if heap.load >= opts.num_outputs and key <= heap.min_key:
+                    continue
+                h = Hit(st=st, gen_st=0, cn=cn, g_off=goff,
+                        g_off_pos_strand=goff, w_len=int(hl.w_len[i]),
+                        score_window_gen=int(hl.score_window_gen[i]),
+                        kmer_matches=int(hl.matches[i]),
+                        score_vector=sv, score_max=int(smax[i]),
+                        ax=int(hl.ax[i]), ay=int(hl.ay[i]),
+                        alen=int(hl.alen[i]), awid=int(hl.awid[i]),
+                        sort_idx=(i if st == 0 else n0 + i),
+                        pass1_key=key, pct_score_vector=pct)
+                if heap.load < opts.num_outputs:
+                    heap.insert(h)
+                else:
+                    heap.replace_min(h)
+        return list(heap.a)
+
     # ---------------------------------------------------------------- pass2
     def _pass2(self, entries: List[ReadEntry],
                pass1_hits: List[List[Hit]],
@@ -969,11 +1030,7 @@ class Mapper:
             codes = np.stack([
                 np.stack([entries[i].codes[0], entries[i].codes[1]])
                 for i in idxs])
-            fh = bp.generate_candidates(
-                self.index, codes, rl, entries[idxs[0]].window_len,
-                self.cutoff, opts.hit_list.match_mode,
-                opts.hit_list.threshold, cfg.scores.match,
-                cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
+            kw = dict(
                 min_kmer_pos=entries[idxs[0]].min_kmer_pos,
                 use_region_counts=opts.anchor_list.use_region_counts,
                 region_bits=cfg.region_bits,
@@ -981,6 +1038,18 @@ class Mapper:
                 collapse=opts.anchor_list.collapse,
                 gapless=opts.hit_list.gapless,
                 search_strands=(cfg.search_forward, cfg.search_reverse))
+            args = (self.index, codes, rl, entries[idxs[0]].window_len,
+                    self.cutoff, opts.hit_list.match_mode,
+                    opts.hit_list.threshold, cfg.scores.match,
+                    cfg.scores.b_gap_open, cfg.scores.b_gap_extend)
+            fh = None
+            try:
+                from .native.filter1_py import generate_candidates_native
+                fh = generate_candidates_native(*args, **kw)
+            except Exception:
+                fh = None
+            if fh is None:
+                fh = bp.generate_candidates(*args, **kw)
             for k, i in enumerate(idxs):
                 pair = []
                 for st in (0, 1):
@@ -1008,7 +1077,7 @@ class Mapper:
                 entries.append(re)
         hls = self.hit_lists_batched(entries)
         scores = self._score_windows(entries, hls)
-        pass1 = [self._pass1_select(re, hl2, sc2)
+        pass1 = [self._pass1_select_fast(re, hl2, sc2)
                  for re, hl2, sc2 in zip(entries, hls, scores)]
         self._pass2(entries, pass1)
         results = []

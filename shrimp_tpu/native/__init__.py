@@ -1,0 +1,65 @@
+"""Native host components, compiled on first use and cached.
+
+The C++ sources implement the host-side hot loops (filter 1 candidate
+generation); Python remains the orchestration layer and numpy the
+readable fallback. Build uses plain g++ into a per-user cache directory;
+interfaces are C ABI via ctypes (no pybind11 dependency).
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_FAILED = False
+
+_SRC_DIR = os.path.dirname(os.path.abspath(__file__))
+_CACHE_DIR = os.environ.get(
+    "SHRIMP_TPU_NATIVE_CACHE",
+    os.path.expanduser("~/.cache/shrimp_tpu_native"))
+
+
+def _build() -> Optional[str]:
+    src = os.path.join(_SRC_DIR, "filter1.cpp")
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    so = os.path.join(_CACHE_DIR, f"filter1_{digest}.so")
+    if os.path.exists(so):
+        return so
+    tmp = so + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-std=c++17", src, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        os.replace(tmp, so)
+        return so
+    except Exception as e:  # pragma: no cover
+        print(f"shrimp_tpu: native build failed ({e}); "
+              "falling back to numpy host path", file=sys.stderr)
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _FAILED
+    if _LIB is not None or _FAILED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _FAILED:
+            return _LIB
+        if os.environ.get("SHRIMP_TPU_NO_NATIVE"):
+            _FAILED = True
+            return None
+        so = _build()
+        if so is None:
+            _FAILED = True
+            return None
+        _LIB = ctypes.CDLL(so)
+        _LIB.filter1_batch.restype = ctypes.c_int64
+    return _LIB

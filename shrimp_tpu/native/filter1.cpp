@@ -1,0 +1,466 @@
+// Native host filter 1: spaced-kmer lookup -> region prefilter -> anchor
+// collapse -> candidate window generation, for a whole read batch.
+//
+// Semantically identical to core/batch_pipeline.py::generate_candidates
+// (itself element-equal to SHRiMP2's read_get_mapidxs /
+// read_get_region_counts / read_get_anchor_list / read_get_hit_list,
+// gmapper/mapping.c) — this is the production host path; the numpy
+// implementation remains as the readable reference and fallback.
+//
+// Built as a plain C extension (no pybind11 in this image); the Python
+// wrapper passes raw buffers via ctypes.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <algorithm>
+#include <unordered_map>
+
+extern "C" {
+
+struct SeedSpec {
+    int32_t span;
+    int32_t weight;
+    int32_t n_offsets;
+    const int32_t* offsets;       // included positions within the kmer
+    const int64_t* csr_offsets;   // [n_mapidx + 1]
+    const uint32_t* csr_positions;
+};
+
+struct Filter1Params {
+    int32_t n_seeds;
+    int32_t read_len;
+    int32_t window_len;
+    int64_t cutoff;
+    int32_t match_mode;
+    double threshold;            // percent unless negative (absolute)
+    int32_t match_score;
+    int32_t b_gap_open;
+    int32_t b_gap_extend;
+    int32_t min_kmer_pos;
+    int32_t use_region_counts;
+    int32_t region_bits;
+    int32_t region_overlap;
+    int32_t collapse;
+    int32_t gapless;
+    int32_t search_fw;
+    int32_t search_rv;
+    int32_t hashed;
+    int32_t max_seed_span;
+    int64_t genome_total_len;
+    int32_t n_contigs;
+    const uint32_t* contig_offsets;
+    const uint32_t* contig_lengths;
+};
+
+// output buffers, caller-allocated with capacity `cap`; return count or -1
+// if capacity exceeded (caller retries with a larger buffer)
+struct Filter1Out {
+    int64_t cap;
+    int64_t* owner;
+    int32_t* cn;
+    int64_t* g_off;
+    int32_t* w_len;
+    int64_t* score_window_gen;
+    int32_t* matches;
+    int64_t* score_max;
+    int64_t* ax;
+    int64_t* ay;
+    int64_t* alen;
+    int64_t* awid;
+};
+
+struct Anchor {
+    int64_t x;       // absolute genome position
+    int32_t y;
+    int32_t length;
+    int32_t weight;
+    int32_t cn;
+};
+
+static inline uint32_t mix_hash(uint32_t a) {
+    // gmapper.h:309-319
+    a = (a + 0x7ed55d16u) + (a << 12);
+    a = (a ^ 0xc761c23cu) ^ (a >> 19);
+    a = (a + 0x165667b1u) + (a << 5);
+    a = (a + 0xd3a2646cu) ^ (a << 9);
+    a = (a + 0xfd7046c5u) + (a << 3);
+    a = (a ^ 0xb55a4f09u) ^ (a >> 16);
+    return a;
+}
+
+static inline int contig_of(const Filter1Params* p, int64_t pos) {
+    // binary search over contig_offsets
+    int lo = 0, hi = p->n_contigs;
+    while (lo + 1 < hi) {
+        int mid = (lo + hi) / 2;
+        if ((int64_t)p->contig_offsets[mid] <= pos) lo = mid;
+        else hi = mid;
+    }
+    return lo;
+}
+
+// one (read, strand)'s worth of state, reused across calls
+struct Scratch {
+    std::vector<uint32_t> keys;              // per-seed kmer mapidx
+    std::vector<Anchor> anchors;
+    std::vector<Anchor> collapsed;
+    std::unordered_map<int64_t, int32_t> region_marks;
+    std::vector<int32_t> cache;              // diagonal cache
+    // heap for k-way merge
+    struct HeapElem { int64_t key; int32_t stream; int64_t idx; int64_t end;
+                      const uint32_t* list; int32_t y; int32_t span; };
+    std::vector<HeapElem> heap;
+};
+
+static void heap_sift_down(std::vector<Scratch::HeapElem>& h, size_t node) {
+    size_t n = h.size();
+    while (true) {
+        size_t l = 2 * node + 1, r = 2 * node + 2, m = node;
+        // tie-break on stream id to mirror the numpy lexsort((stream, x))
+        if (l < n && (h[l].key < h[m].key ||
+                      (h[l].key == h[m].key && h[l].stream < h[m].stream)))
+            m = l;
+        if (r < n && (h[r].key < h[m].key ||
+                      (h[r].key == h[m].key && h[r].stream < h[m].stream)))
+            m = r;
+        if (m == node) break;
+        std::swap(h[m], h[node]);
+        node = m;
+    }
+}
+
+static void heap_build(std::vector<Scratch::HeapElem>& h) {
+    for (int64_t i = (int64_t)h.size() / 2 - 1; i >= 0; i--)
+        heap_sift_down(h, (size_t)i);
+}
+
+int64_t filter1_batch(
+    const Filter1Params* p,
+    const SeedSpec* seeds,
+    const uint8_t* codes,        // [n_owners, read_len] row-major
+    int64_t n_owners,
+    Filter1Out* out,
+    int64_t* seg_start)          // [n_owners + 1]
+{
+    static thread_local Scratch sc;
+    int64_t out_n = 0;
+    const int L = p->read_len;
+    const int64_t region_mask = ((int64_t)1 << p->region_bits) - 1;
+
+    for (int64_t ow = 0; ow < n_owners; ow++) {
+        seg_start[ow] = out_n;
+        int st = (int)(ow & 1);
+        if ((st == 0 && !p->search_fw) || (st == 1 && !p->search_rv))
+            continue;
+        const uint8_t* rc = codes + ow * L;
+
+        // ---- region marks (read_get_region_counts, mapping.c:459-542)
+        sc.region_marks.clear();
+        if (p->use_region_counts) {
+            for (int sn = 0; sn < p->n_seeds; sn++) {
+                const SeedSpec& S = seeds[sn];
+                for (int i = p->min_kmer_pos; i + S.span <= L; i++) {
+                    uint32_t key;
+                    if (!p->hashed) {
+                        key = 0;
+                        for (int j = 0; j < S.n_offsets; j++)
+                            key |= (uint32_t)(rc[i + S.offsets[j]] & 3)
+                                   << (2 * j);
+                    } else {
+                        key = 0;
+                        int n_words = (p->max_seed_span + 7) / 8;
+                        for (int w = 0; w < n_words; w++) {
+                            uint32_t word = 0;
+                            for (int f = 0; f < 8; f++) {
+                                int j = 8 * w + f;
+                                if (j >= S.span) continue;
+                                // mask bit j <=> seed char span-1-j == '1'
+                                // offsets are the included positions
+                                // (ascending); test membership via weight
+                                // bitmap precomputed in offsets? fall back:
+                                // linear check
+                                int pos = S.span - 1 - j;
+                                bool inc = false;
+                                for (int q = 0; q < S.n_offsets; q++)
+                                    if (S.offsets[q] == pos) { inc = true;
+                                        break; }
+                                if (!inc) continue;
+                                word |= (uint32_t)rc[i + pos] << (4 * f);
+                            }
+                            key = mix_hash(word ^ key);
+                        }
+                        key &= (1u << 24) - 1;
+                    }
+                    int64_t lo = S.csr_offsets[key];
+                    int64_t hi = S.csr_offsets[key + 1];
+                    if (hi - lo > p->cutoff) continue;
+                    for (int64_t k = lo; k < hi; k++) {
+                        int64_t pos = (int64_t)S.csr_positions[k];
+                        int64_t r = pos >> p->region_bits;
+                        sc.region_marks[r]++;
+                        if ((pos & region_mask) < p->region_overlap && r > 0)
+                            sc.region_marks[r - 1]++;
+                    }
+                }
+            }
+        }
+
+        // ---- anchor stream via k-way heap merge (mapping.c:861-1006)
+        sc.heap.clear();
+        for (int sn = 0; sn < p->n_seeds; sn++) {
+            const SeedSpec& S = seeds[sn];
+            for (int i = p->min_kmer_pos; i + S.span <= L; i++) {
+                uint32_t key;
+                if (!p->hashed) {
+                    key = 0;
+                    for (int j = 0; j < S.n_offsets; j++)
+                        key |= (uint32_t)(rc[i + S.offsets[j]] & 3)
+                               << (2 * j);
+                } else {
+                    key = 0;
+                    int n_words = (p->max_seed_span + 7) / 8;
+                    for (int w = 0; w < n_words; w++) {
+                        uint32_t word = 0;
+                        for (int f = 0; f < 8; f++) {
+                            int j = 8 * w + f;
+                            if (j >= S.span) continue;
+                            int pos = S.span - 1 - j;
+                            bool inc = false;
+                            for (int q = 0; q < S.n_offsets; q++)
+                                if (S.offsets[q] == pos) { inc = true;
+                                    break; }
+                            if (!inc) continue;
+                            word |= (uint32_t)rc[i + pos] << (4 * f);
+                        }
+                        key = mix_hash(word ^ key);
+                    }
+                    key &= (1u << 24) - 1;
+                }
+                int64_t lo = S.csr_offsets[key];
+                int64_t hi = S.csr_offsets[key + 1];
+                if (lo >= hi || hi - lo > p->cutoff) continue;
+                Scratch::HeapElem e;
+                e.list = S.csr_positions;
+                e.idx = lo;
+                e.end = hi;
+                e.key = (int64_t)S.csr_positions[lo];
+                e.stream = sn * L + i;
+                e.y = i;
+                e.span = S.span;
+                sc.heap.push_back(e);
+            }
+        }
+        heap_build(sc.heap);
+
+        sc.collapsed.clear();
+        sc.cache.assign((size_t)L, -1);
+        while (!sc.heap.empty()) {
+            Scratch::HeapElem& top = sc.heap[0];
+            int64_t x = top.key;
+            int32_t y = top.y;
+            int32_t span = top.span;
+            // advance
+            top.idx++;
+            if (top.idx < top.end) {
+                top.key = (int64_t)top.list[top.idx];
+                heap_sift_down(sc.heap, 0);
+            } else {
+                sc.heap[0] = sc.heap.back();
+                sc.heap.pop_back();
+                if (!sc.heap.empty()) heap_sift_down(sc.heap, 0);
+            }
+
+            // region filter
+            if (p->use_region_counts) {
+                int64_t r = x >> p->region_bits;
+                bool ok = false;
+                auto it = sc.region_marks.find(r);
+                if (it != sc.region_marks.end() && it->second >= 2) ok = true;
+                if (!ok && (x & region_mask) < p->region_overlap && r > 0) {
+                    it = sc.region_marks.find(r - 1);
+                    if (it != sc.region_marks.end() && it->second >= 2)
+                        ok = true;
+                }
+                if (!ok) continue;
+            }
+
+            // collapse (anchor_uw_join via diagonal cache)
+            if (p->collapse) {
+                int64_t diag = x - y;
+                int32_t ck = (int32_t)((x + L - y) % L);
+                int32_t j = sc.cache[ck];
+                if (j >= 0) {
+                    Anchor& a = sc.collapsed[(size_t)j];
+                    if (a.x - a.y == diag
+                        && a.cn == contig_of(p, x)) {
+                        if (x + span > a.x + a.length)
+                            a.length = (int32_t)(x - a.x + span);
+                        a.weight += 1;
+                        continue;
+                    }
+                }
+                Anchor a;
+                a.x = x; a.y = y; a.length = span; a.weight = 1;
+                a.cn = contig_of(p, x);
+                sc.collapsed.push_back(a);
+                sc.cache[ck] = (int32_t)(sc.collapsed.size() - 1);
+            } else {
+                Anchor a;
+                a.x = x; a.y = y; a.length = span; a.weight = 1;
+                a.cn = contig_of(p, x);
+                sc.collapsed.push_back(a);
+            }
+        }
+
+        // ---- window generation (read_get_hit_list, mapping.c:1025-1229)
+        const std::vector<Anchor>& A = sc.collapsed;
+        int64_t n = (int64_t)A.size();
+        int64_t first_out = out_n;
+        for (int64_t i = 0; i < n; i++) {
+            const Anchor& ai = A[i];
+            int cn = ai.cn;
+            int64_t coff = (int64_t)p->contig_offsets[cn];
+            int64_t clen = (int64_t)p->contig_lengths[cn];
+            int64_t w_len = p->window_len;
+            if (w_len > clen) w_len = clen;
+            int64_t gend = (ai.x - coff) + L - 1 - ai.y;
+            if (gend > clen - 1) gend = clen - 1;
+            int64_t gstart = gend >= p->window_len ? gend - p->window_len
+                                                   : 0;
+            int64_t max_idx = i;
+            int64_t max_score = (int64_t)ai.length * p->match_score;
+            if (!p->gapless && p->match_mode == 2 && ai.weight == 1)
+                max_score = -1;
+            if (!p->gapless) {
+                for (int64_t j = i - 1;
+                     j >= 0 && A[j].x >= coff + gstart; j--) {
+                    if (A[j].y >= ai.y) continue;
+                    int64_t dx = ai.x - A[j].x;
+                    int64_t dy = ai.y - A[j].y;
+                    int64_t short_len, long_len;
+                    if (dx > dy) { short_len = dy + ai.length;
+                                   long_len = dx + ai.length; }
+                    else { short_len = dx + ai.length;
+                           long_len = dy + ai.length; }
+                    int64_t tmp = short_len * p->match_score;
+                    if (long_len > short_len)
+                        tmp += p->b_gap_open
+                             + (long_len - short_len) * p->b_gap_extend;
+                    if (tmp > max_score) { max_score = tmp; max_idx = j; }
+                }
+            }
+            int64_t cap = (L < w_len ? L : w_len) * p->match_score;
+            bool keep;
+            if (p->gapless || p->match_mode == 1) keep = true;
+            else {
+                double thr = p->threshold < 0
+                    ? -p->threshold
+                    : (double)cap * (p->threshold / 100.0);
+                keep = (double)max_score >= thr;
+            }
+            if (!keep) continue;
+
+            const Anchor& aj = A[(size_t)max_idx];
+            int64_t x_len = (ai.x - aj.x) + ai.length;
+            int64_t goff;
+            if ((p->window_len - x_len) / 2 < aj.x - coff)
+                goff = (aj.x - coff) - (p->window_len - x_len) / 2;
+            else goff = 0;
+            if (goff + w_len > clen) goff = clen - w_len;
+
+            int64_t rel_xi = ai.x - (coff + goff);
+            int64_t rel_xj = aj.x - (coff + goff);
+            int64_t jx, jy, jl, jw, jmatches;
+            if (max_idx == i) {
+                jx = rel_xi; jy = ai.y; jl = ai.length; jw = 1;
+                jmatches = ai.weight;
+            } else {
+                // anchor_join of two width-1 anchors (anchors.c:10-54)
+                int64_t nw0 = rel_xi + ai.y, sw0 = rel_xi - ai.y;
+                int64_t se0 = nw0 + 2 * ((int64_t)ai.length - 1);
+                int64_t nw1 = rel_xj + aj.y, sw1 = rel_xj - aj.y;
+                int64_t se1 = nw1 + 2 * ((int64_t)aj.length - 1);
+                int64_t nwm = nw0 < nw1 ? nw0 : nw1;
+                int64_t swm = sw0 < sw1 ? sw0 : sw1;
+                int64_t nem = sw0 > sw1 ? sw0 : sw1;
+                int64_t sem = se0 > se1 ? se0 : se1;
+                if (((nwm + swm) % 2 + 2) % 2 != 0) nwm--;
+                jx = (nwm + swm) / 2;
+                if ((nwm + swm) < 0 && (nwm + swm) % 2 != 0) jx--; // floor
+                jy = nwm - jx;
+                if (((nem - swm) % 2 + 2) % 2 != 0) nem++;
+                jw = (nem - swm) / 2 + 1;
+                if (((sem - nwm) % 2 + 2) % 2 != 0) sem++;
+                jl = (sem - nwm) / 2 + 1;
+                jmatches = (int64_t)ai.weight + aj.weight;
+            }
+            int64_t m = p->gapless || max_idx == i
+                ? ai.weight : (int64_t)ai.weight + aj.weight;
+
+            if (out_n >= out->cap) return -1;
+            out->owner[out_n] = ow;
+            out->cn[out_n] = cn;
+            out->g_off[out_n] = goff;
+            out->w_len[out_n] = (int32_t)w_len;
+            out->score_window_gen[out_n] = max_score;
+            out->matches[out_n] = (int32_t)m;
+            out->score_max[out_n] = cap;
+            out->ax[out_n] = jx;
+            out->ay[out_n] = jy;
+            out->alen[out_n] = jl;
+            out->awid[out_n] = jw;
+            out_n++;
+        }
+        // stable insertion sort by (cn, g_off) within this owner
+        for (int64_t i2 = first_out + 1; i2 < out_n; i2++) {
+            int64_t j2 = i2;
+            while (j2 > first_out
+                   && out->cn[j2 - 1] == out->cn[i2]
+                   && out->g_off[j2 - 1] > out->g_off[i2])
+                j2--;
+            if (j2 < i2) {
+                // rotate element i2 into place j2
+                int64_t t_owner = out->owner[i2];
+                int32_t t_cn = out->cn[i2];
+                int64_t t_goff = out->g_off[i2];
+                int32_t t_wlen = out->w_len[i2];
+                int64_t t_swg = out->score_window_gen[i2];
+                int32_t t_m = out->matches[i2];
+                int64_t t_cap = out->score_max[i2];
+                int64_t t_ax = out->ax[i2], t_ay = out->ay[i2];
+                int64_t t_al = out->alen[i2], t_aw = out->awid[i2];
+                for (int64_t k2 = i2 - 1; k2 >= j2; k2--) {
+                    out->owner[k2 + 1] = out->owner[k2];
+                    out->cn[k2 + 1] = out->cn[k2];
+                    out->g_off[k2 + 1] = out->g_off[k2];
+                    out->w_len[k2 + 1] = out->w_len[k2];
+                    out->score_window_gen[k2 + 1] =
+                        out->score_window_gen[k2];
+                    out->matches[k2 + 1] = out->matches[k2];
+                    out->score_max[k2 + 1] = out->score_max[k2];
+                    out->ax[k2 + 1] = out->ax[k2];
+                    out->ay[k2 + 1] = out->ay[k2];
+                    out->alen[k2 + 1] = out->alen[k2];
+                    out->awid[k2 + 1] = out->awid[k2];
+                }
+                out->owner[j2] = t_owner;
+                out->cn[j2] = t_cn;
+                out->g_off[j2] = t_goff;
+                out->w_len[j2] = t_wlen;
+                out->score_window_gen[j2] = t_swg;
+                out->matches[j2] = t_m;
+                out->score_max[j2] = t_cap;
+                out->ax[j2] = t_ax;
+                out->ay[j2] = t_ay;
+                out->alen[j2] = t_al;
+                out->awid[j2] = t_aw;
+            }
+        }
+    }
+    seg_start[n_owners] = out_n;
+    return out_n;
+}
+
+}  // extern "C"
