@@ -103,16 +103,45 @@ static inline int contig_of(const Filter1Params* p, int64_t pos) {
 
 // one (read, strand)'s worth of state, reused across calls
 struct Scratch {
-    std::vector<uint32_t> keys;              // per-seed kmer mapidx
-    std::vector<Anchor> anchors;
+    std::vector<uint32_t> keys;              // kmer mapidx per (seed, pos)
     std::vector<Anchor> collapsed;
-    std::unordered_map<int64_t, int32_t> region_marks;
+    // flat generation-tagged region map (region_map, gmapper.h:284-294):
+    // value = (generation << 2) | marks(saturating at 2)
+    std::vector<uint32_t> region_map;
+    uint32_t region_gen = 0;
     std::vector<int32_t> cache;              // diagonal cache
     // heap for k-way merge
     struct HeapElem { int64_t key; int32_t stream; int64_t idx; int64_t end;
                       const uint32_t* list; int32_t y; int32_t span; };
     std::vector<HeapElem> heap;
 };
+
+static inline uint32_t kmer_key(const Filter1Params* p, const SeedSpec& S,
+                                const uint8_t* rc, int i) {
+    if (!p->hashed) {
+        uint32_t key = 0;
+        for (int j = 0; j < S.n_offsets; j++)
+            key |= (uint32_t)(rc[i + S.offsets[j]] & 3) << (2 * j);
+        return key;
+    }
+    uint32_t key = 0;
+    int n_words = (p->max_seed_span + 7) / 8;
+    for (int w = 0; w < n_words; w++) {
+        uint32_t word = 0;
+        for (int f = 0; f < 8; f++) {
+            int j = 8 * w + f;
+            if (j >= S.span) continue;
+            int pos = S.span - 1 - j;
+            bool inc = false;
+            for (int q = 0; q < S.n_offsets; q++)
+                if (S.offsets[q] == pos) { inc = true; break; }
+            if (!inc) continue;
+            word |= (uint32_t)rc[i + pos] << (4 * f);
+        }
+        key = mix_hash(word ^ key);
+    }
+    return key & ((1u << 24) - 1);
+}
 
 static void heap_sift_down(std::vector<Scratch::HeapElem>& h, size_t node) {
     size_t n = h.size();
@@ -148,6 +177,15 @@ int64_t filter1_batch(
     int64_t out_n = 0;
     const int L = p->read_len;
     const int64_t region_mask = ((int64_t)1 << p->region_bits) - 1;
+    const int64_t n_regions = (p->genome_total_len >> p->region_bits) + 2;
+    if (p->use_region_counts
+        && (int64_t)sc.region_map.size() < n_regions) {
+        sc.region_map.assign((size_t)n_regions, 0u);
+        sc.region_gen = 0;
+    }
+    // per-owner kmer key cache: [seed][kmer index]
+    int max_kmers = L;
+    sc.keys.resize((size_t)p->n_seeds * max_kmers);
 
     for (int64_t ow = 0; ow < n_owners; ow++) {
         seg_start[ow] = out_n;
@@ -156,52 +194,42 @@ int64_t filter1_batch(
             continue;
         const uint8_t* rc = codes + ow * L;
 
+        // ---- kmer keys once per (seed, position)
+        for (int sn = 0; sn < p->n_seeds; sn++) {
+            const SeedSpec& S = seeds[sn];
+            for (int i = p->min_kmer_pos; i + S.span <= L; i++)
+                sc.keys[(size_t)sn * max_kmers + i] = kmer_key(p, S, rc, i);
+        }
+
         // ---- region marks (read_get_region_counts, mapping.c:459-542)
-        sc.region_marks.clear();
         if (p->use_region_counts) {
+            sc.region_gen++;
+            if (sc.region_gen >= (1u << 29)) {   // wrap: clear and restart
+                std::fill(sc.region_map.begin(), sc.region_map.end(), 0u);
+                sc.region_gen = 1;
+            }
+            const uint32_t gen_tag = sc.region_gen << 2;
             for (int sn = 0; sn < p->n_seeds; sn++) {
                 const SeedSpec& S = seeds[sn];
                 for (int i = p->min_kmer_pos; i + S.span <= L; i++) {
-                    uint32_t key;
-                    if (!p->hashed) {
-                        key = 0;
-                        for (int j = 0; j < S.n_offsets; j++)
-                            key |= (uint32_t)(rc[i + S.offsets[j]] & 3)
-                                   << (2 * j);
-                    } else {
-                        key = 0;
-                        int n_words = (p->max_seed_span + 7) / 8;
-                        for (int w = 0; w < n_words; w++) {
-                            uint32_t word = 0;
-                            for (int f = 0; f < 8; f++) {
-                                int j = 8 * w + f;
-                                if (j >= S.span) continue;
-                                // mask bit j <=> seed char span-1-j == '1'
-                                // offsets are the included positions
-                                // (ascending); test membership via weight
-                                // bitmap precomputed in offsets? fall back:
-                                // linear check
-                                int pos = S.span - 1 - j;
-                                bool inc = false;
-                                for (int q = 0; q < S.n_offsets; q++)
-                                    if (S.offsets[q] == pos) { inc = true;
-                                        break; }
-                                if (!inc) continue;
-                                word |= (uint32_t)rc[i + pos] << (4 * f);
-                            }
-                            key = mix_hash(word ^ key);
-                        }
-                        key &= (1u << 24) - 1;
-                    }
+                    uint32_t key = sc.keys[(size_t)sn * max_kmers + i];
                     int64_t lo = S.csr_offsets[key];
                     int64_t hi = S.csr_offsets[key + 1];
                     if (hi - lo > p->cutoff) continue;
                     for (int64_t k = lo; k < hi; k++) {
                         int64_t pos = (int64_t)S.csr_positions[k];
                         int64_t r = pos >> p->region_bits;
-                        sc.region_marks[r]++;
-                        if ((pos & region_mask) < p->region_overlap && r > 0)
-                            sc.region_marks[r - 1]++;
+                        uint32_t v = sc.region_map[(size_t)r];
+                        uint32_t m = ((v >> 2) == sc.region_gen)
+                            ? ((v & 3) < 2 ? (v & 3) + 1 : 2) : 1;
+                        sc.region_map[(size_t)r] = gen_tag | m;
+                        if ((pos & region_mask) < p->region_overlap
+                            && r > 0) {
+                            uint32_t v2 = sc.region_map[(size_t)(r - 1)];
+                            uint32_t m2 = ((v2 >> 2) == sc.region_gen)
+                                ? ((v2 & 3) < 2 ? (v2 & 3) + 1 : 2) : 1;
+                            sc.region_map[(size_t)(r - 1)] = gen_tag | m2;
+                        }
                     }
                 }
             }
@@ -212,32 +240,7 @@ int64_t filter1_batch(
         for (int sn = 0; sn < p->n_seeds; sn++) {
             const SeedSpec& S = seeds[sn];
             for (int i = p->min_kmer_pos; i + S.span <= L; i++) {
-                uint32_t key;
-                if (!p->hashed) {
-                    key = 0;
-                    for (int j = 0; j < S.n_offsets; j++)
-                        key |= (uint32_t)(rc[i + S.offsets[j]] & 3)
-                               << (2 * j);
-                } else {
-                    key = 0;
-                    int n_words = (p->max_seed_span + 7) / 8;
-                    for (int w = 0; w < n_words; w++) {
-                        uint32_t word = 0;
-                        for (int f = 0; f < 8; f++) {
-                            int j = 8 * w + f;
-                            if (j >= S.span) continue;
-                            int pos = S.span - 1 - j;
-                            bool inc = false;
-                            for (int q = 0; q < S.n_offsets; q++)
-                                if (S.offsets[q] == pos) { inc = true;
-                                    break; }
-                            if (!inc) continue;
-                            word |= (uint32_t)rc[i + pos] << (4 * f);
-                        }
-                        key = mix_hash(word ^ key);
-                    }
-                    key &= (1u << 24) - 1;
-                }
+                uint32_t key = sc.keys[(size_t)sn * max_kmers + i];
                 int64_t lo = S.csr_offsets[key];
                 int64_t hi = S.csr_offsets[key + 1];
                 if (lo >= hi || hi - lo > p->cutoff) continue;
@@ -256,6 +259,7 @@ int64_t filter1_batch(
 
         sc.collapsed.clear();
         sc.cache.assign((size_t)L, -1);
+        const uint32_t want_gen = sc.region_gen;
         while (!sc.heap.empty()) {
             Scratch::HeapElem& top = sc.heap[0];
             int64_t x = top.key;
@@ -275,13 +279,11 @@ int64_t filter1_batch(
             // region filter
             if (p->use_region_counts) {
                 int64_t r = x >> p->region_bits;
-                bool ok = false;
-                auto it = sc.region_marks.find(r);
-                if (it != sc.region_marks.end() && it->second >= 2) ok = true;
+                uint32_t v = sc.region_map[(size_t)r];
+                bool ok = (v >> 2) == want_gen && (v & 3) >= 2;
                 if (!ok && (x & region_mask) < p->region_overlap && r > 0) {
-                    it = sc.region_marks.find(r - 1);
-                    if (it != sc.region_marks.end() && it->second >= 2)
-                        ok = true;
+                    uint32_t v2 = sc.region_map[(size_t)(r - 1)];
+                    ok = (v2 >> 2) == want_gen && (v2 & 3) >= 2;
                 }
                 if (!ok) continue;
             }
