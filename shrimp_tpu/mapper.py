@@ -47,7 +47,7 @@ def _pow2_bucket(n: int, lo: int = 256) -> int:
 # round-trip latency; all chunks are dispatched before any result is
 # fetched so execution overlaps the host work.
 VEC_BATCH = 16384
-FULL_BATCH = 2048
+FULL_BATCH = 8192
 
 
 def _gather_rows(src: np.ndarray, starts: np.ndarray, width: int
