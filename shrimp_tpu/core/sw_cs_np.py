@@ -374,17 +374,15 @@ class PostSWResult:
     qual: str
 
 
-def post_sw(colours: np.ndarray, initbp: int, qual: Optional[str],
-            read_start: int, dbalign: str, qralign: str,
-            pr_snp: float, pr_xover: float,
-            pr_del_open: float, pr_del_extend: float,
-            pr_ins_open: float, pr_ins_extend: float,
-            qual_delta: int = 33, use_sanger_qvs: bool = True,
-            qual_vector_offset: int = 0) -> PostSWResult:
-    """16-state forward-backward over the alignment columns
-    (common/sw-post.c:469-758)."""
+def extract_columns(colours: np.ndarray, initbp: int, qual: Optional[str],
+                    read_start: int, dbalign: str, qralign: str,
+                    pr_xover: float, qual_delta: int = 33,
+                    use_sanger_qvs: bool = True,
+                    qual_vector_offset: int = 0):
+    """load_local_vectors (sw-post.c:472-551): per-column letter/colour
+    emissions and error rates. Returns (cols_let (-1=none), cols_col,
+    cols_colerr, base_call) lists."""
     use_read_qvs = qual is not None
-    # --- load_local_vectors (sw-post.c:472-551)
     start_run = 0
     min_qv = 10000
     for j in range(read_start):
@@ -397,8 +395,7 @@ def post_sw(colours: np.ndarray, initbp: int, qual: Optional[str],
         if use_read_qvs:
             min_qv = min(min_qv, ord(qual[qual_vector_offset + j]))
 
-    cols_let: List[Optional[int]] = []
-    cols_leterr: List[float] = []
+    cols_let: List[int] = []
     cols_col: List[int] = []
     cols_colerr: List[float] = []
     base_call: List[int] = []
@@ -409,7 +406,7 @@ def post_sw(colours: np.ndarray, initbp: int, qual: Optional[str],
         if dbalign[i] != "-":
             cols_let.append(int(C.CHAR_TO_INT[ord(dbalign[i].upper())]))
         else:
-            cols_let.append(None)
+            cols_let.append(-1)
         col = int(colours[jj])
         ln = len(cols_col)
         if (ln == 0 and start_run == C.BASE_N) or col == C.BASE_N:
@@ -429,67 +426,17 @@ def post_sw(colours: np.ndarray, initbp: int, qual: Optional[str],
                 cols_colerr.append(pr_xover)
         base_call.append(int(C.CHAR_TO_INT[ord(qralign[i].upper())]))
         jj += 1
+    return cols_let, cols_col, cols_colerr, base_call
+
+
+def post_sw_finish(initbp: int, dbalign: str, qralign: str,
+                   cols_col, base_call, total: float, post: np.ndarray,
+                   pr_del_open: float, pr_del_extend: float,
+                   pr_ins_open: float, pr_ins_extend: float
+                   ) -> "PostSWResult":
+    """fix_base_calls + get_base_qualities + get_posterior
+    (sw-post.c:554-633) given forward-backward results."""
     L = len(cols_col)
-
-    def node_prior(i: int, j: int) -> float:
-        val = 0.0
-        right = j & 3
-        left = (j >> 2) & 3
-        if cols_let[i] is not None:
-            if right == cols_let[i]:
-                val -= math.log(1 - pr_snp)
-            else:
-                val -= math.log(pr_snp / 3.0)
-        if (left ^ right) == cols_col[i]:
-            val -= math.log(1 - cols_colerr[i])
-        else:
-            val -= math.log(cols_colerr[i] / 3.0)
-        return val
-
-    HUGE = float("inf")
-    fw = np.zeros((L, 16))
-    fscale = np.zeros(L)
-    for j in range(16):
-        fw[0, j] = (node_prior(0, j) if ((j >> 2) & 3) == initbp else HUGE)
-    fscale[0] = fw[0].min()
-    fw[0] -= fscale[0]
-    for i in range(1, L):
-        pri = np.array([node_prior(i, j) for j in range(16)])
-        acc = np.zeros(16)
-        for j in range(16):
-            s = 0.0
-            for kk in range(16):
-                if ((j >> 2) & 3) == (kk & 3):
-                    s += math.exp(-fw[i - 1, kk])
-            acc[j] = pri[j] - math.log(s)
-        fscale[i] = acc.min()
-        fw[i] = acc - fscale[i]
-        fscale[i] += fscale[i - 1]
-    total = -math.log(np.exp(-fw[L - 1]).sum()) + fscale[L - 1]
-
-    bw = np.zeros((L, 16))
-    bscale = np.zeros(L)
-    bw[L - 1] = 0.0
-    bscale[L - 1] = 0.0
-    for i in range(L - 2, -1, -1):
-        pri = np.array([node_prior(i + 1, kk) for kk in range(16)])
-        acc = np.zeros(16)
-        for j in range(16):
-            s = 0.0
-            for kk in range(16):
-                if (j & 3) == ((kk >> 2) & 3):
-                    s += math.exp(-(pri[kk] + bw[i + 1, kk]))
-            acc[j] = -math.log(s)
-        bscale[i] = acc.min()
-        bw[i] = acc - bscale[i]
-        bscale[i] += bscale[i + 1]
-
-    # posteriors + max-posterior base calls (post_traceback, sw-post.c:182)
-    post = np.zeros((L, 4))
-    for i in range(L):
-        for j in range(16):
-            post[i, j & 3] += math.exp(-(fw[i, j] + bw[i, j] + fscale[i]
-                                         + bscale[i] - total))
     maxpost = np.zeros(L, int)
     for i in range(L):
         mv = 0
@@ -498,7 +445,6 @@ def post_sw(colours: np.ndarray, initbp: int, qual: Optional[str],
                 mv = j
         maxpost[i] = mv
 
-    # fix_base_calls (sw-post.c:554-588)
     out = list(qralign)
     matches = mismatches = crossovers = 0
     prev = initbp
@@ -521,8 +467,6 @@ def post_sw(colours: np.ndarray, initbp: int, qual: Optional[str],
         prev = crt
         j += 1
 
-    # base qualities (get_base_qualities, sw-post.c:591-608): uses the
-    # ORIGINAL SW base call's posterior
     quals = []
     for kq in range(L):
         bc = base_call[kq]
@@ -539,7 +483,6 @@ def post_sw(colours: np.ndarray, initbp: int, qual: Optional[str],
             tmp = 0
         quals.append(chr(33 + min(tmp, 40)))
 
-    # get_posterior (sw-post.c:611-633)
     res = math.exp(-total)
     for i in range(len(dbalign)):
         if dbalign[i] == "-":
@@ -553,3 +496,28 @@ def post_sw(colours: np.ndarray, initbp: int, qual: Optional[str],
     return PostSWResult(posterior=res, qralign="".join(out),
                         matches=matches, mismatches=mismatches,
                         crossovers=crossovers, qual="".join(quals))
+
+
+def post_sw(colours: np.ndarray, initbp: int, qual: Optional[str],
+            read_start: int, dbalign: str, qralign: str,
+            pr_snp: float, pr_xover: float,
+            pr_del_open: float, pr_del_extend: float,
+            pr_ins_open: float, pr_ins_extend: float,
+            qual_delta: int = 33, use_sanger_qvs: bool = True,
+            qual_vector_offset: int = 0) -> PostSWResult:
+    """16-state forward-backward over the alignment columns
+    (common/sw-post.c:469-758)."""
+    cols_let, cols_col, cols_colerr, base_call = extract_columns(
+        colours, initbp, qual, read_start, dbalign, qralign, pr_xover,
+        qual_delta, use_sanger_qvs, qual_vector_offset)
+    cols_let_a = np.array([cols_let], np.int64)
+    cols_col_a = np.array([cols_col], np.int64)
+    cols_err_a = np.array([cols_colerr], np.float64)
+    from .sw_cs_batch import post_sw_forward_backward_batch
+    total, post = post_sw_forward_backward_batch(
+        cols_let_a, cols_col_a, cols_err_a,
+        np.array([len(cols_col)], np.int64), np.array([initbp], np.int64),
+        pr_snp)
+    return post_sw_finish(initbp, dbalign, qralign, cols_col, base_call,
+                          float(total[0]), post[0], pr_del_open,
+                          pr_del_extend, pr_ins_open, pr_ins_extend)

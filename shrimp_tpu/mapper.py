@@ -48,6 +48,7 @@ def _pow2_bucket(n: int, lo: int = 256) -> int:
 # fetched so execution overlaps the host work.
 VEC_BATCH = 16384
 FULL_BATCH = 8192
+CS_FULL_BATCH = 2048
 
 
 def _gather_rows(src: np.ndarray, starts: np.ndarray, width: int
@@ -55,6 +56,17 @@ def _gather_rows(src: np.ndarray, starts: np.ndarray, width: int
     """Vectorized gather of [len(starts), width] windows from a 1-D array."""
     idx = starts[:, None] + np.arange(width, dtype=np.int64)[None, :]
     return src[np.clip(idx, 0, len(src) - 1)]
+
+
+def _concat_cs_results(chunks):
+    """Concatenate padded per-chunk CSBatchResults, trimming chunk padding."""
+    from .core.sw_cs_batch import CSBatchResult
+    import dataclasses
+    fields = [f.name for f in dataclasses.fields(CSBatchResult)]
+    out = {}
+    for f in fields:
+        out[f] = np.concatenate([getattr(r, f)[:k] for k, r in chunks])
+    return CSBatchResult(**out)
 
 
 @dataclass
@@ -860,56 +872,163 @@ class Mapper:
     def _pass2_cs(self, entries: List[ReadEntry],
                   pass1_hits: List[List[Hit]],
                   thresholds: Optional[List[float]] = None) -> None:
-        """Colour-space pass2: 4-layer full SW + post-SW rescoring
-        (hit_run_full_sw mapping.c:375-379, hit_run_post_sw :1609-1614).
-
-        Currently runs the exact scalar kernel per hit; the batched TPU
-        version follows the same oracle.
-        """
-        from .core import sw_cs_np
+        """Colour-space pass2: batched 4-layer full SW + post-SW rescoring
+        (hit_run_full_sw mapping.c:375-379, hit_run_post_sw :1609-1614)."""
+        from .core.sw_cs_batch import sw_full_cs_batch
         cfg = self.config
         sc = cfg.scores
         idx = self.index
+        jobs: List[Tuple[int, Hit]] = []
         for ri, hits in enumerate(pass1_hits):
+            e = entries[ri]
+            for h in hits:
+                self._normalize_hit(e, h)
+                jobs.append((ri, h))
+        if not jobs:
+            return
+        import time as _time
+        _t0 = _time.perf_counter()
+        n = len(jobs)
+        G = _round_up(max(max(h.w_len for _, h in jobs), 16), 32)
+        R = _round_up(max(entries[ri].read_len for ri, _ in jobs), 8)
+        gwin = np.zeros((n, G), np.uint8)
+        glen = np.ones(n, np.int32)
+        cwin = np.full((n, R), C.BASE_N, np.uint8)
+        rlen = np.ones(n, np.int32)
+        initbp = np.zeros(n, np.int64)
+        rect = np.zeros((n, 4), np.int64)
+        rev = np.zeros(n, bool)
+        xover_rows = np.full((n, R + 1), sc.crossover, np.int64)
+        thresh = np.zeros(n, np.int64)
+        aw = cfg.anchor_width
+        for b, (ri, h) in enumerate(jobs):
             e = entries[ri]
             thr_spec = (thresholds[ri] if thresholds is not None
                         else cfg.sw_full_threshold)
-            for h in hits:
-                self._normalize_hit(e, h)
-                thresh = int(abs_or_pct(thr_spec, h.score_max))
-                coff = int(idx.contig_offsets[h.cn])
-                src = idx.codes if h.gen_st == 0 else idx.codes_rc
-                win = src[coff + h.g_off: coff + h.g_off + h.w_len]
-                res = sw_cs_np.sw_full_cs(
-                    win, e.codes[h.st], e.initbp[h.st],
-                    sc.match, sc.mismatch, sc.a_gap_open, sc.a_gap_extend,
-                    sc.b_gap_open, sc.b_gap_extend,
-                    threshscore=thresh, global_xover=sc.crossover,
-                    revcmpl=bool(h.gen_st) and cfg.rev_tiebreak,
-                    anchor=(h.ax, h.ay, h.alen, h.awid),
-                    anchor_width=cfg.anchor_width,
-                    local_alignment=not cfg.global_alignment,
-                    crossover_score=e.crossover_score,
-                    indel_taboo_len=cfg.indel_taboo_len)
-                h.sw_score = res.score
-                h.score_full = res.score
-                h.pct_score_full = (1000 * 100 * res.score) // h.score_max
-                if res.score == 0:
-                    continue
-                h.read_start = res.read_start
-                h.genome_start = res.genome_start + h.g_off
-                h.rmapped = res.rmapped
-                h.gmapped = res.gmapped
-                h.matches = res.matches
-                h.mismatches = res.mismatches
-                h.insertions = res.insertions
-                h.deletions = res.deletions
-                h.crossovers = res.crossovers
-                h.ops = (res.steps & 3).astype(np.int8)
-                h.dbalign = res.dbalign
-                h.qralign = res.qralign
-                if cfg.compute_mapping_qualities and h.score_full > 0:
-                    self._post_sw_cs(e, h)
+            thresh[b] = int(abs_or_pct(thr_spec, h.score_max))
+            coff = int(idx.contig_offsets[h.cn])
+            src = idx.codes if h.gen_st == 0 else idx.codes_rc
+            gwin[b, :h.w_len] = src[coff + h.g_off:coff + h.g_off + h.w_len]
+            glen[b] = h.w_len
+            cwin[b, :e.read_len] = e.codes[h.st]
+            rlen[b] = e.read_len
+            initbp[b] = e.initbp[h.st]
+            rect[b] = (h.ax - aw // 2, h.ay + aw // 2, h.alen, h.awid + aw)
+            rev[b] = bool(h.gen_st) and cfg.rev_tiebreak
+            if e.crossover_score is not None:
+                xover_rows[b, :e.read_len] = e.crossover_score
+        cs_kw = dict(match=sc.match, mismatch=sc.mismatch,
+                     a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
+                     b_gap_open=sc.b_gap_open, b_gap_ext=sc.b_gap_extend,
+                     local_alignment=not cfg.global_alignment,
+                     indel_taboo_len=cfg.indel_taboo_len)
+        import os as _os
+        if _os.environ.get("SHRIMP_TPU_CS_NUMPY"):
+            res = sw_full_cs_batch(
+                gwin, glen, cwin, rlen, initbp, rect[:, 0], rect[:, 1],
+                rect[:, 2], rect[:, 3], rev, xover_rows, thresh, **cs_kw)
+        else:
+            from .core.sw_cs_jax import sw_full_cs_batch_jax
+            chunks = []
+            for off in range(0, n, CS_FULL_BATCH):
+                end = min(off + CS_FULL_BATCH, n)
+                k = end - off
+                pad = CS_FULL_BATCH - k
+                sl = slice(off, end)
+
+                def _pad(a, fill=0):
+                    if pad == 0:
+                        return a[sl]
+                    shape = (pad,) + a.shape[1:]
+                    return np.concatenate(
+                        [a[sl], np.full(shape, fill, a.dtype)])
+                chunks.append((k, sw_full_cs_batch_jax(
+                    _pad(gwin), np.maximum(_pad(glen), 1), _pad(cwin),
+                    np.maximum(_pad(rlen), 1), _pad(initbp),
+                    _pad(rect[:, 0]), _pad(rect[:, 1]),
+                    np.maximum(_pad(rect[:, 2]), 1),
+                    np.maximum(_pad(rect[:, 3]), 1), _pad(rev),
+                    _pad(xover_rows), _pad(thresh), device=self.device,
+                    **cs_kw)))
+            res = _concat_cs_results(chunks)
+        post_jobs = []
+        for b, (ri, h) in enumerate(jobs):
+            e = entries[ri]
+            score = int(res.score[b])
+            h.sw_score = score
+            h.score_full = score
+            h.pct_score_full = (1000 * 100 * score) // h.score_max
+            if score == 0:
+                continue
+            h.read_start = int(res.read_start[b])
+            h.genome_start = int(res.genome_start[b]) + h.g_off
+            h.rmapped = int(res.rmapped[b])
+            h.gmapped = int(res.gmapped[b])
+            h.matches = int(res.matches[b])
+            h.mismatches = int(res.mismatches[b])
+            h.insertions = int(res.insertions[b])
+            h.deletions = int(res.deletions[b])
+            h.crossovers = int(res.crossovers[b])
+            steps = res.steps[b, :res.n_steps[b]]
+            h.ops = (steps & 3).astype(np.int8)
+            h.dbalign, h.qralign = _cs_strings(
+                steps, gwin[b], res.qr[b], h.read_start, h.genome_start
+                - h.g_off)
+            if cfg.compute_mapping_qualities and h.score_full > 0:
+                post_jobs.append((e, h))
+        if post_jobs:
+            self._post_sw_cs_batch(post_jobs)
+        self.stats.full_invocs += n
+        self.stats.full_cells += sum(
+            h.w_len * entries[ri].read_len for ri, h in jobs) * 4
+        self.stats.full_secs += _time.perf_counter() - _t0
+
+    def _post_sw_cs_batch(self, post_jobs) -> None:
+        """Batched post-SW: per-hit column extraction, one forward-backward
+        over the padded batch, per-hit finishing."""
+        from .core import sw_cs_np
+        from .core.sw_cs_batch import post_sw_forward_backward_batch
+        cfg = self.config
+        cal = self.cal
+        cols = []
+        for e, h in post_jobs:
+            qual = (e.qual if e.qual is not None and not cfg.ignore_qvs
+                    else None)
+            cols.append(sw_cs_np.extract_columns(
+                e.codes[h.st], e.initbp[h.st], qual, h.read_start,
+                h.dbalign, h.qralign, cal.pr_xover, cfg.qual_delta))
+        B = len(post_jobs)
+        L = max(len(c[1]) for c in cols)
+        cl = np.full((B, L), -1, np.int64)
+        cc = np.zeros((B, L), np.int64)
+        ce = np.full((B, L), 0.5, np.float64)
+        nc = np.zeros(B, np.int64)
+        ib = np.array([e.initbp[h.st] for e, h in post_jobs], np.int64)
+        for b, (let, col, err, _) in enumerate(cols):
+            k = len(col)
+            cl[b, :k] = let
+            cc[b, :k] = col
+            ce[b, :k] = err
+            nc[b] = k
+        total, post = post_sw_forward_backward_batch(
+            cl, cc, ce, nc, ib, cal.pr_mismatch)
+        for b, (e, h) in enumerate(post_jobs):
+            r = sw_cs_np.post_sw_finish(
+                int(ib[b]), h.dbalign, h.qralign, cols[b][1], cols[b][3],
+                float(total[b]), post[b], cal.pr_del_open,
+                cal.pr_del_extend, cal.pr_ins_open, cal.pr_ins_extend)
+            h.posterior = r.posterior
+            h.qralign = r.qralign
+            h.matches = r.matches
+            h.mismatches = r.mismatches
+            h.crossovers = r.crossovers
+            h.qual_str = r.qual
+            ps = int(round(cal.alpha * math.log2(h.posterior)
+                           + h.rmapped * (2 * cal.alpha + cal.beta)))
+            h.posterior_score = max(ps, 0)
+            h.score_full = h.posterior_score
+            h.pct_score_full = (1000 * 100 * h.posterior_score
+                                ) // h.score_max
 
     def _post_sw_cs(self, e: ReadEntry, h: Hit) -> None:
         """post_sw + posterior_score (mapping.c:1609-1625)."""
@@ -1097,6 +1216,41 @@ class Mapper:
         self.stats.reads_mapped += sum(1 for _, f in results if f)
         self.stats.alignments += sum(len(f) for _, f in results)
         return results
+
+
+_LS_CHARS = "ACGTUMRWSYKVHDBN"
+
+
+def _cs_strings(steps: np.ndarray, gwin: np.ndarray, qr: np.ndarray,
+                read_start: int, genome_start: int) -> Tuple[str, str]:
+    """Alignment strings from packed CS backtrace steps
+    (pretty_print, sw-full-cs.c:945-1060)."""
+    d_chars, q_chars = [], []
+    ii, jj = read_start, genome_start
+    for s in steps:
+        op = s & 3
+        lay = (s >> 2) & 3
+        xov = (s >> 4) & 1
+        if op == 2:        # read-consuming
+            d_chars.append("-")
+            ch = _LS_CHARS[qr[lay, ii]]
+            q_chars.append(ch.lower() if xov else ch)
+            ii += 1
+        elif op == 1:      # genome-consuming
+            d_chars.append(_LS_CHARS[gwin[jj]])
+            q_chars.append("-")
+            jj += 1
+        else:
+            dc = _LS_CHARS[gwin[jj]]
+            d_chars.append(dc)
+            ch = _LS_CHARS[qr[lay, ii]]
+            ch = ch.lower() if xov else ch
+            if ch in "nN":
+                ch = dc.lower() if xov else dc
+            q_chars.append(ch)
+            ii += 1
+            jj += 1
+    return "".join(d_chars), "".join(q_chars)
 
 
 def _dedup(hits: List[Hit], keyfunc) -> List[Hit]:
