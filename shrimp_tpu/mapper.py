@@ -1133,12 +1133,39 @@ class Mapper:
                 h.mqv = 0
 
     # ------------------------------------------------- batched candidate gen
+    def _flat_hits(self, sub: List[ReadEntry], rl: int, opts):
+        """Flat cross-read candidate generation for reads of one length."""
+        from .core import batch_pipeline as bp
+        cfg = self.config
+        codes = np.empty((len(sub), 2, rl), np.uint8)
+        for k, e in enumerate(sub):
+            codes[k, 0] = e.codes[0]
+            codes[k, 1] = e.codes[1]
+        kw = dict(
+            min_kmer_pos=sub[0].min_kmer_pos,
+            use_region_counts=opts.anchor_list.use_region_counts,
+            region_bits=cfg.region_bits,
+            region_overlap=cfg.region_overlap,
+            collapse=opts.anchor_list.collapse,
+            gapless=opts.hit_list.gapless,
+            search_strands=(cfg.search_forward, cfg.search_reverse))
+        args = (self.index, codes, rl, sub[0].window_len,
+                self.cutoff, opts.hit_list.match_mode,
+                opts.hit_list.threshold, cfg.scores.match,
+                cfg.scores.b_gap_open, cfg.scores.b_gap_extend)
+        try:
+            from .native.filter1_py import generate_candidates_native
+            fh = generate_candidates_native(*args, **kw)
+        except Exception:
+            fh = None
+        if fh is None:
+            fh = bp.generate_candidates(*args, **kw)
+        return fh
+
     def hit_lists_batched(self, entries: List[ReadEntry], opts=None
                           ) -> List[List[candidates.HitList]]:
         """Cross-read flat-array candidate generation; same results as
         hit_lists() per read (see core/batch_pipeline.py)."""
-        from .core import batch_pipeline as bp
-        cfg = self.config
         if opts is None:
             opts = self._unpaired_opts[0]
         out: List[Optional[List[candidates.HitList]]] = [None] * len(entries)
@@ -1146,29 +1173,7 @@ class Mapper:
         for i, e in enumerate(entries):
             by_len.setdefault(e.read_len, []).append(i)
         for rl, idxs in by_len.items():
-            codes = np.stack([
-                np.stack([entries[i].codes[0], entries[i].codes[1]])
-                for i in idxs])
-            kw = dict(
-                min_kmer_pos=entries[idxs[0]].min_kmer_pos,
-                use_region_counts=opts.anchor_list.use_region_counts,
-                region_bits=cfg.region_bits,
-                region_overlap=cfg.region_overlap,
-                collapse=opts.anchor_list.collapse,
-                gapless=opts.hit_list.gapless,
-                search_strands=(cfg.search_forward, cfg.search_reverse))
-            args = (self.index, codes, rl, entries[idxs[0]].window_len,
-                    self.cutoff, opts.hit_list.match_mode,
-                    opts.hit_list.threshold, cfg.scores.match,
-                    cfg.scores.b_gap_open, cfg.scores.b_gap_extend)
-            fh = None
-            try:
-                from .native.filter1_py import generate_candidates_native
-                fh = generate_candidates_native(*args, **kw)
-            except Exception:
-                fh = None
-            if fh is None:
-                fh = bp.generate_candidates(*args, **kw)
+            fh = self._flat_hits([entries[i] for i in idxs], rl, opts)
             for k, i in enumerate(idxs):
                 pair = []
                 for st in (0, 1):
@@ -1186,6 +1191,140 @@ class Mapper:
                 out[i] = pair
         return out  # type: ignore[return-value]
 
+    def _score_windows_fh(self, sub: List[ReadEntry], fh) -> np.ndarray:
+        """Vector-SW scores for a FlatHits batch (same values as
+        _score_windows, without per-read slicing)."""
+        idx = self.index
+        n = fh.n
+        if n == 0:
+            return np.zeros(0, np.int64)
+        ri_a = (fh.owner >> 1).astype(np.int64)
+        st_a = (fh.owner & 1).astype(np.int64)
+        goff_a = idx.contig_offsets[fh.cn].astype(np.int64) + fh.g_off
+        wl_a = fh.w_len.astype(np.int64)
+        G = _round_up(max(int(wl_a.max()), 16), 32)
+        R = _round_up(max(e.read_len for e in sub), 8)
+        glen = wl_a.astype(np.int32)
+        rlens = np.array([e.read_len for e in sub], np.int32)
+        rlen = rlens[ri_a]
+        if self._unpaired_opts[0].pass1.gapless:
+            return self._gapless_scores(sub, ri_a, st_a, goff_a,
+                                        fh.ax, fh.ay, rlens)
+        if self.config.mode == C.MODE_LETTER_SPACE:
+            gwin = _gather_rows(idx.codes, goff_a, G)
+            rtab = np.full((len(sub) * 2, R), 254, np.uint8)
+            for ri, e in enumerate(sub):
+                rtab[2 * ri, :e.read_len] = e.codes[0]
+                rtab[2 * ri + 1, :e.read_len] = e.codes[1]
+            rwin = rtab[fh.owner]
+            return self._vec_chunked(gwin, glen, rwin, rlen)
+        # colour space (see _score_windows for the coordinate notes)
+        inp = np.array([e.input_strand for e in sub], np.int64)
+        eff_rc = st_a != inp[ri_a]
+        cn_a = idx.contig_of(goff_a)
+        coff2 = idx.contig_offsets[cn_a].astype(np.int64)
+        clen2 = idx.contig_lengths[cn_a].astype(np.int64)
+        local = goff_a - coff2
+        local_rc = clen2 - local - wl_a
+        starts = coff2 + np.where(eff_rc, local_rc, local)
+        cs_f = _gather_rows(idx.cs_codes, starts, G)
+        cs_r = _gather_rows(idx.cs_codes_rc, starts, G)
+        gwin = np.where(eff_rc[:, None], cs_r, cs_f)
+        ls_f = _gather_rows(idx.codes, starts, G)
+        ls_r = _gather_rows(idx.codes_rc, starts, G)
+        lswin = np.where(eff_rc[:, None], ls_r, ls_f)
+        initbp = np.array([e.initbp[0] for e in sub], np.int64)
+        g_row0 = C.COLOUR_MAT[lswin, initbp[ri_a][:, None]]
+        rtab = np.full((len(sub) * 2, R), 254, np.uint8)
+        for ri, e in enumerate(sub):
+            rtab[2 * ri, :e.read_len] = e.codes[e.input_strand]
+            rtab[2 * ri + 1, :e.read_len] = e.codes[e.input_strand]
+        rwin = rtab[fh.owner]
+        return self._vec_chunked(gwin, glen, rwin, rlen, g_row0)
+
+    def _pass1_select_flat(self, sub: List[ReadEntry], fh,
+                           scores: np.ndarray) -> List[List[Hit]]:
+        """Batch-vectorized _pass1_select_fast: one threshold/percent
+        computation over the whole FlatHits batch, then a Python walk over
+        only the passing candidates (few per read)."""
+        opts = self._unpaired_opts[0].pass1
+        out: List[List[Hit]] = [[] for _ in sub]
+        if fh.n == 0:
+            return out
+        wlen = sub[0].window_len
+        ov = int(abs_or_pct(opts.window_overlap, wlen))
+        absolute = is_absolute(opts.threshold)
+        smax = fh.score_max.astype(np.int64)
+        if absolute:
+            passing = scores >= int(-opts.threshold)
+        else:
+            tvec = np.trunc(smax * (opts.threshold / 100.0)
+                            ).astype(np.int64)
+            passing = scores >= tvec
+        if opts.min_matches > 1:
+            passing &= fh.matches >= opts.min_matches
+        idxs = np.nonzero(passing)[0]
+        if len(idxs) == 0:
+            return out
+        sv_p = scores[idxs]
+        smax_p = smax[idxs]
+        pct_p = (1000 * 100 * sv_p) // smax_p
+        key_p = sv_p if absolute else pct_p
+        owner_p = fh.owner[idxs].tolist()
+        cn_p = fh.cn[idxs].tolist()
+        goff_p = fh.g_off[idxs].tolist()
+        sv_l = sv_p.tolist()
+        pct_l = pct_p.tolist()
+        key_l = key_p.tolist()
+        gi_l = idxs.tolist()
+        seg = fh.seg_start
+        num = opts.num_outputs
+        heap: Optional[ExtHeap] = None
+        cur_read = -1
+        cur_owner = -1
+        last_cn = -1
+        last_goff = 0
+        for k in range(len(gi_l)):
+            ow = owner_p[k]
+            if ow != cur_owner:
+                ri = ow >> 1
+                if ri != cur_read:
+                    if heap is not None and heap.load:
+                        out[cur_read] = list(heap.a)
+                        heap = None
+                    cur_read = ri
+                cur_owner = ow
+                last_cn = -1
+            cn = cn_p[k]
+            goff = goff_p[k]
+            if (last_cn >= 0 and cn == last_cn
+                    and goff + ov <= last_goff + wlen):
+                continue  # window-overlap suppressed (mapping.c:1287-1335)
+            last_cn, last_goff = cn, goff
+            key = key_l[k]
+            if heap is not None and heap.load >= num and key <= heap.min_key:
+                continue
+            gi = gi_l[k]
+            st = ow & 1
+            h = Hit(st=st, gen_st=0, cn=cn, g_off=goff,
+                    g_off_pos_strand=goff, w_len=int(fh.w_len[gi]),
+                    score_window_gen=int(fh.score_window_gen[gi]),
+                    kmer_matches=int(fh.matches[gi]),
+                    score_vector=sv_l[k], score_max=int(smax[gi]),
+                    ax=int(fh.ax[gi]), ay=int(fh.ay[gi]),
+                    alen=int(fh.alen[gi]), awid=int(fh.awid[gi]),
+                    sort_idx=gi - int(seg[2 * (ow >> 1)]),
+                    pass1_key=key, pct_score_vector=pct_l[k])
+            if heap is None:
+                heap = ExtHeap(num)
+            if heap.load < num:
+                heap.insert(h)
+            else:
+                heap.replace_min(h)
+        if heap is not None and heap.load:
+            out[cur_read] = list(heap.a)
+        return out
+
     # ------------------------------------------------------------- pipeline
     def map_unpaired(self, records: Sequence[SeqRecord]
                      ) -> List[Tuple[ReadEntry, List[Hit]]]:
@@ -1194,10 +1333,18 @@ class Mapper:
             re = self.prepare_read(rec)
             if re is not None:
                 entries.append(re)
-        hls = self.hit_lists_batched(entries)
-        scores = self._score_windows(entries, hls)
-        pass1 = [self._pass1_select_fast(re, hl2, sc2)
-                 for re, hl2, sc2 in zip(entries, hls, scores)]
+        pass1: List[List[Hit]] = [[] for _ in entries]
+        by_len: Dict[int, List[int]] = {}
+        for i, e in enumerate(entries):
+            by_len.setdefault(e.read_len, []).append(i)
+        opts0 = self._unpaired_opts[0]
+        for rl, idxs in by_len.items():
+            sub = [entries[i] for i in idxs]
+            fh = self._flat_hits(sub, rl, opts0)
+            scores = self._score_windows_fh(sub, fh)
+            p1 = self._pass1_select_flat(sub, fh, scores)
+            for k, i in enumerate(idxs):
+                pass1[i] = p1[k]
         self._pass2(entries, pass1)
         results = []
         for re, hits in zip(entries, pass1):
