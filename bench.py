@@ -124,13 +124,10 @@ def main():
 
     t0 = time.time()
     n_lines = 0
-    B = 4096
-    for off in range(0, len(recs), B):
-        results = m.map_unpaired(recs[off:off + B])
-        for re_, hits in results:
-            for h in hits:
-                n_lines += 1
-                render_unpaired(re_, h, idx, cfg)
+    for re_, hits in m.map_unpaired_stream(recs, batch_size=len(recs)):
+        for h in hits:
+            n_lines += 1
+            render_unpaired(re_, h, idx, cfg)
     dt = time.time() - t0
     rate = len(recs) / dt
 

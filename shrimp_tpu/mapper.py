@@ -496,6 +496,12 @@ class Mapper:
     def _vec_chunked(self, gwin, glen, rwin, rlen, g_row0=None) -> np.ndarray:
         """Run sw_vector_batch in fixed-size [VEC_BATCH] launches; all
         launches are dispatched asynchronously before any fetch."""
+        return self._vec_finish(self._vec_dispatch(gwin, glen, rwin, rlen,
+                                                   g_row0))
+
+    def _vec_dispatch(self, gwin, glen, rwin, rlen, g_row0=None):
+        """Launch the vector-SW batches asynchronously; returns state for
+        _vec_finish."""
         import time as _time
         t0 = _time.perf_counter()
         n = len(glen)
@@ -523,11 +529,16 @@ class Mapper:
                 else:
                     fut = sw_vector_batch(cg, cgl, cr, crl, **self._vec_kw)
             futures.append((off, end, fut))
+        cells = int((glen.astype(np.int64) * rlen.astype(np.int64)).sum())
+        return (futures, out, n, cells, t0)
+
+    def _vec_finish(self, state) -> np.ndarray:
+        import time as _time
+        futures, out, n, cells, t0 = state
         for off, end, fut in futures:
             out[off:end] = np.asarray(fut)[:end - off]
         self.stats.vec_invocs += n
-        self.stats.vec_cells += int((glen.astype(np.int64)
-                                     * rlen.astype(np.int64)).sum())
+        self.stats.vec_cells += cells
         self.stats.vec_secs += _time.perf_counter() - t0
         return out
 
@@ -684,10 +695,20 @@ class Mapper:
         thresholds[i] is the pass2 threshold (percent/absolute convention)
         for read i; defaults to the unpaired sw_full_threshold.
         """
+        state = self._pass2_dispatch(entries, pass1_hits, thresholds)
+        if state is not None:
+            self._pass2_finish(entries, state)
+
+    def _pass2_dispatch(self, entries: List[ReadEntry],
+                        pass1_hits: List[List[Hit]],
+                        thresholds: Optional[List[float]] = None):
+        """Host side of _pass2: build and asynchronously launch the full-SW
+        batches. Returns opaque state for _pass2_finish (or None when the
+        work completed inline)."""
         cfg = self.config
         if cfg.mode == C.MODE_COLOUR_SPACE:
             self._pass2_cs(entries, pass1_hits, thresholds)
-            return
+            return None
         sc = cfg.scores
         idx = self.index
         cand: List[Tuple[int, Hit, int]] = []
@@ -734,7 +755,7 @@ class Mapper:
                 h.score_full = 0
                 h.pct_score_full = 0
         if not jobs:
-            return
+            return None
         import time as _time
         _t0 = _time.perf_counter()
         n = len(jobs)
@@ -767,7 +788,6 @@ class Mapper:
                        local_alignment=not cfg.global_alignment)
         # fixed-size async launches (see VEC_BATCH comment)
         futures = []
-        retries: List[int] = []
         for off in range(0, n, FULL_BATCH):
             end = min(off + FULL_BATCH, n)
             k = end - off
@@ -790,6 +810,15 @@ class Mapper:
                     cg, cgl, cr, crl, crect[:, 0], crect[:, 1],
                     crect[:, 2], crect[:, 3], crev, **full_kw)
             futures.append((off, k, res))
+        return (jobs, job_thresh, futures, _t0)
+
+    def _pass2_finish(self, entries: List[ReadEntry], state) -> None:
+        """Fetch the full-SW results launched by _pass2_dispatch and fill
+        the surviving hits (plus the rare local-band retry)."""
+        import time as _time
+        cfg = self.config
+        jobs, job_thresh, futures, _t0 = state
+        retries: List[int] = []
         for off, k, (packed, ops_rev) in futures:
             p = np.asarray(packed)[:k]
             ops_rev = np.asarray(ops_rev)[:k]
@@ -806,7 +835,7 @@ class Mapper:
                     retries.append(off + b)
         if retries:
             self._pass2_local_retry(entries, jobs, job_thresh, retries)
-        self.stats.full_invocs += n
+        self.stats.full_invocs += len(jobs)
         self.stats.full_cells += sum(
             h.w_len * entries[ri].read_len for ri, h in jobs)
         self.stats.full_secs += _time.perf_counter() - _t0
@@ -1191,13 +1220,16 @@ class Mapper:
                 out[i] = pair
         return out  # type: ignore[return-value]
 
-    def _score_windows_fh(self, sub: List[ReadEntry], fh) -> np.ndarray:
+    def _score_windows_fh(self, sub: List[ReadEntry], fh, defer=False):
         """Vector-SW scores for a FlatHits batch (same values as
-        _score_windows, without per-read slicing)."""
+        _score_windows, without per-read slicing). With defer=True the
+        device launches are dispatched now and a thunk returning the
+        scores is returned, so the fetch can overlap later host work."""
         idx = self.index
         n = fh.n
         if n == 0:
-            return np.zeros(0, np.int64)
+            z = np.zeros(0, np.int64)
+            return (lambda: z) if defer else z
         ri_a = (fh.owner >> 1).astype(np.int64)
         st_a = (fh.owner & 1).astype(np.int64)
         goff_a = idx.contig_offsets[fh.cn].astype(np.int64) + fh.g_off
@@ -1208,8 +1240,9 @@ class Mapper:
         rlens = np.array([e.read_len for e in sub], np.int32)
         rlen = rlens[ri_a]
         if self._unpaired_opts[0].pass1.gapless:
-            return self._gapless_scores(sub, ri_a, st_a, goff_a,
-                                        fh.ax, fh.ay, rlens)
+            g = self._gapless_scores(sub, ri_a, st_a, goff_a,
+                                     fh.ax, fh.ay, rlens)
+            return (lambda: g) if defer else g
         if self.config.mode == C.MODE_LETTER_SPACE:
             gwin = _gather_rows(idx.codes, goff_a, G)
             rtab = np.full((len(sub) * 2, R), 254, np.uint8)
@@ -1217,7 +1250,9 @@ class Mapper:
                 rtab[2 * ri, :e.read_len] = e.codes[0]
                 rtab[2 * ri + 1, :e.read_len] = e.codes[1]
             rwin = rtab[fh.owner]
-            return self._vec_chunked(gwin, glen, rwin, rlen)
+            st = self._vec_dispatch(gwin, glen, rwin, rlen)
+            return (lambda: self._vec_finish(st)) if defer \
+                else self._vec_finish(st)
         # colour space (see _score_windows for the coordinate notes)
         inp = np.array([e.input_strand for e in sub], np.int64)
         eff_rc = st_a != inp[ri_a]
@@ -1240,7 +1275,9 @@ class Mapper:
             rtab[2 * ri, :e.read_len] = e.codes[e.input_strand]
             rtab[2 * ri + 1, :e.read_len] = e.codes[e.input_strand]
         rwin = rtab[fh.owner]
-        return self._vec_chunked(gwin, glen, rwin, rlen, g_row0)
+        st2 = self._vec_dispatch(gwin, glen, rwin, rlen, g_row0)
+        return (lambda: self._vec_finish(st2)) if defer \
+            else self._vec_finish(st2)
 
     def _pass1_select_flat(self, sub: List[ReadEntry], fh,
                            scores: np.ndarray) -> List[List[Hit]]:
@@ -1326,26 +1363,46 @@ class Mapper:
         return out
 
     # ------------------------------------------------------------- pipeline
-    def map_unpaired(self, records: Sequence[SeqRecord]
-                     ) -> List[Tuple[ReadEntry, List[Hit]]]:
+    # The unpaired flow is split into three stages so a streaming driver
+    # can software-pipeline batches: while one batch's device launches are
+    # in flight, the next batch's host-side filter 1 runs (the reference's
+    # fill/parse overlap, mergesam.c:694-701, recast for the device queue).
+    def _stage_candidates(self, records: Sequence[SeqRecord]):
+        """Stage A: read prep + filter 1 + async vector-SW dispatch."""
         entries = []
         for rec in records:
             re = self.prepare_read(rec)
             if re is not None:
                 entries.append(re)
-        pass1: List[List[Hit]] = [[] for _ in entries]
         by_len: Dict[int, List[int]] = {}
         for i, e in enumerate(entries):
             by_len.setdefault(e.read_len, []).append(i)
         opts0 = self._unpaired_opts[0]
+        buckets = []
         for rl, idxs in by_len.items():
             sub = [entries[i] for i in idxs]
             fh = self._flat_hits(sub, rl, opts0)
-            scores = self._score_windows_fh(sub, fh)
-            p1 = self._pass1_select_flat(sub, fh, scores)
+            thunk = self._score_windows_fh(sub, fh, defer=True)
+            buckets.append((idxs, sub, fh, thunk))
+        return entries, buckets
+
+    def _stage_pass1(self, ctx):
+        """Stage B: fetch vector scores, select pass1 hits, dispatch the
+        full-SW batches."""
+        entries, buckets = ctx
+        pass1: List[List[Hit]] = [[] for _ in entries]
+        for idxs, sub, fh, thunk in buckets:
+            p1 = self._pass1_select_flat(sub, fh, thunk())
             for k, i in enumerate(idxs):
                 pass1[i] = p1[k]
-        self._pass2(entries, pass1)
+        state = self._pass2_dispatch(entries, pass1)
+        return entries, pass1, state
+
+    def _stage_finish(self, ctx2) -> List[Tuple[ReadEntry, List[Hit]]]:
+        """Stage C: fetch full-SW results, finalize, MQVs."""
+        entries, pass1, state = ctx2
+        if state is not None:
+            self._pass2_finish(entries, state)
         results = []
         for re, hits in zip(entries, pass1):
             final = self._finalize(re, hits)
@@ -1363,6 +1420,34 @@ class Mapper:
         self.stats.reads_mapped += sum(1 for _, f in results if f)
         self.stats.alignments += sum(len(f) for _, f in results)
         return results
+
+    def map_unpaired(self, records: Sequence[SeqRecord]
+                     ) -> List[Tuple[ReadEntry, List[Hit]]]:
+        return self._stage_finish(self._stage_pass1(
+            self._stage_candidates(records)))
+
+    def map_unpaired_stream(self, records: Sequence[SeqRecord],
+                            batch_size: int = 8192):
+        """Pipelined unpaired mapping: yields per-read results in input
+        order while overlapping host filter work with in-flight device
+        batches (stage A of batch i runs before the fetches of batches
+        i-1/i-2)."""
+        pend_a = None   # stage-A ctx awaiting stage B
+        pend_b = None   # stage-B ctx awaiting stage C
+        for off in range(0, len(records), batch_size):
+            a = self._stage_candidates(records[off:off + batch_size])
+            if pend_b is not None:
+                yield from self._stage_finish(pend_b)
+            pend_b = self._stage_pass1(pend_a) if pend_a is not None \
+                else None
+            pend_a = a
+        if pend_a is not None:
+            b = self._stage_pass1(pend_a)
+            if pend_b is not None:
+                yield from self._stage_finish(pend_b)
+            yield from self._stage_finish(b)
+        elif pend_b is not None:
+            yield from self._stage_finish(pend_b)
 
 
 _LS_CHARS = "ACGTUMRWSYKVHDBN"
