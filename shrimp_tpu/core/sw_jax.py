@@ -393,8 +393,17 @@ def _sw_full_tb_jit(genome, glen, read, rlen, ax, ay, alen, awid, revcmpl,
     carry, ops_rev = jax.lax.scan(step, carry0, None, length=R + G)
     _, _, _, rs, gs, m_, mm_, ins, dele, nops = carry
     ops_rev = jnp.transpose(ops_rev, (1, 0))   # [B, R+G]
-    # pack scalar outputs into one tensor: a device fetch costs a tunnel
-    # round-trip, so the host gets exactly two arrays per launch
+    # pack scalar outputs into one tensor and the 2-bit ops 4-per-byte:
+    # every device fetch costs a PCIe/tunnel round-trip, so the host gets
+    # exactly two small arrays per launch (traceback.unpack_ops reverses)
     packed = jnp.stack([score, max_i, max_j, nops, rs, gs, m_, mm_, ins,
                         dele], axis=1).astype(jnp.int32)
-    return packed, ops_rev
+    L = R + G
+    pad = (-L) % 4
+    if pad:
+        ops_rev = jnp.concatenate(
+            [ops_rev, jnp.zeros((B, pad), jnp.int8)], axis=1)
+    o = ops_rev.astype(jnp.uint8).reshape(B, (L + pad) // 4, 4)
+    ops_packed = (o[:, :, 0] | (o[:, :, 1] << 2) | (o[:, :, 2] << 4)
+                  | (o[:, :, 3] << 6)).astype(jnp.uint8)
+    return packed, ops_packed

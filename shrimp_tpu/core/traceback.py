@@ -32,6 +32,19 @@ _NEXT_PLANE[FROM_NORTHWEST_NORTHWEST] = 0
 _NEXT_PLANE[FROM_NORTHWEST_WEST] = 1
 
 
+def unpack_ops(packed: np.ndarray) -> np.ndarray:
+    """Expand the device's 4-per-byte 2-bit op packing (sw_jax
+    _sw_full_tb_jit); trailing pad ops decode as 0 and are masked by
+    n_ops in from_device."""
+    B, n4 = packed.shape
+    out = np.empty((B, n4 * 4), np.int8)
+    out[:, 0::4] = packed & 3
+    out[:, 1::4] = (packed >> 2) & 3
+    out[:, 2::4] = (packed >> 4) & 3
+    out[:, 3::4] = (packed >> 6) & 3
+    return out
+
+
 def from_device(ops_rev: np.ndarray, n_ops: np.ndarray, read_start,
                 genome_start, rmapped_end_i, rmapped_end_j, matches,
                 mismatches, insertions, deletions) -> "TracebackResult":

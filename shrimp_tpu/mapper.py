@@ -13,6 +13,7 @@ as batched device kernels plus exact host bookkeeping:
 from __future__ import annotations
 
 import math
+import time as _time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -24,6 +25,7 @@ from .core import candidates, encode
 from .core.sw_jax import (sw_full_and_traceback, sw_full_batch,
                           sw_vector_batch)
 from .core.traceback import (TracebackResult, from_device as tb_from_device,
+                             unpack_ops as tb_unpack_ops,
                              traceback_batch)
 from .index.build import GenomeIndex
 from .io.fasta import SeqRecord
@@ -236,8 +238,20 @@ class Mapper:
                             b_gap_ext=sc.b_gap_extend)
         self._unpaired_opts = cfg.unpaired_options()
         self.device = None   # optional jax device for kernel placement
+        self._codes_dev = None   # device-resident packed genome (lazy)
         from .utils.stats import MapperStats
         self.stats = MapperStats()
+
+    def _dev_codes(self):
+        """Packed genome uploaded to the device once (SURVEY §7
+        device-resident index); all vector-SW launches gather their
+        windows from it on-device."""
+        if self._codes_dev is None:
+            import jax
+            with self._device_ctx():
+                self._codes_dev = jax.device_put(self.index.codes,
+                                                 self.device)
+        return self._codes_dev
 
     def _device_ctx(self):
         import contextlib
@@ -532,11 +546,50 @@ class Mapper:
         cells = int((glen.astype(np.int64) * rlen.astype(np.int64)).sum())
         return (futures, out, n, cells, t0)
 
+    def _vec_dispatch_idx(self, gstart, glen, owner, rtab, rlen, G):
+        """Vector-SW launches against the device-resident genome: only
+        window offsets + read rows cross the host boundary (see
+        sw_pallas.sw_vector_ls_from_index)."""
+        import time as _tm
+
+        import jax
+
+        from .core.sw_pallas import (pallas_available,
+                                     sw_vector_ls_from_index)
+        t0 = _tm.perf_counter()
+        n = len(gstart)
+        codes_dev = self._dev_codes()
+        use_pallas = pallas_available()
+        out = np.empty(n, np.int64)
+        R = rtab.shape[1]
+        futures = []
+        with self._device_ctx():
+            for off in range(0, n, VEC_BATCH):
+                end = min(off + VEC_BATCH, n)
+                k = end - off
+                cgs = np.zeros(VEC_BATCH, np.int64)
+                cgl = np.zeros(VEC_BATCH, np.int32)
+                crw = np.full((VEC_BATCH, R), 254, np.uint8)
+                crl = np.zeros(VEC_BATCH, np.int32)
+                cgs[:k] = gstart[off:end]
+                cgl[:k] = glen[off:end]
+                crw[:k] = rtab[owner[off:end]]
+                crl[:k] = rlen[off:end]
+                fut = sw_vector_ls_from_index(
+                    codes_dev, cgs, cgl, crw, crl, G=G,
+                    use_pallas=use_pallas, **self._vec_kw)
+                futures.append((off, end, fut))
+        cells = int((glen.astype(np.int64) * rlen.astype(np.int64)).sum())
+        return (futures, out, n, cells, t0)
+
     def _vec_finish(self, state) -> np.ndarray:
-        import time as _time
+        import jax
         futures, out, n, cells, t0 = state
-        for off, end, fut in futures:
-            out[off:end] = np.asarray(fut)[:end - off]
+        # one device_get for all chunks: each separate fetch pays a full
+        # interconnect round-trip
+        vals = jax.device_get([fut for _, _, fut in futures])
+        for (off, end, _), v in zip(futures, vals):
+            out[off:end] = v[:end - off]
         self.stats.vec_invocs += n
         self.stats.vec_cells += cells
         self.stats.vec_secs += _time.perf_counter() - t0
@@ -819,9 +872,11 @@ class Mapper:
         cfg = self.config
         jobs, job_thresh, futures, _t0 = state
         retries: List[int] = []
-        for off, k, (packed, ops_rev) in futures:
-            p = np.asarray(packed)[:k]
-            ops_rev = np.asarray(ops_rev)[:k]
+        import jax
+        fetched = jax.device_get([(pk, orv) for _, _, (pk, orv) in futures])
+        for (off, k, _), (packed, ops_pk) in zip(futures, fetched):
+            p = packed[:k]
+            ops_rev = tb_unpack_ops(ops_pk[:k])
             score, mi, mj, nops = p[:, 0], p[:, 1], p[:, 2], p[:, 3]
             rs, gs, m_, mm_, ins, dele = (p[:, 4], p[:, 5], p[:, 6],
                                           p[:, 7], p[:, 8], p[:, 9])
@@ -880,7 +935,7 @@ class Mapper:
             local_alignment=True)
         packed, ops_rev = res
         p = np.asarray(packed)[:n]
-        ops_rev = np.asarray(ops_rev)[:n]
+        ops_rev = tb_unpack_ops(np.asarray(ops_rev)[:n])
         tb = tb_from_device(ops_rev, p[:, 3], p[:, 4], p[:, 5], p[:, 1],
                             p[:, 2], p[:, 6], p[:, 7], p[:, 8], p[:, 9])
         for b, ji in enumerate(retries):
@@ -1128,13 +1183,14 @@ class Mapper:
                                           h.score_max):
                 survivors.append(h)
 
-        survivors = _dedup(survivors, lambda h: (h.cn, h.gen_st,
-                                                 h.genome_start))
-        survivors = _dedup(survivors, lambda h: (
-            h.cn, h.gen_st, -h.genome_start - h.rmapped + h.deletions
-            - h.insertions))
-        # stable sort by non-increasing key (mapping.c:1678)
-        survivors.sort(key=lambda h: -h.pass2_key)
+        if len(survivors) > 1:
+            survivors = _dedup(survivors, lambda h: (h.cn, h.gen_st,
+                                                     h.genome_start))
+            survivors = _dedup(survivors, lambda h: (
+                h.cn, h.gen_st, -h.genome_start - h.rmapped + h.deletions
+                - h.insertions))
+            # stable sort by non-increasing key (mapping.c:1678)
+            survivors.sort(key=lambda h: -h.pass2_key)
         if len(survivors) > cfg.num_outputs:
             survivors = survivors[:cfg.num_outputs]
         if cfg.strata and survivors:
@@ -1244,13 +1300,12 @@ class Mapper:
                                      fh.ax, fh.ay, rlens)
             return (lambda: g) if defer else g
         if self.config.mode == C.MODE_LETTER_SPACE:
-            gwin = _gather_rows(idx.codes, goff_a, G)
             rtab = np.full((len(sub) * 2, R), 254, np.uint8)
             for ri, e in enumerate(sub):
                 rtab[2 * ri, :e.read_len] = e.codes[0]
                 rtab[2 * ri + 1, :e.read_len] = e.codes[1]
-            rwin = rtab[fh.owner]
-            st = self._vec_dispatch(gwin, glen, rwin, rlen)
+            st = self._vec_dispatch_idx(goff_a, glen, fh.owner, rtab, rlen,
+                                        G)
             return (lambda: self._vec_finish(st)) if defer \
                 else self._vec_finish(st)
         # colour space (see _score_windows for the coordinate notes)
@@ -1367,13 +1422,48 @@ class Mapper:
     # can software-pipeline batches: while one batch's device launches are
     # in flight, the next batch's host-side filter 1 runs (the reference's
     # fill/parse overlap, mergesam.c:694-701, recast for the device queue).
+    def _prepare_batch_ls(self, records: Sequence[SeqRecord]
+                          ) -> Optional[List[ReadEntry]]:
+        """Batch-encode uniform-length letter-space reads: one LUT pass
+        over a [B, L] byte matrix instead of B per-read encodes. Returns
+        None (caller falls back to prepare_read) on mixed lengths or
+        invalid characters."""
+        cfg = self.config
+        if cfg.mode != C.MODE_LETTER_SPACE or not records:
+            return None
+        L = len(records[0].seq)
+        if L == 0 or L > cfg.longest_read_len:
+            return None
+        try:
+            buf = "".join(r.seq for r in records).encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        if len(buf) != len(records) * L:
+            return None
+        raw = np.frombuffer(buf, np.uint8).reshape(len(records), L)
+        codes = C.CHAR_TO_INT[raw]
+        if (codes < 0).any():
+            return None
+        codes = codes.astype(np.uint8)
+        rc = C.COMPLEMENT[codes[:, ::-1]]
+        wlen = int(abs_or_pct(cfg.window_len, L))
+        return [ReadEntry(name=r.name, seq=r.seq, qual=r.qual, read_len=L,
+                          codes=(codes[i], rc[i]), window_len=wlen,
+                          min_kmer_pos=0, initbp=(-1, -1))
+                for i, r in enumerate(records)]
+
     def _stage_candidates(self, records: Sequence[SeqRecord]):
         """Stage A: read prep + filter 1 + async vector-SW dispatch."""
-        entries = []
-        for rec in records:
-            re = self.prepare_read(rec)
-            if re is not None:
-                entries.append(re)
+        t0 = _time.perf_counter()
+        entries = self._prepare_batch_ls(records)
+        if entries is None:
+            entries = []
+            for rec in records:
+                re = self.prepare_read(rec)
+                if re is not None:
+                    entries.append(re)
+        t1 = _time.perf_counter()
+        self.stats.add_stage("read prep", t1 - t0)
         by_len: Dict[int, List[int]] = {}
         for i, e in enumerate(entries):
             by_len.setdefault(e.read_len, []).append(i)
@@ -1384,17 +1474,20 @@ class Mapper:
             fh = self._flat_hits(sub, rl, opts0)
             thunk = self._score_windows_fh(sub, fh, defer=True)
             buckets.append((idxs, sub, fh, thunk))
+        self.stats.add_stage("filter1 + dispatch", _time.perf_counter() - t1)
         return entries, buckets
 
     def _stage_pass1(self, ctx):
         """Stage B: fetch vector scores, select pass1 hits, dispatch the
         full-SW batches."""
+        t0 = _time.perf_counter()
         entries, buckets = ctx
         pass1: List[List[Hit]] = [[] for _ in entries]
         for idxs, sub, fh, thunk in buckets:
             p1 = self._pass1_select_flat(sub, fh, thunk())
             for k, i in enumerate(idxs):
                 pass1[i] = p1[k]
+        self.stats.add_stage("pass1 select", _time.perf_counter() - t0)
         state = self._pass2_dispatch(entries, pass1)
         return entries, pass1, state
 
@@ -1403,6 +1496,7 @@ class Mapper:
         entries, pass1, state = ctx2
         if state is not None:
             self._pass2_finish(entries, state)
+        t0 = _time.perf_counter()
         results = []
         for re, hits in zip(entries, pass1):
             final = self._finalize(re, hits)
@@ -1419,6 +1513,7 @@ class Mapper:
         self.stats.reads += len(entries)
         self.stats.reads_mapped += sum(1 for _, f in results if f)
         self.stats.alignments += sum(len(f) for _, f in results)
+        self.stats.add_stage("finalize + mqv", _time.perf_counter() - t0)
         return results
 
     def map_unpaired(self, records: Sequence[SeqRecord]

@@ -1,0 +1,77 @@
+"""Pallas vector-SW kernel equivalence vs the XLA reference formulation.
+
+These only run on a real TPU backend (Mosaic kernels do not execute on
+the CPU interpreter path used by the rest of the suite); the CPU suite
+covers the same scores through sw_jax, which the kernel must match
+bit-for-bit.
+"""
+import numpy as np
+import pytest
+
+
+def _tpu_available():
+    import jax
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _tpu_available(),
+                                reason="needs a TPU backend for Mosaic")
+
+
+KW = dict(match=10, mismatch=-15, a_gap_open=-33, a_gap_ext=-7,
+          b_gap_open=-33, b_gap_ext=-3)
+
+
+def test_pallas_matches_xla_ls():
+    from shrimp_tpu.core.sw_jax import sw_vector_batch
+    from shrimp_tpu.core.sw_pallas import sw_vector_batch_pallas
+    rng = np.random.default_rng(5)
+    B, G, R = 1024, 32, 16
+    gwin = rng.integers(0, 5, (B, G)).astype(np.uint8)
+    glen = rng.integers(8, G + 1, B).astype(np.int32)
+    rwin = rng.integers(0, 5, (B, R)).astype(np.uint8)
+    rlen = rng.integers(6, R + 1, B).astype(np.int32)
+    ref = np.asarray(sw_vector_batch(gwin, glen, rwin, rlen, **KW))
+    got = np.asarray(sw_vector_batch_pallas(gwin, glen, rwin, rlen, **KW))
+    assert np.array_equal(ref, got)
+
+
+def test_pallas_matches_xla_cs():
+    from shrimp_tpu.core.sw_jax import sw_vector_batch
+    from shrimp_tpu.core.sw_pallas import sw_vector_batch_pallas
+    rng = np.random.default_rng(6)
+    B, G, R = 1024, 32, 16
+    gwin = rng.integers(0, 5, (B, G)).astype(np.uint8)
+    glen = rng.integers(8, G + 1, B).astype(np.int32)
+    rwin = rng.integers(0, 5, (B, R)).astype(np.uint8)
+    rlen = rng.integers(6, R + 1, B).astype(np.int32)
+    g0 = rng.integers(0, 5, (B, G)).astype(np.uint8)
+    ref = np.asarray(sw_vector_batch(gwin, glen, rwin, rlen, g0,
+                                     cs_mode=True, **KW))
+    got = np.asarray(sw_vector_batch_pallas(gwin, glen, rwin, rlen, g0,
+                                            cs_mode=True, **KW))
+    assert np.array_equal(ref, got)
+
+
+def test_index_gather_path_matches():
+    from shrimp_tpu.core.sw_jax import sw_vector_batch
+    from shrimp_tpu.core.sw_pallas import sw_vector_ls_from_index
+    import jax
+    rng = np.random.default_rng(7)
+    L, B, G, R = 100_000, 1024, 32, 16
+    codes = rng.integers(0, 4, L).astype(np.uint8)
+    gstart = rng.integers(0, L - 1, B).astype(np.int64)
+    glen = rng.integers(8, G + 1, B).astype(np.int32)
+    rtab = rng.integers(0, 4, (64, R)).astype(np.uint8)
+    owner = rng.integers(0, 64, B).astype(np.int64)
+    rlen = np.full(B, R, np.int32)
+    got = np.asarray(sw_vector_ls_from_index(
+        jax.device_put(codes), gstart, glen, jax.device_put(rtab), owner,
+        rlen, G=G, use_pallas=True, **KW))
+    pos = np.clip(gstart[:, None] + np.arange(G)[None, :], 0, L - 1)
+    ref = np.asarray(sw_vector_batch(codes[pos], glen, rtab[owner], rlen,
+                                     **KW))
+    assert np.array_equal(ref, got)
