@@ -93,6 +93,12 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
                    help="mode presets, e.g. mirna")
     p.add_argument("-H", "--hash-spaced-kmers", action="store_true",
                    help="24-bit hashed mapidx (for seeds of weight > 14)")
+    p.add_argument("-X", "--insert-histogram", action="store_true",
+                   help="print insert-size histogram (paired mode)")
+    p.add_argument("-Y", "--index-histogram", action="store_true",
+                   help="print per-seed index list-length histogram")
+    p.add_argument("-D", "--detailed-stats", action="store_true",
+                   help="print detailed per-stage statistics")
 
 
 def build_config(args) -> "MapperConfig":
@@ -189,6 +195,10 @@ def load_or_build_index(genome_args: List[str], seeds_spec: Optional[str],
     from .io.fasta import read_fasta
     if len(genome_args) == 1 and genome_args[0].endswith(".npz"):
         return GenomeIndex.load(genome_args[0])
+    import os
+    if len(genome_args) == 1 and os.path.isdir(genome_args[0]):
+        # warm mmap image (--save-mmap analogue, genome.c:606-667)
+        return GenomeIndex.load_mmap(genome_args[0])
     if mirna:
         seeds = mirna_seeds()
     elif seeds_spec:
@@ -203,13 +213,75 @@ def load_or_build_index(genome_args: List[str], seeds_spec: Optional[str],
     return build_index(contigs, seeds, mode=mode, hashed=hashed)
 
 
+def print_index_histogram(idx, list_cutoff: int, out=sys.stderr) -> None:
+    """-Y: per-seed list-length stats + 100-bucket histogram
+    (print_genomemap_stats, genome.c:834-902)."""
+    import numpy as np
+    print("Genome Map stats:", file=out)
+    cutoff = list_cutoff if list_cutoff else (1 << 62)
+    for sn, si in enumerate(idx.seeds):
+        lens = si.list_lengths().astype(np.int64)
+        capacity = len(lens)
+        over = lens > cutoff
+        eff = np.where(over, 0, lens)
+        nz = eff[eff > 0]
+        mx = int(eff.max()) if capacity else 0
+        sd = float(eff.std(ddof=1)) if capacity > 1 else 0.0
+        sd_nz = float(nz.std(ddof=1)) if len(nz) > 1 else 0.0
+        print(f"sn:{sn} weight:{si.seed.weight} "
+              f"total_kmers:{int(eff.sum())} lists:{capacity} "
+              f"(non-zero:{len(nz)}) "
+              f"list_sz_avg:{float(eff.mean()) if capacity else 0:.2f} "
+              f"({float(nz.mean()) if len(nz) else 0:.2f}) "
+              f"list_sz_stddev:{sd:.2f} ({sd_nz:.2f}) max:{mx}", file=out)
+        bucket_size = -(-(mx + 1) // 100)
+        bucket = np.where(over, 0, np.minimum(lens // bucket_size, 99))
+        hist = np.bincount(bucket.astype(np.int64), minlength=100)
+        cum = np.cumsum(hist)
+        for i in range(100):
+            print(f"[{i * bucket_size}-{(i + 1) * bucket_size}]: {hist[i]} "
+                  f"(cummulative: {cum[i] / capacity * 100:.4f}%)",
+                  file=out)
+
+
+class InsertHistogram:
+    """-X: 100-bucket insert-size histogram
+    (gmapper.c:664-677, output.c:1255-1264)."""
+
+    def __init__(self, min_insert: int, max_insert: int):
+        self.min = min_insert
+        self.bucket_size = max(
+            1, -(-(max_insert - min_insert + 1) // 100))
+        self.hist = [0] * 100
+        self.total = 0
+
+    def add_pair_entry(self, pe) -> None:
+        for ph in getattr(pe, "final_paired_hits", []) or []:
+            self.total += 1
+            if getattr(ph, "improper_mapping", False):
+                continue
+            b = (ph.insert_size - self.min) // self.bucket_size
+            self.hist[min(max(b, 0), 99)] += 1
+
+    def print(self, out=sys.stderr) -> None:
+        for i in range(100):
+            lo = self.min + i * self.bucket_size
+            hi = self.min + (i + 1) * self.bucket_size - 1
+            pct = (0.0 if self.total == 0
+                   else self.hist[i] / self.total * 100)
+            print(f"[{lo}-{hi}]: {pct:.2f}%", file=out)
+
+
 def cmd_index(args) -> int:
     mode = C.MODE_COLOUR_SPACE if args.cs else C.MODE_LETTER_SPACE
     idx = load_or_build_index(args.genome, args.seeds, mode,
                               mirna=args.mode == "mirna",
                               hashed=getattr(args, "hash_spaced_kmers",
                                              False) or args.mode == "mirna")
-    idx.save(args.output)
+    if args.save_mmap:
+        idx.save_mmap(args.output)
+    else:
+        idx.save(args.output)
     print(f"Saved genome index to {args.output}", file=sys.stderr)
     return 0
 
@@ -229,6 +301,10 @@ def cmd_map(args) -> int:
 
     paired = cfg.pair_mode != C.PAIR_NONE
     mapper = PairedMapper(idx, cfg) if paired else Mapper(idx, cfg)
+    if args.index_histogram:
+        print_index_histogram(idx, mapper.cutoff)
+    ins_hist = (InsertHistogram(cfg.min_insert_size, cfg.max_insert_size)
+                if args.insert_histogram and paired else None)
 
     fastq = args.fastq or detect_fastq(args.reads)
     out = sys.stdout
@@ -266,6 +342,8 @@ def cmd_map(args) -> int:
         if paired:
             pairs = mapper.map_paired(batch)
             for pe in pairs:
+                if ins_hist is not None:
+                    ins_hist.add_pair_entry(pe)
                 p_out, u_out = mapper.select_output(pe)
                 for line in sam.render_pair_entry(pe, idx, cfg, p_out,
                                                   u_out, fastq=fastq):
@@ -325,7 +403,9 @@ def cmd_map(args) -> int:
           f"({nreads/max(dt,1e-9):.0f} reads/s, "
           f"{nreads/max(dt,1e-9)*3600:.0f} reads/hour); "
           f"{total_lines} alignments", file=sys.stderr)
-    mapper.stats.report(sys.stderr)
+    if ins_hist is not None:
+        ins_hist.print(sys.stderr)
+    mapper.stats.report(sys.stderr, detailed=args.detailed_stats)
     if un_f:
         un_f.close()
     if al_f:
@@ -356,6 +436,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_idx.add_argument("--cs", action="store_true")
     p_idx.add_argument("-M", "--mode", default=None)
     p_idx.add_argument("-H", "--hash-spaced-kmers", action="store_true")
+    p_idx.add_argument("--save-mmap", action="store_true",
+                       help="save a raw mmap-able image directory for "
+                       "instant warm loads (genome.c:290-667 analogue)")
 
     p_map = sub.add_parser("map", help="map reads", add_help=False)
     p_map.add_argument("--help", action="help")
@@ -376,6 +459,48 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_mrg.add_argument("--insert-size-stddev", type=float,
                        default=C.DEF_INSERT_SIZE_STDDEV)
 
+    p_sdb = sub.add_parser(
+        "split-db", help="bin-pack contigs into RAM-budget genome chunks "
+        "(utils/split-db.py)")
+    p_sdb.add_argument("genome", nargs="+")
+    p_sdb.add_argument("--ram-size", type=float, required=True,
+                       help="per-chunk RAM budget in GB")
+    p_sdb.add_argument("--prefix", required=True)
+    p_sdb.add_argument("--n-seeds", type=int, default=4)
+    p_sdb.add_argument("--seed-weight", type=int, default=12)
+
+    p_pdb = sub.add_parser(
+        "project-db", help="pre-build a saved index per genome chunk "
+        "(utils/project-db.py / gmapper -S)")
+    p_pdb.add_argument("chunks", nargs="+",
+                       help="chunk fasta files from split-db")
+    p_pdb.add_argument("-s", "--seeds", default=None)
+    p_pdb.add_argument("--cs", action="store_true")
+    p_pdb.add_argument("-H", "--hash-spaced-kmers", action="store_true")
+
+    p_srd = sub.add_parser(
+        "split-reads", help="split a read file into N chunks "
+        "(utils/splitreads.py)")
+    p_srd.add_argument("reads")
+    p_srd.add_argument("-n", "--n-chunks", type=int, required=True)
+    p_srd.add_argument("--prefix", required=True)
+    p_srd.add_argument("--paired", action="store_true",
+                       help="keep read pairs together")
+
+    p_f2q = sub.add_parser("fasta2fastq",
+                           help="fasta + .qual -> fastq (mergesam tool)")
+    p_f2q.add_argument("fasta")
+    p_f2q.add_argument("qual")
+
+    p_lin = sub.add_parser("lineindex",
+                           help="byte offset of every line (mergesam tool)")
+    p_lin.add_argument("file")
+
+    p_s2s = sub.add_parser("shrimp2sam",
+                           help="legacy SHRiMP-format output -> SAM")
+    p_s2s.add_argument("reads")
+    p_s2s.add_argument("shrimp_output")
+
     args = ap.parse_args(argv)
     if args.cmd == "index":
         return cmd_index(args)
@@ -383,6 +508,40 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_map(args)
     if args.cmd == "merge":
         return cmd_merge(args)
+    if args.cmd == "split-db":
+        from .tools.split import split_db
+        split_db(args.genome, args.ram_size, args.prefix,
+                 n_seeds=args.n_seeds, weight=args.seed_weight)
+        return 0
+    if args.cmd == "project-db":
+        mode = C.MODE_COLOUR_SPACE if args.cs else C.MODE_LETTER_SPACE
+        for chunk in args.chunks:
+            idx = load_or_build_index([chunk], args.seeds, mode,
+                                      hashed=args.hash_spaced_kmers)
+            out_path = chunk.rsplit(".", 1)[0] + ".npz"
+            idx.save(out_path)
+            print(f"Saved {out_path}", file=sys.stderr)
+        return 0
+    if args.cmd == "split-reads":
+        from .tools.split import split_reads
+        split_reads(args.reads, args.n_chunks, args.prefix,
+                    paired=args.paired)
+        return 0
+    if args.cmd == "fasta2fastq":
+        from .tools.split import fasta2fastq
+        fasta2fastq(args.fasta, args.qual, sys.stdout)
+        return 0
+    if args.cmd == "lineindex":
+        from .tools.split import lineindex
+        lineindex(args.file, sys.stdout)
+        return 0
+    if args.cmd == "shrimp2sam":
+        from .io.fasta import read_seqs
+        from .tools.shrimp2sam import shrimp2sam
+        reads = {r.name: r.seq for r in read_seqs(args.reads)}
+        with open(args.shrimp_output) as f:
+            shrimp2sam(f, reads, sys.stdout)
+        return 0
     return 1
 
 

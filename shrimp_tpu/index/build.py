@@ -120,6 +120,69 @@ class GenomeIndex:
             gi.build_cs_projection()
         return gi
 
+    def save_mmap(self, dirpath: str) -> None:
+        """Warm-index cache: one raw .npy per array so later runs map the
+        pages instead of re-reading/re-deriving them — the analogue of the
+        reference's POSIX-shm index image (--save-mmap/--load-mmap,
+        genome.c:290-667). Derived arrays (revcomp, CS projection) are
+        stored too, making load_mmap O(1) regardless of genome size.
+        """
+        import os
+        os.makedirs(dirpath, exist_ok=True)
+        meta = {
+            "mode": self.mode,
+            "contig_names": self.contig_names,
+            "is_rna": self.is_rna,
+            "seeds": [si.seed.mask_string for si in self.seeds],
+            "hashed": self.hashed,
+        }
+        with open(os.path.join(dirpath, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if self.mode == C.MODE_COLOUR_SPACE and self.cs_codes is None:
+            self.build_cs_projection()
+        arrays = {
+            "contig_offsets": self.contig_offsets,
+            "contig_lengths": self.contig_lengths,
+            "codes": self.codes,
+            "codes_rc": self.codes_rc,
+        }
+        if self.cs_codes is not None:
+            arrays["cs_codes"] = self.cs_codes
+            arrays["cs_codes_rc"] = self.cs_codes_rc
+        for i, si in enumerate(self.seeds):
+            arrays[f"seed{i}_offsets"] = si.offsets
+            arrays[f"seed{i}_positions"] = si.positions
+        for name, arr in arrays.items():
+            np.save(os.path.join(dirpath, name + ".npy"), arr)
+
+    @staticmethod
+    def load_mmap(dirpath: str) -> "GenomeIndex":
+        """Map a save_mmap image; arrays are lazily paged by the OS
+        (genome_load_mmap, genome.c:606-667)."""
+        import os
+
+        def m(name):
+            return np.load(os.path.join(dirpath, name + ".npy"),
+                           mmap_mode="r")
+
+        with open(os.path.join(dirpath, "meta.json")) as f:
+            meta = json.load(f)
+        seeds = []
+        for i, s in enumerate(meta["seeds"]):
+            seeds.append(SeedIndex(seed=Seed(s), offsets=m(f"seed{i}_offsets"),
+                                   positions=m(f"seed{i}_positions")))
+        gi = GenomeIndex(
+            mode=meta["mode"], contig_names=list(meta["contig_names"]),
+            contig_offsets=np.asarray(m("contig_offsets")),
+            contig_lengths=np.asarray(m("contig_lengths")),
+            codes=m("codes"), codes_rc=m("codes_rc"), seeds=seeds,
+            is_rna=bool(meta["is_rna"]),
+            hashed=bool(meta.get("hashed", False)))
+        if os.path.exists(os.path.join(dirpath, "cs_codes.npy")):
+            gi.cs_codes = m("cs_codes")
+            gi.cs_codes_rc = m("cs_codes_rc")
+        return gi
+
     def build_cs_projection(self) -> None:
         """Per-contig colour-space projection (genome.c:1116-1126)."""
         self.cs_codes = _per_contig_cs(self.codes, self.contig_offsets,

@@ -1,0 +1,134 @@
+"""Offline sharding workflow: split-db / split-reads / project-db.
+
+Recreates the reference's cluster workflow scripts (utils/split-db.py,
+utils/splitreads.py, utils/project-db.py; README:236-352): bin-pack whole
+contigs into RAM-budget chunks (contigs are never split, README:158-166),
+split read files on read/pair boundaries, and pre-build one saved index
+per genome chunk. The per-chunk SAM outputs recombine exactly with
+`shrimp_tpu merge` (mergesam semantics) or on-device with
+parallel.sharded.ShardedMapper.
+"""
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional, Tuple
+
+from ..io.fasta import read_fasta, read_seqs
+
+
+def index_ram_bytes(genome_len: int, n_seeds: int, weight: int) -> int:
+    """RAM model for an index over a genome of `genome_len` bases
+    (README:128-150): L*K*4 + K*4^min(W,12)*(4+ptr) + 50MB."""
+    return (genome_len * n_seeds * 4
+            + n_seeds * 4 ** min(weight, 12) * 12
+            + 50_000_000)
+
+
+def split_db(genome_files: List[str], ram_size_gb: float, prefix: str,
+             n_seeds: int = 4, weight: int = 12,
+             out=sys.stderr) -> List[str]:
+    """Greedy in-order bin-packing of whole contigs into chunk fasta
+    files sized so each chunk's index fits in `ram_size_gb`
+    (utils/split-db.py semantics)."""
+    budget = int(ram_size_gb * (1 << 30))
+    fixed = index_ram_bytes(0, n_seeds, weight)
+    chunk_paths: List[str] = []
+    cur_len = 0
+    cur_f = None
+
+    def open_chunk():
+        path = f"{prefix}-{len(chunk_paths):04d}.fa"
+        chunk_paths.append(path)
+        return open(path, "w")
+
+    for path in genome_files:
+        for rec in read_fasta(path):
+            cost = index_ram_bytes(len(rec.seq), n_seeds, weight) - fixed
+            if cur_f is None or (cur_len and
+                                 fixed + cur_len + cost > budget):
+                if cur_f:
+                    cur_f.close()
+                cur_f = open_chunk()
+                cur_len = 0
+            if fixed + cost > budget and cur_len == 0:
+                print(f"warning: contig {rec.name} alone exceeds the "
+                      f"RAM budget; emitting it as its own chunk",
+                      file=out)
+            cur_f.write(f">{rec.name}\n")
+            for i in range(0, len(rec.seq), 70):
+                cur_f.write(rec.seq[i:i + 70] + "\n")
+            cur_len += cost
+    if cur_f:
+        cur_f.close()
+    print(f"split into {len(chunk_paths)} chunk(s)", file=out)
+    return chunk_paths
+
+
+def split_reads(reads_file: str, n_chunks: int, prefix: str,
+                paired: bool = False, fastq: Optional[bool] = None,
+                out=sys.stderr) -> List[str]:
+    """Split a read file into `n_chunks` round-sized pieces on read (or
+    pair) boundaries (utils/splitreads.py)."""
+    recs = list(read_seqs(reads_file, fastq=fastq))
+    unit = 2 if paired else 1
+    n_units = (len(recs) + unit - 1) // unit
+    per = (n_units + n_chunks - 1) // n_chunks
+    paths = []
+    for c in range(n_chunks):
+        lo, hi = c * per * unit, min((c + 1) * per * unit, len(recs))
+        if lo >= hi:
+            break
+        path = f"{prefix}-{c:04d}" + (".fq" if recs[0].qual else ".fa")
+        paths.append(path)
+        with open(path, "w") as f:
+            for r in recs[lo:hi]:
+                if r.qual is not None:
+                    f.write(f"@{r.name}\n{r.seq}\n+\n{r.qual}\n")
+                else:
+                    f.write(f">{r.name}\n{r.seq}\n")
+    print(f"split {len(recs)} reads into {len(paths)} chunk(s)", file=out)
+    return paths
+
+
+def fasta2fastq(fasta_path: str, qual_path: str, out) -> int:
+    """fasta + qual -> fastq (mergesam/fasta2fastq.c). Quality files hold
+    space-separated numeric QVs per record."""
+    seqs = list(read_fasta(fasta_path))
+    quals: List[Tuple[str, List[int]]] = []
+    name, vals = None, []
+    with open(qual_path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if name is not None:
+                    quals.append((name, vals))
+                name, vals = line[1:].split()[0], []
+            elif line:
+                vals.extend(int(x) for x in line.split())
+    if name is not None:
+        quals.append((name, vals))
+    qd = dict(quals)
+    n = 0
+    for rec in seqs:
+        q = qd.get(rec.name)
+        if q is None or len(q) != len(rec.seq):
+            print(f"warning: no matching quality for {rec.name}",
+                  file=sys.stderr)
+            continue
+        out.write(f"@{rec.name}\n{rec.seq}\n+\n"
+                  + "".join(chr(33 + min(v, 93)) for v in q) + "\n")
+        n += 1
+    return n
+
+
+def lineindex(path: str, out) -> int:
+    """Byte offset of every line (mergesam/lineindex.c)."""
+    n = 0
+    off = 0
+    with open(path, "rb") as f:
+        for line in f:
+            out.write(f"{off}\n")
+            off += len(line)
+            n += 1
+    return n

@@ -29,7 +29,10 @@ class MapperStats:
     def add_stage(self, name: str, secs: float) -> None:
         self.stage_secs[name] = self.stage_secs.get(name, 0.0) + secs
 
-    def report(self, out: TextIO = sys.stderr) -> None:
+    def report(self, out: TextIO = sys.stderr, detailed: bool = False
+               ) -> None:
+        """detailed=True adds the per-stage table (-D, gmapper.c:693-1006
+        thread/stage breakdown)."""
         wall = time.time() - self.started
         p = lambda *a: print(*a, file=out)
         p("Statistics:")
@@ -58,7 +61,7 @@ class MapperStats:
         if self.full_secs > 0:
             p(f"        Cells per Second:       "
               f"{self.full_cells / self.full_secs / 1e6:.2f} million")
-        if self.stage_secs:
+        if detailed and self.stage_secs:
             p("")
             p("    Per-stage wall clock:")
             for name, secs in sorted(self.stage_secs.items()):

@@ -77,3 +77,25 @@ def test_contig_of():
     idx = build_index([("a", g), ("b", g2)], [Seed("111")])
     np.testing.assert_array_equal(idx.contig_of(np.array([0, 99, 100, 149])),
                                   [0, 0, 1, 1])
+
+
+def test_index_mmap_roundtrip(tmp_path):
+    import os
+
+    import numpy as np
+
+    from shrimp_tpu.core import encode
+    from shrimp_tpu.index.build import GenomeIndex, build_index
+    from shrimp_tpu.index.seeds import default_seeds
+    rng = np.random.default_rng(9)
+    seq = "".join(rng.choice(list("ACGT"), 4000))
+    idx = build_index([("c", encode.encode_ls(seq))], default_seeds())
+    d = os.path.join(str(tmp_path), "img")
+    idx.save_mmap(d)
+    back = GenomeIndex.load_mmap(d)
+    assert np.array_equal(back.codes, idx.codes)
+    assert np.array_equal(back.codes_rc, idx.codes_rc)
+    assert back.contig_names == idx.contig_names
+    for a, b in zip(back.seeds, idx.seeds):
+        assert a.seed.mask_string == b.seed.mask_string
+        assert np.array_equal(np.asarray(a.positions), b.positions)

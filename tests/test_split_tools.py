@@ -1,0 +1,125 @@
+"""Offline sharding workflow tests: split-db / split-reads / project-db
+CLI equivalents of utils/split-db.py, splitreads.py, project-db.py, plus
+the small mergesam-family tools (fasta2fastq, lineindex).
+
+The workflow correctness criterion is the reference's own
+(SPLITTING_AND_MERGING): map per chunk, merge, and the result must equal
+the whole-genome run.
+"""
+import io
+import os
+
+import numpy as np
+
+from shrimp_tpu.cli import main as cli_main
+from shrimp_tpu.io.fasta import read_fasta, read_seqs
+from shrimp_tpu.tools.split import (fasta2fastq, lineindex, split_db,
+                                    split_reads)
+
+
+def _write_fa(path, recs):
+    with open(path, "w") as f:
+        for name, seq in recs:
+            f.write(f">{name}\n{seq}\n")
+
+
+def test_split_db_bins_whole_contigs(tmp_path):
+    rng = np.random.default_rng(3)
+    contigs = [(f"c{i}", "".join(rng.choice(list("ACGT"), 5000)))
+               for i in range(6)]
+    gpath = os.path.join(str(tmp_path), "g.fa")
+    _write_fa(gpath, contigs)
+    # budget chosen so several chunks are produced
+    prefix = os.path.join(str(tmp_path), "chunk")
+    paths = split_db([gpath], ram_size_gb=0.0471, prefix=prefix,
+                     n_seeds=4, weight=12, out=io.StringIO())
+    assert len(paths) > 1
+    seen = []
+    for p in paths:
+        for rec in read_fasta(p):
+            seen.append((rec.name, rec.seq))
+    assert seen == contigs  # whole contigs, original order, none split
+
+
+def test_split_reads_pairs_stay_together(tmp_path):
+    recs = [(f"r{i}/{1 + i % 2}", "ACGTACGTAC") for i in range(30)]
+    rpath = os.path.join(str(tmp_path), "r.fa")
+    _write_fa(rpath, recs)
+    paths = split_reads(rpath, 4, os.path.join(str(tmp_path), "rs"),
+                        paired=True, out=io.StringIO())
+    back = []
+    for p in paths:
+        chunk = list(read_seqs(p))
+        assert len(chunk) % 2 == 0  # pair boundary respected
+        back.extend((r.name, r.seq) for r in chunk)
+    assert back == recs
+
+
+def test_split_project_map_merge_equals_whole(tmp_path):
+    rng = np.random.default_rng(11)
+    g1 = "".join(rng.choice(list("ACGT"), 20000))
+    g2 = "".join(rng.choice(list("ACGT"), 20000))
+    d = str(tmp_path)
+    _write_fa(os.path.join(d, "g.fa"), [("c1", g1), ("c2", g2)])
+    reads = []
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    for k in range(20):
+        src = g1 if k % 2 == 0 else g2
+        p = int(rng.integers(0, len(src) - 36))
+        r = src[p:p + 36]
+        if k % 3 == 0:
+            r = "".join(comp[c] for c in reversed(r))
+        reads.append((f"q{k}", r))
+    rpath = os.path.join(d, "reads.fa")
+    _write_fa(rpath, reads)
+
+    import contextlib
+    import sys
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli_main(argv)
+        assert rc == 0
+        return buf.getvalue()
+
+    cli_main(["split-db", os.path.join(d, "g.fa"), "--ram-size", "0.0471",
+              "--prefix", os.path.join(d, "chunk")])
+    chunks = sorted(p for p in os.listdir(d) if p.startswith("chunk")
+                    and p.endswith(".fa"))
+    assert len(chunks) == 2
+    cli_main(["project-db"] + [os.path.join(d, c) for c in chunks])
+
+    whole = run(["map", rpath, os.path.join(d, "g.fa")])
+    shard_sams = []
+    for c in chunks:
+        npz = os.path.join(d, c.rsplit(".", 1)[0] + ".npz")
+        assert os.path.exists(npz)
+        sam_path = os.path.join(d, c + ".sam")
+        with open(sam_path, "w") as f:
+            f.write(run(["map", rpath, npz]))
+        shard_sams.append(sam_path)
+    merged = run(["merge", rpath] + shard_sams)
+
+    body = lambda s: sorted(l for l in s.splitlines()
+                            if l and not l.startswith("@"))
+    assert body(merged) == body(whole)
+
+
+def test_fasta2fastq_and_lineindex(tmp_path):
+    d = str(tmp_path)
+    fa = os.path.join(d, "x.fa")
+    qu = os.path.join(d, "x.qual")
+    _write_fa(fa, [("a", "ACGT"), ("b", "GGTT")])
+    with open(qu, "w") as f:
+        f.write(">a\n30 31 32 33\n>b\n2 3 4 5\n")
+    out = io.StringIO()
+    n = fasta2fastq(fa, qu, out)
+    assert n == 2
+    lines = out.getvalue().splitlines()
+    assert lines[0] == "@a" and lines[1] == "ACGT"
+    assert lines[3] == "".join(chr(33 + v) for v in (30, 31, 32, 33))
+    out2 = io.StringIO()
+    n2 = lineindex(fa, out2)
+    offs = [int(x) for x in out2.getvalue().split()]
+    assert n2 == 4 and offs[0] == 0 and offs[1] == len(">a\n")
