@@ -109,7 +109,7 @@ def measure_baseline(gpath, rpath) -> float:
         return FALLBACK_BASELINE
 
 
-def main():
+def run_measurement():
     idx, reads, gpath, rpath = get_dataset()
     from shrimp_tpu.config import MapperConfig
     from shrimp_tpu.io.fasta import SeqRecord
@@ -140,6 +140,42 @@ def main():
     }))
     print(f"# mapped alignment lines: {n_lines}; baseline(1-core gmapper): "
           f"{baseline:.0f} reads/s", file=sys.stderr)
+
+
+def main():
+    """Robust driver: run the measurement in a child process so a wedged
+    remote TPU compile service cannot hang the whole benchmark; fall back
+    to the CPU backend (still one JSON line) if the TPU attempt exceeds
+    its budget."""
+    if "--inner" in sys.argv:
+        run_measurement()
+        return
+    budget = float(os.environ.get("SHRIMP_TPU_BENCH_BUDGET", "2100"))
+    env = dict(os.environ)
+    for attempt, (label, extra_env, tmo) in enumerate((
+            ("tpu", {}, budget),
+            ("cpu-fallback", {"JAX_PLATFORMS": "cpu"}, 560.0))):
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                capture_output=True, text=True, timeout=tmo,
+                env={**env, **extra_env})
+        except subprocess.TimeoutExpired:
+            print(f"# bench {label} attempt exceeded {tmo:.0f}s; "
+                  "falling back", file=sys.stderr)
+            continue
+        out = [l for l in res.stdout.splitlines() if l.startswith("{")]
+        if res.returncode == 0 and out:
+            print(out[-1])
+            sys.stderr.write(res.stderr[-2000:])
+            return
+        print(f"# bench {label} attempt failed rc={res.returncode}",
+              file=sys.stderr)
+        sys.stderr.write(res.stderr[-2000:])
+    # nothing succeeded: emit a zero line rather than nothing
+    print(json.dumps({
+        "metric": "reads_per_sec_ecoli_36bp_unpaired_ls",
+        "value": 0.0, "unit": "reads/s/chip", "vs_baseline": 0.0}))
 
 
 if __name__ == "__main__":
