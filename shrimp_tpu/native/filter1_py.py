@@ -120,37 +120,82 @@ def generate_candidates_native(index, codes: np.ndarray, read_len: int,
         max(si.seed.span for si in index.seeds), index.total_len,
         index.n_contigs, c_off.ctypes.data, c_len.ctypes.data)
 
-    cap = max(4 * n_owners * 32, 1 << 16)
-    while True:
-        owner = np.empty(cap, np.int64)
-        cn = np.empty(cap, np.int32)
-        g_off = np.empty(cap, np.int64)
-        w_len = np.empty(cap, np.int32)
-        swg = np.empty(cap, np.int64)
-        matches = np.empty(cap, np.int32)
-        score_max = np.empty(cap, np.int64)
-        ax = np.empty(cap, np.int64)
-        ay = np.empty(cap, np.int64)
-        alen = np.empty(cap, np.int64)
-        awid = np.empty(cap, np.int64)
-        seg = np.zeros(n_owners + 1, np.int64)
-        out = _Out(cap, owner.ctypes.data, cn.ctypes.data,
-                   g_off.ctypes.data, w_len.ctypes.data, swg.ctypes.data,
-                   matches.ctypes.data, score_max.ctypes.data,
-                   ax.ctypes.data, ay.ctypes.data, alen.ctypes.data,
-                   awid.ctypes.data)
-        n = lib.filter1_batch(
-            ctypes.byref(params), seed_specs,
-            ctypes.c_void_p(flat_codes.ctypes.data),
-            ctypes.c_int64(n_owners), ctypes.byref(out),
-            ctypes.c_void_p(seg.ctypes.data))
-        if n >= 0:
-            break
-        cap *= 4
-    if n == 0:
+    def run_range(o_lo: int, o_hi: int):
+        """One filter1_batch call over owner rows [o_lo, o_hi); owners in
+        the result are call-local (add o_lo to globalize)."""
+        n_own = o_hi - o_lo
+        cap = max(4 * n_own * 32, 1 << 16)
+        while True:
+            owner = np.empty(cap, np.int64)
+            cn = np.empty(cap, np.int32)
+            g_off = np.empty(cap, np.int64)
+            w_len = np.empty(cap, np.int32)
+            swg = np.empty(cap, np.int64)
+            matches = np.empty(cap, np.int32)
+            score_max = np.empty(cap, np.int64)
+            ax = np.empty(cap, np.int64)
+            ay = np.empty(cap, np.int64)
+            alen = np.empty(cap, np.int64)
+            awid = np.empty(cap, np.int64)
+            seg = np.zeros(n_own + 1, np.int64)
+            out = _Out(cap, owner.ctypes.data, cn.ctypes.data,
+                       g_off.ctypes.data, w_len.ctypes.data,
+                       swg.ctypes.data, matches.ctypes.data,
+                       score_max.ctypes.data, ax.ctypes.data,
+                       ay.ctypes.data, alen.ctypes.data, awid.ctypes.data)
+            n = lib.filter1_batch(
+                ctypes.byref(params), seed_specs,
+                ctypes.c_void_p(flat_codes.ctypes.data
+                                + o_lo * read_len),
+                ctypes.c_int64(n_own), ctypes.byref(out),
+                ctypes.c_void_p(seg.ctypes.data))
+            if n >= 0:
+                break
+            cap *= 4
+        return (n, owner, cn, g_off, w_len, swg, matches, score_max, ax,
+                ay, alen, awid, seg)
+
+    # the OpenMP analogue (launch_scan_threads, gmapper.c:287-645): the C
+    # call releases the GIL and its scratch state is thread_local, so
+    # contiguous read ranges fan out over host threads
+    import os as _os
+    nthreads = min(int(_os.environ.get("SHRIMP_TPU_FILTER1_THREADS",
+                                       _os.cpu_count() or 1)),
+                   max(1, N // 512))
+    if nthreads <= 1:
+        parts = [run_range(0, n_owners)]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        per = (N + nthreads - 1) // nthreads
+        ranges = [(2 * i * per, 2 * min((i + 1) * per, N))
+                  for i in range(nthreads) if i * per < N]
+        with ThreadPoolExecutor(len(ranges)) as ex:
+            parts = list(ex.map(lambda r: run_range(*r), ranges))
+
+    total = sum(p[0] for p in parts)
+    if total == 0:
         return _empty_flat(n_owners)
-    return FlatHits(owner=owner[:n], cn=cn[:n], g_off=g_off[:n],
-                    w_len=w_len[:n], score_window_gen=swg[:n],
-                    matches=matches[:n], score_max=score_max[:n],
-                    ax=ax[:n], ay=ay[:n], alen=alen[:n], awid=awid[:n],
-                    seg_start=seg)
+    if len(parts) == 1:
+        (n, owner, cn, g_off, w_len, swg, matches, score_max, ax, ay,
+         alen, awid, seg) = parts[0]
+        return FlatHits(owner=owner[:n], cn=cn[:n], g_off=g_off[:n],
+                        w_len=w_len[:n], score_window_gen=swg[:n],
+                        matches=matches[:n], score_max=score_max[:n],
+                        ax=ax[:n], ay=ay[:n], alen=alen[:n], awid=awid[:n],
+                        seg_start=seg)
+    cat = lambda k: np.concatenate([p[k][:p[0]] for p in parts])
+    own_parts = []
+    seg_parts = []
+    base_owner = 0
+    base_n = 0
+    for p in parts:
+        n_p = p[0]
+        own_parts.append(p[1][:n_p] + base_owner)
+        seg_parts.append(p[12][:-1] + base_n)
+        base_owner += len(p[12]) - 1
+        base_n += n_p
+    seg_all = np.concatenate(seg_parts + [np.array([base_n], np.int64)])
+    return FlatHits(owner=np.concatenate(own_parts), cn=cat(2),
+                    g_off=cat(3), w_len=cat(4), score_window_gen=cat(5),
+                    matches=cat(6), score_max=cat(7), ax=cat(8), ay=cat(9),
+                    alen=cat(10), awid=cat(11), seg_start=seg_all)
