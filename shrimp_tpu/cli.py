@@ -213,10 +213,12 @@ def load_or_build_index(genome_args: List[str], seeds_spec: Optional[str],
     return build_index(contigs, seeds, mode=mode, hashed=hashed)
 
 
-def print_index_histogram(idx, list_cutoff: int, out=sys.stderr) -> None:
+def print_index_histogram(idx, list_cutoff: int, out=None) -> None:
     """-Y: per-seed list-length stats + 100-bucket histogram
     (print_genomemap_stats, genome.c:834-902)."""
     import numpy as np
+    if out is None:
+        out = sys.stderr
     print("Genome Map stats:", file=out)
     cutoff = list_cutoff if list_cutoff else (1 << 62)
     for sn, si in enumerate(idx.seeds):
@@ -263,7 +265,9 @@ class InsertHistogram:
             b = (ph.insert_size - self.min) // self.bucket_size
             self.hist[min(max(b, 0), 99)] += 1
 
-    def print(self, out=sys.stderr) -> None:
+    def print(self, out=None) -> None:
+        if out is None:
+            out = sys.stderr
         for i in range(100):
             lo = self.min + i * self.bucket_size
             hi = self.min + (i + 1) * self.bucket_size - 1
