@@ -505,7 +505,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_s2s.add_argument("reads")
     p_s2s.add_argument("shrimp_output")
 
+    # legacy SHRiMP1 statistics tools take their own argv verbatim
+    # (probcalc/probcalc_mp/prettyprint/shrimp_var, SURVEY §2.5)
+    for tool in ("probcalc", "probcalc-mp", "prettyprint", "shrimp-var"):
+        p_t = sub.add_parser(
+            tool, add_help=False,
+            help="legacy %s tool (args passed through)"
+            % tool.replace("-", "_"))
+        p_t.add_argument("tool_args", nargs=argparse.REMAINDER)
+
     args = ap.parse_args(argv)
+    if args.cmd in ("probcalc", "probcalc-mp", "prettyprint",
+                    "shrimp-var"):
+        import importlib
+        mod = importlib.import_module(
+            ".tools." + args.cmd.replace("-", "_"), __package__)
+        return mod.main(args.tool_args)
     if args.cmd == "index":
         return cmd_index(args)
     if args.cmd == "map":

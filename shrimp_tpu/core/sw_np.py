@@ -219,8 +219,13 @@ def sw_full_ls(genome: np.ndarray, read: np.ndarray,
                           a_gap_ext, b_gap_open, b_gap_ext, threshscore,
                           maxscore, revcmpl, None, -1, True)
 
-    return _backtrace(genome, read, nw, n, w, bnw, bn, bw,
-                      int(score), max_i, max_j)
+    res = _backtrace(genome, read, nw, n, w, bnw, bn, bw,
+                     int(score), max_i, max_j)
+    if local_alignment and score != maxscore:
+        # unbanded local miss: NDEBUG reference returns score 0 while
+        # keeping the max-cell backtrace (sw-full-ls.c:394-401)
+        res.score = 0
+    return res
 
 
 def _join2_rect(a0, a1):
