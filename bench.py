@@ -116,18 +116,31 @@ def run_measurement():
     from shrimp_tpu.io.sam import render_unpaired
     from shrimp_tpu.mapper import Mapper
 
+    from shrimp_tpu.fastpath import map_unpaired_sam_stream
+
     cfg = MapperConfig()
     m = Mapper(idx, cfg)
     recs = [SeqRecord(n, s) for n, s in reads]
     # warmup: compile kernels
-    m.map_unpaired(recs[:256])
+    warm = map_unpaired_sam_stream(m, recs[:256], batch_size=256)
+    if warm is not None:
+        for _ in warm:
+            pass
+    else:
+        m.map_unpaired(recs[:256])
 
+    bs = int(os.environ.get("SHRIMP_TPU_BENCH_BATCH", "4096"))
     t0 = time.time()
     n_lines = 0
-    for re_, hits in m.map_unpaired_stream(recs, batch_size=len(recs)):
-        for h in hits:
-            n_lines += 1
-            render_unpaired(re_, h, idx, cfg)
+    gen = map_unpaired_sam_stream(m, recs, batch_size=bs)
+    if gen is not None:
+        for chunk in gen:
+            n_lines += chunk.count(b"\n")
+    else:
+        for re_, hits in m.map_unpaired_stream(recs, batch_size=len(recs)):
+            for h in hits:
+                n_lines += 1
+                render_unpaired(re_, h, idx, cfg)
     dt = time.time() - t0
     rate = len(recs) / dt
 

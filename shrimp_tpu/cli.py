@@ -385,6 +385,34 @@ def cmd_map(args) -> int:
                 if un_f and not hits:
                     write_read(un_f, re_)
 
+    # Flat-array fast path (fastpath.py): LS unpaired SAM straight to
+    # bytes, pipelined across batches. Falls back per-window when a
+    # batch shape is unsupported.
+    use_fast = False
+    if (not paired and not cfg.shrimp_format and not fastq
+            and un_f is None and al_f is None):
+        from .fastpath import fastpath_supported, map_unpaired_sam_stream
+        use_fast = fastpath_supported(cfg)
+    win_size = max(8 * B, 32768) if use_fast else B
+    out_b = getattr(out, "buffer", None)
+
+    def flush_window(win):
+        nonlocal total_lines
+        if not win:
+            return
+        gen = map_unpaired_sam_stream(mapper, win, batch_size=B)
+        if gen is None:
+            for off in range(0, len(win), B):
+                flush(win[off:off + B])
+            return
+        for chunk in gen:
+            total_lines += chunk.count(b"\n")
+            if out_b is not None:
+                out_b.write(chunk)
+            else:
+                out.write(chunk.decode())
+
+    do_flush = flush_window if use_fast else flush
     from .io.fasta import SeqRecord
     for rec in read_seqs(args.reads, fastq=fastq):
         if args.trim_front or args.trim_end:
@@ -394,14 +422,14 @@ def cmd_map(args) -> int:
                             if rec.qual else None)
         batch.append(rec)
         nreads += 1
-        if len(batch) >= B:
-            flush(batch)
+        if len(batch) >= win_size:
+            do_flush(batch)
             batch = []
-            if args.progress and nreads % args.progress < B:
+            if args.progress and nreads % args.progress < win_size:
                 dt = time.time() - t0
                 print(f"{nreads} reads, {nreads/dt:.0f} reads/s",
                       file=sys.stderr)
-    flush(batch)
+    do_flush(batch)
     dt = time.time() - t0
     print(f"Mapped {nreads} reads in {dt:.1f}s "
           f"({nreads/max(dt,1e-9):.0f} reads/s, "

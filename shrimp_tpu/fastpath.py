@@ -1,0 +1,457 @@
+"""Flat-array fast path for letter-space unpaired mapping to SAM.
+
+The generic pipeline in mapper.py materializes a Hit object per
+surviving candidate; this module keeps the whole post-filter1 flow in
+flat numpy arrays plus two native calls (native/hostpipe.cpp):
+
+    filter1 (native)  ->  vector SW (device)  ->  pass1_select (native)
+    -> full SW + traceback (device, batched)  ->  finalize_render
+    (native: threshold/dedup/sort/MQV/SAM text)
+
+Selections, scores, MQVs and SAM bytes are identical to the generic
+path (and to gmapper -E); tests/test_fastpath.py asserts both.
+Falls back (returns None) whenever the configuration needs a feature
+only the generic path implements.
+"""
+from __future__ import annotations
+
+import ctypes
+import time as _time
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import constants as C
+from .config import MapperConfig, abs_or_pct
+from .io.fasta import SeqRecord
+from .mapper import FULL_BATCH, _round_up
+
+# SAM seq cleaning LUTs (io/sam.py _CLEAN_TBL / _COMP_TBL as byte maps)
+_CLEAN_LUT = np.arange(256, dtype=np.uint8)
+for _c in range(128):
+    _u = chr(_c).upper()
+    if _u in "RYSWKMBDHV":
+        _CLEAN_LUT[_c] = ord("N")
+    elif len(_u) == 1 and ord(_u) < 256:
+        _CLEAN_LUT[_c] = ord(_u)
+_COMP_LUT = np.arange(256, dtype=np.uint8)
+for _a, _b in (("A", "T"), ("T", "A"), ("C", "G"), ("G", "C")):
+    _COMP_LUT[ord(_a)] = ord(_b)
+
+
+def fastpath_supported(cfg: MapperConfig) -> bool:
+    """Gate: the C renderer covers the default LS unpaired SAM flow."""
+    return (cfg.mode == C.MODE_LETTER_SPACE
+            and cfg.pair_mode == C.PAIR_NONE
+            and len(cfg.unpaired_options()) == 1
+            and not cfg.gapless
+            and cfg.global_alignment
+            and cfg.compute_mapping_qualities
+            and not cfg.all_contigs
+            and not cfg.extra_sam_fields
+            and not cfg.sam_r2
+            and cfg.read_group_name is None
+            and not cfg.sam_unaligned
+            and not cfg.shrimp_format
+            and cfg.search_forward and cfg.search_reverse)
+
+
+class _P1Params(ctypes.Structure):
+    _fields_ = [("n", ctypes.c_int64), ("n_owners", ctypes.c_int64),
+                ("read_len", ctypes.c_int32),
+                ("window_len", ctypes.c_int32),
+                ("overlap", ctypes.c_int32), ("threshold", ctypes.c_double),
+                ("min_matches", ctypes.c_int32),
+                ("num_outputs", ctypes.c_int32),
+                ("normalize", ctypes.c_int32),
+                ("contig_lengths", ctypes.c_void_p)]
+
+
+class _P1In(ctypes.Structure):
+    _fields_ = [(f, ctypes.c_void_p) for f in
+                ("owner", "cn", "g_off", "w_len", "matches", "score_max",
+                 "ax", "ay", "alen", "awid", "scores")]
+
+
+class _P1Out(ctypes.Structure):
+    _fields_ = [("cap", ctypes.c_int64)] + \
+        [(f, ctypes.c_void_p) for f in
+         ("ri", "gen_st", "cn", "g_off", "w_len", "score_max", "ax", "ay",
+          "alen", "awid", "score_vector", "seg")]
+
+
+class _FRParams(ctypes.Structure):
+    _fields_ = [("n_jobs", ctypes.c_int64), ("n_reads", ctypes.c_int64),
+                ("read_len", ctypes.c_int32), ("ops_words", ctypes.c_int32),
+                ("sw_full_threshold", ctypes.c_double),
+                ("num_outputs", ctypes.c_int32), ("strata", ctypes.c_int32),
+                ("max_alignments", ctypes.c_int32),
+                ("single_best", ctypes.c_int32),
+                ("compute_mqv", ctypes.c_int32),
+                ("alpha", ctypes.c_double), ("beta", ctypes.c_double),
+                ("contig_lengths", ctypes.c_void_p),
+                ("contig_name_off", ctypes.c_void_p),
+                ("contig_names", ctypes.c_void_p),
+                ("name_off", ctypes.c_void_p), ("names", ctypes.c_void_p),
+                ("seq_fwd", ctypes.c_void_p), ("seq_rc", ctypes.c_void_p)]
+
+
+class _FRJobs(ctypes.Structure):
+    _fields_ = [(f, ctypes.c_void_p) for f in
+                ("ri", "cn", "gen_st", "g_off", "score_max", "packed",
+                 "ops_pk")]
+
+
+def _vp(a: np.ndarray) -> ctypes.c_void_p:
+    return ctypes.c_void_p(a.ctypes.data)
+
+
+class FastLS:
+    """Per-Mapper fast-path state (padded genome, contig name blobs)."""
+
+    def __init__(self, mapper) -> None:
+        from .native import get_lib
+        self.lib = get_lib()
+        self.m = mapper
+        idx = mapper.index
+        # genome padded by a gather-width margin so window gathers never
+        # need clipping
+        pad = 4096
+        self.codes_pad = np.concatenate(
+            [idx.codes, np.full(pad, 255, np.uint8)])
+        self.codes_rc_pad = np.concatenate(
+            [idx.codes_rc, np.full(pad, 255, np.uint8)])
+        blob = b""
+        offs = [0]
+        for nm in idx.contig_names:
+            blob += nm.encode()
+            offs.append(len(blob))
+        self.contig_names_blob = np.frombuffer(blob, np.uint8).copy() \
+            if blob else np.zeros(1, np.uint8)
+        self.contig_name_off = np.array(offs, np.int32)
+        self.contig_lengths32 = np.ascontiguousarray(idx.contig_lengths,
+                                                     np.uint32)
+
+    # ---------------------------------------------------------- stage A
+    def stage_prepare(self, records: Sequence[SeqRecord]):
+        """Encode batch + filter1 + async vector-SW dispatch. Returns
+        None when the batch shape is unsupported (caller falls back)."""
+        m = self.m
+        cfg = m.config
+        t0 = _time.perf_counter()
+        if not records:
+            return None
+        L = len(records[0].seq)
+        if L == 0 or L > cfg.longest_read_len:
+            return None
+        try:
+            buf = "".join(r.seq for r in records).encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        B = len(records)
+        if len(buf) != B * L:
+            return None
+        raw = np.frombuffer(buf, np.uint8).reshape(B, L)
+        codes16 = C.CHAR_TO_INT[raw]
+        if (codes16 < 0).any():
+            return None
+        codes = codes16.astype(np.uint8)
+        rc = C.COMPLEMENT[codes[:, ::-1]]
+        # SAM SEQ blobs
+        seq_fwd = np.ascontiguousarray(_CLEAN_LUT[raw])
+        seq_rc = np.ascontiguousarray(_COMP_LUT[seq_fwd[:, ::-1]])
+        nm_blob = b""
+        offs = np.empty(B + 1, np.int64)
+        offs[0] = 0
+        parts = []
+        for i, r in enumerate(records):
+            parts.append(r.name.encode())
+            offs[i + 1] = offs[i] + len(parts[-1])
+        nm_blob = np.frombuffer(b"".join(parts), np.uint8).copy() \
+            if parts else np.zeros(1, np.uint8)
+        wlen = int(abs_or_pct(cfg.window_len, L))
+        m.stats.add_stage("read prep", _time.perf_counter() - t0)
+        t1 = _time.perf_counter()
+        opts = m._unpaired_opts[0]
+        # interleave strand rows for filter1's owner convention
+        codes2 = np.empty((B, 2, L), np.uint8)
+        codes2[:, 0] = codes
+        codes2[:, 1] = rc
+        from .native.filter1_py import generate_candidates_native
+        fh = generate_candidates_native(
+            m.index, codes2, L, wlen, m.cutoff, opts.hit_list.match_mode,
+            opts.hit_list.threshold, cfg.scores.match,
+            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
+            min_kmer_pos=0,
+            use_region_counts=opts.anchor_list.use_region_counts,
+            region_bits=cfg.region_bits,
+            region_overlap=cfg.region_overlap,
+            collapse=opts.anchor_list.collapse, gapless=False,
+            search_strands=(True, True))
+        if fh is None:
+            return None
+        # async vector-SW on the device-resident genome
+        idx = m.index
+        rtab = np.empty((2 * B, L), np.uint8)
+        rtab[0::2] = codes
+        rtab[1::2] = rc
+        if fh.n:
+            goff_a = idx.contig_offsets[fh.cn].astype(np.int64) + fh.g_off
+            G = _round_up(max(int(fh.w_len.max()), 16), 32)
+            rlen = np.full(fh.n, L, np.int32)
+            vec_state = m._vec_dispatch_idx(goff_a, fh.w_len.astype(np.int32),
+                                            fh.owner, rtab, rlen, G)
+        else:
+            vec_state = None
+        m.stats.add_stage("filter1 + dispatch", _time.perf_counter() - t1)
+        return dict(B=B, L=L, wlen=wlen, fh=fh, vec_state=vec_state,
+                    codes=codes, names=nm_blob, name_off=offs,
+                    seq_fwd=seq_fwd, seq_rc=seq_rc)
+
+    # ---------------------------------------------------------- stage B
+    def stage_pass1_dispatch(self, ctx):
+        """Fetch vector scores, native pass1 select, dispatch full SW."""
+        m = self.m
+        cfg = m.config
+        fh = ctx["fh"]
+        B, L, wlen = ctx["B"], ctx["L"], ctx["wlen"]
+        scores = (m._vec_finish(ctx["vec_state"])
+                  if ctx["vec_state"] is not None
+                  else np.zeros(0, np.int64))
+        t0 = _time.perf_counter()
+        opts = m._unpaired_opts[0].pass1
+        cap = max(int(fh.n), 1)
+        sel = {k: np.empty(cap, dt) for k, dt in
+               (("ri", np.int32), ("gen_st", np.int8), ("cn", np.int32),
+                ("g_off", np.int64), ("w_len", np.int32),
+                ("score_max", np.int64), ("ax", np.int64),
+                ("ay", np.int64), ("alen", np.int64), ("awid", np.int64),
+                ("score_vector", np.int64))}
+        seg = np.zeros(B + 1, np.int64)
+        n_sel = 0
+        if fh.n:
+            p1 = _P1Params(
+                fh.n, 2 * B, L, wlen,
+                int(abs_or_pct(opts.window_overlap, wlen)),
+                float(opts.threshold), opts.min_matches, opts.num_outputs,
+                1, self.contig_lengths32.ctypes.data)
+            arrs = dict(owner=fh.owner,
+                        cn=np.ascontiguousarray(fh.cn, np.int32),
+                        g_off=np.ascontiguousarray(fh.g_off, np.int64),
+                        w_len=np.ascontiguousarray(fh.w_len, np.int32),
+                        matches=np.ascontiguousarray(fh.matches, np.int32),
+                        score_max=np.ascontiguousarray(fh.score_max,
+                                                       np.int64),
+                        ax=fh.ax, ay=fh.ay,
+                        alen=np.ascontiguousarray(fh.alen, np.int64),
+                        awid=np.ascontiguousarray(fh.awid, np.int64),
+                        scores=np.ascontiguousarray(scores, np.int64))
+            arrs["owner"] = np.ascontiguousarray(arrs["owner"], np.int64)
+            arrs["ax"] = np.ascontiguousarray(arrs["ax"], np.int64)
+            arrs["ay"] = np.ascontiguousarray(arrs["ay"], np.int64)
+            p1in = _P1In(**{k: _vp(v) for k, v in arrs.items()})
+            p1out = _P1Out(cap, *[_vp(sel[k]) for k in
+                                  ("ri", "gen_st", "cn", "g_off", "w_len",
+                                   "score_max", "ax", "ay", "alen",
+                                   "awid", "score_vector")],
+                           _vp(seg))
+            n_sel = self.lib.pass1_select(ctypes.byref(p1),
+                                          ctypes.byref(p1in),
+                                          ctypes.byref(p1out))
+            assert n_sel >= 0
+        m.stats.add_stage("pass1 select", _time.perf_counter() - t0)
+
+        # ---- full-SW dispatch (vectorized _pass2_dispatch)
+        t1 = _time.perf_counter()
+        idx = m.index
+        sc = cfg.scores
+        n_sel = int(n_sel)
+        thr = cfg.sw_full_threshold
+        if n_sel:
+            smax = sel["score_max"][:n_sel]
+            if thr < 0:
+                thresh = np.full(n_sel, int(-thr), np.int64)
+            else:
+                thresh = (smax * (thr / 100.0)).astype(np.int64)
+            gate = sel["score_vector"][:n_sel] >= thresh
+            jsel = np.nonzero(gate)[0]
+        else:
+            jsel = np.zeros(0, np.int64)
+        n_jobs = len(jsel)
+        jobs = {k: np.ascontiguousarray(sel[k][:n_sel][jsel]) for k in
+                ("ri", "gen_st", "cn", "g_off", "w_len", "score_max",
+                 "ax", "ay", "alen", "awid")}
+        futures = []
+        G = 16
+        if n_jobs:
+            G = _round_up(max(int(jobs["w_len"].max()), 16), 32)
+            R = _round_up(L, 8)
+            starts = (idx.contig_offsets[jobs["cn"]].astype(np.int64)
+                      + jobs["g_off"])
+            rcmask = jobs["gen_st"] == 1
+            total = idx.total_len
+            gi = starts[:, None] + np.arange(G, dtype=np.int64)[None, :]
+            gwin = np.where(rcmask[:, None], self.codes_rc_pad[gi],
+                            self.codes_pad[gi])
+            rwin = np.full((n_jobs, R), 254, np.uint8)
+            rwin[:, :L] = ctx["codes"][jobs["ri"]]
+            glen = jobs["w_len"].astype(np.int32)
+            rlen = np.full(n_jobs, L, np.int32)
+            aw = cfg.anchor_width
+            rx = (jobs["ax"] - aw // 2).astype(np.int32)
+            ry = (jobs["ay"] + aw // 2).astype(np.int32)
+            rl_ = jobs["alen"].astype(np.int32)
+            rw_ = (jobs["awid"] + aw).astype(np.int32)
+            rev = rcmask & cfg.rev_tiebreak
+            from .core.sw_jax import sw_full_and_traceback
+            full_kw = dict(match=sc.match, mismatch=sc.mismatch,
+                           a_gap_open=sc.a_gap_open,
+                           a_gap_ext=sc.a_gap_extend,
+                           b_gap_open=sc.b_gap_open,
+                           b_gap_ext=sc.b_gap_extend,
+                           local_alignment=False)
+            for off in range(0, n_jobs, FULL_BATCH):
+                end = min(off + FULL_BATCH, n_jobs)
+                k = end - off
+                cg = np.zeros((FULL_BATCH, G), np.uint8)
+                cgl = np.ones(FULL_BATCH, np.int32)
+                cr = np.full((FULL_BATCH, R), 254, np.uint8)
+                crl = np.ones(FULL_BATCH, np.int32)
+                cx = np.zeros(FULL_BATCH, np.int32)
+                cy = np.zeros(FULL_BATCH, np.int32)
+                cl = np.ones(FULL_BATCH, np.int32)
+                cw = np.ones(FULL_BATCH, np.int32)
+                cv = np.zeros(FULL_BATCH, bool)
+                cg[:k] = gwin[off:end]
+                cgl[:k] = glen[off:end]
+                cr[:k] = rwin[off:end]
+                crl[:k] = rlen[off:end]
+                cx[:k] = rx[off:end]
+                cy[:k] = ry[off:end]
+                cl[:k] = rl_[off:end]
+                cw[:k] = rw_[off:end]
+                cv[:k] = rev[off:end]
+                with m._device_ctx():
+                    res = sw_full_and_traceback(cg, cgl, cr, crl, cx, cy,
+                                                cl, cw, cv, **full_kw)
+                futures.append((off, k, res))
+        m.stats.add_stage("pass2 dispatch", _time.perf_counter() - t1)
+        return dict(ctx=ctx, jobs=jobs, n_jobs=n_jobs, futures=futures,
+                    t_dispatch=_time.perf_counter() - t1)
+
+    # ---------------------------------------------------------- stage C
+    def stage_finish(self, ctx2) -> Tuple[bytes, np.ndarray]:
+        """Fetch full-SW results + native finalize/render."""
+        m = self.m
+        cfg = m.config
+        ctx = ctx2["ctx"]
+        B, L = ctx["B"], ctx["L"]
+        n_jobs = ctx2["n_jobs"]
+        jobs = ctx2["jobs"]
+        nhits = np.zeros(B, np.int32)
+        t0 = _time.perf_counter()
+        if n_jobs == 0:
+            m.stats.reads += B
+            return b"", nhits
+        import jax
+        fetched = jax.device_get(
+            [(pk, opk) for _, _, (pk, opk) in ctx2["futures"]])
+        W = fetched[0][1].shape[1]
+        packed = np.empty((n_jobs, 10), np.int32)
+        ops_pk = np.empty((n_jobs, W), np.uint8)
+        for (off, k, _), (pk, opk) in zip(ctx2["futures"], fetched):
+            packed[off:off + k] = pk[:k]
+            ops_pk[off:off + k] = opk[:k]
+        m.stats.full_invocs += n_jobs
+        m.stats.full_cells += int(jobs["w_len"].astype(np.int64).sum()) * L
+        m.stats.full_secs += _time.perf_counter() - t0 + ctx2["t_dispatch"]
+        t1 = _time.perf_counter()
+        cal = m.cal
+        fr = _FRParams(
+            n_jobs, B, L, W, float(cfg.sw_full_threshold),
+            cfg.num_outputs, int(cfg.strata), cfg.max_alignments,
+            int(cfg.single_best_mapping),
+            int(cfg.compute_mapping_qualities), cal.alpha, cal.beta,
+            self.contig_lengths32.ctypes.data,
+            self.contig_name_off.ctypes.data,
+            self.contig_names_blob.ctypes.data,
+            ctx["name_off"].ctypes.data, ctx["names"].ctypes.data,
+            ctx["seq_fwd"].ctypes.data, ctx["seq_rc"].ctypes.data)
+        frj = _FRJobs(_vp(jobs["ri"]), _vp(jobs["cn"]),
+                      _vp(jobs["gen_st"]), _vp(jobs["g_off"]),
+                      _vp(jobs["score_max"]), _vp(packed), _vp(ops_pk))
+        cap = n_jobs * (L + 192) + 4096
+        while True:
+            buf = np.empty(cap, np.uint8)
+            nb = self.lib.finalize_render(ctypes.byref(fr),
+                                          ctypes.byref(frj),
+                                          _vp(buf), cap, _vp(nhits))
+            if nb >= 0:
+                break
+            if nb == -2:
+                raise RuntimeError("fastpath finalize unsupported config")
+            cap *= 4
+        m.stats.reads += B
+        m.stats.reads_mapped += int((nhits > 0).sum())
+        m.stats.alignments += int(nhits.sum())
+        m.stats.add_stage("finalize + render", _time.perf_counter() - t1)
+        return buf[:nb].tobytes(), nhits
+
+
+def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
+                            batch_size: int = 8192
+                            ) -> Optional[Iterator[bytes]]:
+    """Pipelined LS unpaired mapping straight to SAM bytes; None when the
+    config or batch shape needs the generic path."""
+    if not fastpath_supported(mapper.config):
+        return None
+    fast = FastLS(mapper)
+    if fast.lib is None:
+        return None
+    # probe the first batch for shape support before committing
+    first = fast.stage_prepare(records[:batch_size])
+    if first is None and len(records):
+        return None
+
+    def slow_tail(off: int):
+        """Generic-path fallback for a batch the flat encoder rejects
+        (mixed lengths / non-ACGT): identical output, slower."""
+        from .io.sam import render_unpaired
+        lines = []
+        for re_, hits in mapper.map_unpaired(list(records[off:off
+                                                          + batch_size])):
+            for h in hits:
+                lines.append(render_unpaired(re_, h, mapper.index,
+                                             mapper.config))
+        return ("\n".join(lines) + "\n").encode() if lines else b""
+
+    def gen():
+        pend_a = first
+        pend_b = None
+        off = batch_size
+        while True:
+            a = None
+            if off < len(records):
+                a = fast.stage_prepare(records[off:off + batch_size])
+                if a is None:
+                    # drain the pipeline in input order, then the slow
+                    # batch, then resume
+                    if pend_b is not None:
+                        yield fast.stage_finish(pend_b)[0]
+                        pend_b = None
+                    if pend_a is not None:
+                        yield fast.stage_finish(
+                            fast.stage_pass1_dispatch(pend_a))[0]
+                        pend_a = None
+                    yield slow_tail(off)
+                    off += batch_size
+                    continue
+                off += batch_size
+            if pend_b is not None:
+                yield fast.stage_finish(pend_b)[0]
+            pend_b = (fast.stage_pass1_dispatch(pend_a)
+                      if pend_a is not None else None)
+            pend_a = a
+            if pend_a is None and pend_b is None and off >= len(records):
+                break
+    return gen()

@@ -26,16 +26,20 @@ _CACHE_DIR = os.environ.get(
 
 
 def _build() -> Optional[str]:
-    src = os.path.join(_SRC_DIR, "filter1.cpp")
-    with open(src, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    srcs = [os.path.join(_SRC_DIR, "filter1.cpp"),
+            os.path.join(_SRC_DIR, "hostpipe.cpp")]
+    h = hashlib.sha256()
+    for src in srcs:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     os.makedirs(_CACHE_DIR, exist_ok=True)
-    so = os.path.join(_CACHE_DIR, f"filter1_{digest}.so")
+    so = os.path.join(_CACHE_DIR, f"native_{digest}.so")
     if os.path.exists(so):
         return so
     tmp = so + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17", src, "-o", tmp]
+           "-std=c++17"] + srcs + ["-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(tmp, so)
@@ -62,4 +66,6 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         _LIB = ctypes.CDLL(so)
         _LIB.filter1_batch.restype = ctypes.c_int64
+        _LIB.pass1_select.restype = ctypes.c_int64
+        _LIB.finalize_render.restype = ctypes.c_int64
     return _LIB

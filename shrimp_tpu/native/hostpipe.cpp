@@ -1,0 +1,459 @@
+// Native host pipeline for the letter-space unpaired fast path.
+//
+// Two stages of gmapper's per-read host work, operating on the flat
+// arrays produced by filter1 + the batched device kernels:
+//
+//   pass1_select   - read_pass1 walk + extheap top-k selection
+//                    (gmapper/mapping.c:1261-1339, 1376-1411) plus the
+//                    strand normalization of reverse_hit
+//                    (mapping.c:254-263) so downstream stages see
+//                    genome-strand coordinates.
+//   finalize_render- read_pass2 filtering (threshold, duplicate
+//                    removal, sort, strata/max-alignments,
+//                    mapping.c:1631-1750, 1520-1606), the LS posterior
+//                    (mapping.c:1609-1625), unpaired MQVs
+//                    (gmapper/output.c:777-793) and SAM line assembly
+//                    (hit_output, output.c:227-774) into one buffer.
+//
+// C ABI via ctypes; scratch is function-local so calls are
+// thread-safe with the GIL released.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+extern "C" {
+
+// ------------------------------------------------------- pass1_select
+
+struct P1Params {
+  int64_t n;             // candidate count
+  int64_t n_owners;      // 2 * n_reads
+  int32_t read_len;
+  int32_t window_len;
+  int32_t overlap;       // resolved int(abs_or_pct(window_overlap, wlen))
+  double threshold;      // pass1 threshold (negative = absolute)
+  int32_t min_matches;
+  int32_t num_outputs;   // extheap capacity (num_tmp_outputs)
+  int32_t normalize;     // flip strand-1 hits to genome-strand coords
+  const uint32_t* contig_lengths;
+};
+
+struct P1In {
+  const int64_t* owner;
+  const int32_t* cn;
+  const int64_t* g_off;
+  const int32_t* w_len;
+  const int32_t* matches;
+  const int64_t* score_max;
+  const int64_t* ax;
+  const int64_t* ay;
+  const int64_t* alen;
+  const int64_t* awid;
+  const int64_t* scores;
+};
+
+struct P1Out {
+  int64_t cap;
+  int32_t* ri;
+  int8_t* gen_st;
+  int32_t* cn;
+  int64_t* g_off;
+  int32_t* w_len;
+  int64_t* score_max;
+  int64_t* ax;
+  int64_t* ay;
+  int64_t* alen;
+  int64_t* awid;
+  int64_t* score_vector;
+  int64_t* seg;          // [n_reads + 1]
+};
+
+struct HeapEnt {
+  int64_t key;
+  int64_t idx;           // candidate index
+};
+
+// DEF_EXTHEAP insert/replace-min (common/heap.h:226-318)
+static inline void heap_insert(HeapEnt* a, int& load, HeapEnt e) {
+  a[load++] = e;
+  int node = load, parent = node / 2;
+  while (node > 1 && a[node - 1].key < a[parent - 1].key) {
+    std::swap(a[node - 1], a[parent - 1]);
+    node = parent;
+    parent = node / 2;
+  }
+}
+
+static inline void heap_replace_min(HeapEnt* a, int load, HeapEnt e) {
+  a[0] = e;
+  int node = 1;
+  for (;;) {
+    int left = node * 2, right = left + 1, mn = node;
+    if (left <= load && a[left - 1].key < a[mn - 1].key) mn = left;
+    if (right <= load && a[right - 1].key < a[mn - 1].key) mn = right;
+    if (mn == node) break;
+    std::swap(a[mn - 1], a[node - 1]);
+    node = mn;
+  }
+}
+
+int64_t pass1_select(const P1Params* p, const P1In* in, P1Out* out) {
+  const bool absolute = p->threshold < 0;
+  const double pct = p->threshold / 100.0;
+  const int cap_heap = p->num_outputs;
+  std::vector<HeapEnt> heap(cap_heap);
+  int load = 0;
+  int64_t n_sel = 0;
+  int64_t cur_owner = -1, cur_read = -1;
+  int64_t last_cn = -1, last_goff = 0;
+  const int64_t wlen = p->window_len, ov = p->overlap;
+
+  // emit one read's heap (heap array order) into the flat output
+  auto flush = [&](int64_t ri) -> bool {
+    if (ri < 0) return true;
+    out->seg[ri] = n_sel;
+    for (int t = 0; t < load; t++) {
+      if (n_sel >= out->cap) return false;
+      int64_t i = heap[t].idx;
+      int64_t ow = in->owner[i];
+      int st = (int)(ow & 1);
+      int64_t g_off = in->g_off[i];
+      int64_t ax = in->ax[i], ay = in->ay[i];
+      int64_t al = in->alen[i], aw = in->awid[i];
+      int8_t gen_st = 0;
+      if (st == 1 && p->normalize) {
+        // reverse_hit (mapping.c:254-263); LS input_strand == 0
+        int64_t clen = (int64_t)p->contig_lengths[in->cn[i]];
+        int64_t wl = (int64_t)in->w_len[i];
+        g_off = clen - g_off - wl;
+        int64_t nax = -ax + (wl - 1) - (al - 1) - (aw - 1);
+        int64_t nay = -ay + (p->read_len - 1) - (al - 1) + (aw - 1);
+        ax = nax;
+        ay = nay;
+        gen_st = 1;
+      }
+      out->ri[n_sel] = (int32_t)ri;
+      out->gen_st[n_sel] = gen_st;
+      out->cn[n_sel] = in->cn[i];
+      out->g_off[n_sel] = g_off;
+      out->w_len[n_sel] = in->w_len[i];
+      out->score_max[n_sel] = in->score_max[i];
+      out->ax[n_sel] = ax;
+      out->ay[n_sel] = ay;
+      out->alen[n_sel] = al;
+      out->awid[n_sel] = aw;
+      out->score_vector[n_sel] = in->scores[i];
+      n_sel++;
+    }
+    load = 0;
+    return true;
+  };
+
+  for (int64_t k = 0; k < p->n; k++) {
+    int64_t sv = in->scores[k];
+    int64_t smax = in->score_max[k];
+    int64_t tval = absolute ? (int64_t)(-p->threshold)
+                            : (int64_t)std::trunc((double)smax * pct);
+    if (sv < tval || in->matches[k] < p->min_matches) continue;
+    int64_t ow = in->owner[k];
+    if (ow != cur_owner) {
+      int64_t ri = ow >> 1;
+      if (ri != cur_read) {
+        if (!flush(cur_read)) return -1;
+        // reads skipped between groups keep seg = n_sel (filled below)
+        for (int64_t r = (cur_read < 0 ? 0 : cur_read + 1); r < ri; r++)
+          out->seg[r] = n_sel;
+        cur_read = ri;
+      }
+      cur_owner = ow;
+      last_cn = -1;
+    }
+    int64_t cn = in->cn[k];
+    int64_t goff = in->g_off[k];
+    if (last_cn >= 0 && cn == last_cn && goff + ov <= last_goff + wlen)
+      continue;  // window-overlap suppressed (mapping.c:1287-1335)
+    last_cn = cn;
+    last_goff = goff;
+    int64_t key = absolute ? sv : (1000LL * 100LL * sv) / smax;
+    if (load >= cap_heap) {
+      if (key <= heap[0].key) continue;
+      heap_replace_min(heap.data(), load, HeapEnt{key, k});
+    } else {
+      heap_insert(heap.data(), load, HeapEnt{key, k});
+    }
+  }
+  if (!flush(cur_read)) return -1;
+  int64_t n_reads = p->n_owners / 2;
+  for (int64_t r = (cur_read < 0 ? 0 : cur_read + 1); r < n_reads; r++)
+    out->seg[r] = n_sel;
+  out->seg[n_reads] = n_sel;
+  return n_sel;
+}
+
+// ---------------------------------------------------- finalize_render
+
+struct FRParams {
+  int64_t n_jobs;
+  int64_t n_reads;
+  int32_t read_len;
+  int32_t ops_words;     // columns of ops_pk (bytes per job)
+  double sw_full_threshold;  // negative = absolute
+  int32_t num_outputs;
+  int32_t strata;
+  int32_t max_alignments;
+  int32_t single_best;
+  int32_t compute_mqv;
+  double alpha;
+  double beta;
+  const uint32_t* contig_lengths;
+  const int32_t* contig_name_off;  // [n_contigs + 1] into name blob
+  const char* contig_names;
+  const int64_t* name_off;         // [n_reads + 1] into name blob
+  const char* names;
+  const uint8_t* seq_fwd;          // [n_reads, read_len] cleaned chars
+  const uint8_t* seq_rc;           // [n_reads, read_len] revcomp-cleaned
+};
+
+struct FRJobs {
+  const int32_t* ri;
+  const int32_t* cn;
+  const int8_t* gen_st;
+  const int64_t* g_off;
+  const int64_t* score_max;
+  const int32_t* packed;   // [n, 10]: score mi mj nops rs gs m mm ins del
+  const uint8_t* ops_pk;   // [n, ops_words] 2-bit ops, reversed order
+};
+
+// util.h:267-282
+static inline int qv_from_pr_corr(double pr_corr) {
+  double pr_err = 1.0 - pr_corr;
+  if (pr_err > .99999999) return 0;
+  if (pr_err < 1e-25) return 250;
+  return (int)(-10.0 * log(pr_err) / log(10.0));
+}
+
+struct Surv {
+  int64_t job;
+  int64_t key;        // pass2_key
+  int64_t k1[3];      // dedup key 1
+  int64_t k2[3];      // dedup key 2
+  int32_t score_full;
+  int64_t pos;        // SAM 1-based POS
+  double posterior;
+  int mqv;
+  int order;          // insertion order for stable sorting
+};
+
+int64_t finalize_render(const FRParams* p, const FRJobs* j,
+                        char* out_buf, int64_t out_cap,
+                        int32_t* read_nhits /* [n_reads] */) {
+  const bool absolute = p->sw_full_threshold < 0;
+  const double thr_pct = p->sw_full_threshold / 100.0;
+  const double cc = 2.0 * p->alpha + p->beta;
+  char* w = out_buf;
+  char* end = out_buf + out_cap;
+  std::vector<Surv> sv;
+  sv.reserve(32);
+  std::vector<int> keep;
+  int64_t a = 0;
+  const int R = p->read_len;
+
+  for (int64_t r = 0; r < p->n_reads; r++) read_nhits[r] = 0;
+
+  while (a < p->n_jobs) {
+    int64_t ri = j->ri[a];
+    int64_t b = a;
+    while (b < p->n_jobs && j->ri[b] == ri) b++;
+
+    sv.clear();
+    for (int64_t t = a; t < b; t++) {
+      const int32_t* pk = j->packed + t * 10;
+      int sw_score = pk[0];
+      if (sw_score <= 0) continue;
+      int rs = pk[4];
+      int rmapped = pk[1] - rs + 1;
+      // LS posterior closed form (mapping.c:1609-1625)
+      double post = pow(2.0, ((double)sw_score - rmapped * cc) / p->alpha);
+      double psd = p->alpha * log2(post) + rmapped * cc;
+      long ps = (long)nearbyint(psd);   // Python round() = half-even
+      if (ps < 0) ps = 0;
+      int64_t smax = j->score_max[t];
+      int64_t pctf = (1000LL * 100LL * ps) / smax;
+      double thresh = absolute ? -p->sw_full_threshold
+                               : thr_pct * (double)smax;
+      if ((double)ps < thresh) continue;
+      Surv s;
+      s.job = t;
+      s.key = absolute ? ps : pctf;
+      s.score_full = (int32_t)ps;
+      s.posterior = post;
+      int64_t gstart = (int64_t)pk[5] + j->g_off[t];
+      int64_t ins = pk[8], dele = pk[9];
+      s.k1[0] = j->cn[t]; s.k1[1] = j->gen_st[t]; s.k1[2] = gstart;
+      s.k2[0] = j->cn[t]; s.k2[1] = j->gen_st[t];
+      s.k2[2] = -gstart - rmapped + dele - ins;
+      s.order = (int)(t - a);
+      sv.push_back(s);
+    }
+
+    if (sv.size() > 1) {
+      // duplicate removal keeping first max key per group
+      // (read_remove_duplicate_hits, mapping.c:1520-1606)
+      for (int pass = 0; pass < 2; pass++) {
+        std::stable_sort(sv.begin(), sv.end(),
+                         [pass](const Surv& x, const Surv& y) {
+          const int64_t* kx = pass ? x.k2 : x.k1;
+          const int64_t* ky = pass ? y.k2 : y.k1;
+          if (kx[0] != ky[0]) return kx[0] < ky[0];
+          if (kx[1] != ky[1]) return kx[1] < ky[1];
+          return kx[2] < ky[2];
+        });
+        std::vector<Surv> outv;
+        size_t i = 0;
+        while (i < sv.size()) {
+          size_t g = i, best = i;
+          auto eq = [pass](const Surv& x, const Surv& y) {
+            const int64_t* kx = pass ? x.k2 : x.k1;
+            const int64_t* ky = pass ? y.k2 : y.k1;
+            return kx[0] == ky[0] && kx[1] == ky[1] && kx[2] == ky[2];
+          };
+          while (g + 1 < sv.size() && eq(sv[g + 1], sv[i])) {
+            g++;
+            if (sv[g].key > sv[best].key) best = g;
+          }
+          outv.push_back(sv[best]);
+          i = g + 1;
+        }
+        sv.swap(outv);
+      }
+      std::stable_sort(sv.begin(), sv.end(),
+                       [](const Surv& x, const Surv& y) {
+                         return x.key > y.key;  // mapping.c:1678
+                       });
+    }
+    if ((int64_t)sv.size() > p->num_outputs) sv.resize(p->num_outputs);
+    if (p->strata && !sv.empty()) {
+      size_t i = 1;
+      while (i < sv.size() && sv[0].score_full == sv[i].score_full) i++;
+      sv.resize(i);
+    }
+    if (p->max_alignments > 0 &&
+        (int64_t)sv.size() > p->max_alignments)
+      sv.clear();
+
+    if (!sv.empty() && p->compute_mqv) {
+      // compute_unpaired_mqv (output.c:777-793)
+      double z1 = 0.0;
+      for (auto& s : sv) z1 += s.posterior;
+      for (auto& s : sv) {
+        s.mqv = qv_from_pr_corr(s.posterior / z1);
+        if (s.mqv < 4) s.mqv = 0;
+      }
+      if (p->single_best && sv.size() > 1) {
+        size_t best = 0;
+        for (size_t i = 1; i < sv.size(); i++)
+          if (sv[i].mqv > sv[best].mqv) best = i;
+        Surv b2 = sv[best];
+        sv.clear();
+        sv.push_back(b2);
+      }
+      // render with shared z1
+      for (auto& s : sv) {
+        int64_t t = s.job;
+        const int32_t* pk = j->packed + t * 10;
+        int rs = pk[4], rmapped = pk[1] - rs + 1;
+        int gmapped = pk[2] - pk[5] + 1;
+        int ins = pk[8], dele = pk[9], mm = pk[7];
+        int nops = pk[3];
+        bool rev = j->gen_st[t] != 0;
+        int64_t gstart = (int64_t)pk[5] + j->g_off[t];
+        int64_t glen_c = (int64_t)p->contig_lengths[j->cn[t]];
+        int read_end1 = rs + rmapped;  // 1-based end
+        int64_t pos;
+        if (!rev) {
+          pos = gstart + 1;
+        } else {
+          int64_t right = glen_c - gstart;
+          pos = right - (read_end1 - (rs + 1) - dele + ins);
+        }
+        if (end - w < 512 + 10 * (int64_t)R
+                      + (p->name_off[ri + 1] - p->name_off[ri]))
+          return -(int64_t)1;
+        // qname, flags, rname
+        int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
+        memcpy(w, p->names + p->name_off[ri], nl);
+        w += nl;
+        *w++ = '\t';
+        w += sprintf(w, "%d\t", rev ? 0x10 : 0);
+        int32_t cn = j->cn[t];
+        int32_t cl = p->contig_name_off[cn + 1] - p->contig_name_off[cn];
+        memcpy(w, p->contig_names + p->contig_name_off[cn], cl);
+        w += cl;
+        w += sprintf(w, "\t%lld\t%d\t", (long long)pos, s.mqv);
+        // CIGAR: runs in alignment order, reversed for rev strand
+        // (make_cigar, output.c:15-64)
+        {
+          int runs_n[4096];
+          char runs_c[4096];
+          const int runs_cap = 4095;
+          int nr = 0;
+          if (rs > 0) { runs_n[nr] = rs; runs_c[nr++] = 'S'; }
+          const uint8_t* opw = j->ops_pk + t * p->ops_words;
+          int prev = -1, cnt = 0;
+          for (int q = nops - 1; q >= 0; q--) {
+            int op = (opw[q >> 2] >> ((q & 3) * 2)) & 3;
+            if (op == prev) { cnt++; continue; }
+            if (cnt && nr < runs_cap) {
+              runs_n[nr] = cnt;
+              runs_c[nr++] = prev == 2 ? 'I' : (prev == 1 ? 'D' : 'M');
+            }
+            prev = op;
+            cnt = 1;
+          }
+          if (cnt && nr < runs_cap) {
+            runs_n[nr] = cnt;
+            runs_c[nr++] = prev == 2 ? 'I' : (prev == 1 ? 'D' : 'M');
+          }
+          if (read_end1 != R) {
+            runs_n[nr] = R - read_end1;
+            runs_c[nr++] = 'S';
+          }
+          if (!rev) {
+            for (int q = 0; q < nr; q++)
+              w += sprintf(w, "%d%c", runs_n[q], runs_c[q]);
+          } else {
+            for (int q = nr - 1; q >= 0; q--)
+              w += sprintf(w, "%d%c", runs_n[q], runs_c[q]);
+          }
+        }
+        // mrnm, mpos, isize, seq, qual
+        memcpy(w, "\t*\t0\t0\t", 7);
+        w += 7;
+        const uint8_t* sq = (rev ? p->seq_rc : p->seq_fwd)
+                            + (int64_t)ri * R;
+        memcpy(w, sq, R);
+        w += R;
+        memcpy(w, "\t*", 2);
+        w += 2;
+        w += sprintf(w, "\tAS:i:%d", s.score_full);
+        // Z0/Z1 tnlog fields (output.c:691-709, util.h:296-300)
+        w += sprintf(w, "\tZ0:i:%d\tZ1:i:%d",
+                     (int)(1000.0 * -log(s.posterior)),
+                     (int)(1000.0 * -log(z1)));
+        w += sprintf(w, "\tNM:i:%d", mm + dele + ins);
+        *w++ = '\n';
+      }
+      read_nhits[ri] = (int32_t)sv.size();
+    } else if (!sv.empty()) {
+      return -(int64_t)2;  // MQV-less path unsupported (caller gates)
+    }
+    a = b;
+  }
+  return w - out_buf;
+}
+
+}  // extern "C"
