@@ -121,15 +121,14 @@ def run_measurement():
     cfg = MapperConfig()
     m = Mapper(idx, cfg)
     recs = [SeqRecord(n, s) for n, s in reads]
-    # warmup: compile kernels
-    warm = map_unpaired_sam_stream(m, recs[:256], batch_size=256)
+    bs = int(os.environ.get("SHRIMP_TPU_BENCH_BATCH", "4096"))
+    # warmup: compile kernels at the exact batch geometry of the run
+    warm = map_unpaired_sam_stream(m, recs[:bs], batch_size=bs)
     if warm is not None:
         for _ in warm:
             pass
     else:
         m.map_unpaired(recs[:256])
-
-    bs = int(os.environ.get("SHRIMP_TPU_BENCH_BATCH", "4096"))
     t0 = time.time()
     n_lines = 0
     gen = map_unpaired_sam_stream(m, recs, batch_size=bs)

@@ -323,14 +323,29 @@ def _tb_decode(bp_val, plane):
 def sw_full_and_traceback(genome, glen, read, rlen, ax, ay, alen, awid,
                           revcmpl, *, match, mismatch, a_gap_open,
                           a_gap_ext, b_gap_open, b_gap_ext,
-                          local_alignment=False):
+                          local_alignment=False, use_pallas=None):
     """sw_full_batch + on-device traceback in one jitted computation,
     so the [B, R, G] backpointer tensor never leaves the device.
 
     Returns (score, max_i, max_j, ops_rev [B, R+G] int8 in walk order,
     n_ops, read_start, genome_start, matches, mismatches, insertions,
     deletions) — semantics of do_backtrace (sw-full-ls.c:413-516).
+
+    On a TPU backend the DP runs as the Pallas kernel
+    (sw_full_pallas.sw_full_batch_pallas) when the shape bucket fits;
+    outputs are identical for every surviving hit (see the leak note in
+    sw_full_pallas: bp differs only on cells valued < -2^26, which can
+    never lie on a positive-score traceback path).
     """
+    if use_pallas is None:
+        from .sw_full_pallas import pallas_full_ok
+        use_pallas = pallas_full_ok(genome.shape[0], read.shape[1],
+                                    genome.shape[1])
+    if use_pallas:
+        return _sw_full_tb_pallas_jit(
+            genome, glen, read, rlen, ax, ay, alen, awid, revcmpl,
+            match, mismatch, a_gap_open, a_gap_ext, b_gap_open, b_gap_ext,
+            local_alignment)
     return _sw_full_tb_jit(genome, glen, read, rlen, ax, ay, alen, awid,
                            revcmpl, match, mismatch, a_gap_open, a_gap_ext,
                            b_gap_open, b_gap_ext, local_alignment)
@@ -345,54 +360,126 @@ def _sw_full_tb_jit(genome, glen, read, rlen, ax, ay, alen, awid, revcmpl,
         match=match, mismatch=mismatch, a_gap_open=a_gap_open,
         a_gap_ext=a_gap_ext, b_gap_open=b_gap_open, b_gap_ext=b_gap_ext,
         local_alignment=local_alignment)
+    return _traceback_pack(genome, read, score, max_i, max_j, plane, bp)
+
+
+@functools.partial(jax.jit, static_argnums=(9, 10, 11, 12, 13, 14, 15))
+def _sw_full_tb_pallas_jit(genome, glen, read, rlen, ax, ay, alen, awid,
+                           revcmpl, match, mismatch, a_gap_open, a_gap_ext,
+                           b_gap_open, b_gap_ext, local_alignment):
+    from .sw_full_pallas import sw_full_batch_pallas
+    score, max_i, max_j, plane, bp = sw_full_batch_pallas.__wrapped__(
+        genome, glen, read, rlen, ax, ay, alen, awid,
+        revcmpl.astype(jnp.int32), match=match, mismatch=mismatch,
+        a_gap_open=a_gap_open, a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
+        b_gap_ext=b_gap_ext, local_alignment=local_alignment)
+    return _traceback_pack(genome, read, score, max_i, max_j, plane, bp)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
+    "b_gap_ext", "local_alignment", "use_pallas"))
+def sw_full_tb_from_index(codes_fwd, codes_rc, gstart, use_rc, glen,
+                          read_tab, ri, rlen, ax, ay, alen, awid, revcmpl,
+                          *, G: int, match, mismatch, a_gap_open,
+                          a_gap_ext, b_gap_open, b_gap_ext,
+                          local_alignment=False, use_pallas=False):
+    """Full SW + traceback against the DEVICE-RESIDENT genome: only
+    window offsets (`gstart`, absolute; `use_rc` selects the revcomp
+    plane) and read-row indices `ri` into the per-batch read table cross
+    the host boundary (same rationale as sw_vector_ls_from_index).
+    Windows clipped at the genome end only ever differ beyond `glen`,
+    which the band never reads."""
+    jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+    pos = jnp.clip(gstart.astype(jnp.int32)[:, None] + jidx, 0,
+                   codes_fwd.shape[0] - 1)
+    gwin = jnp.where(use_rc[:, None], codes_rc[pos], codes_fwd[pos])
+    rwin = read_tab[jnp.clip(ri, 0, read_tab.shape[0] - 1)]
+    kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
+              a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
+              b_gap_ext=b_gap_ext, local_alignment=local_alignment)
+    if use_pallas:
+        from .sw_full_pallas import sw_full_batch_pallas
+        score, max_i, max_j, plane, bp = sw_full_batch_pallas.__wrapped__(
+            gwin, glen, rwin, rlen, ax, ay, alen, awid,
+            revcmpl.astype(jnp.int32), **kw)
+    else:
+        score, max_i, max_j, plane, bp = sw_full_batch.__wrapped__(
+            gwin, glen, rwin, rlen, ax, ay, alen, awid, revcmpl, **kw)
+    return _traceback_pack(gwin, rwin, score, max_i, max_j, plane, bp)
+
+
+def _traceback_pack(genome, read, score, max_i, max_j, plane, bp):
+    """Shared on-device traceback + output packing (do_backtrace,
+    sw-full-ls.c:413-516); bp is [B, R, G] of packed plane nibbles.
+
+    The walk itself is a minimal while_loop (one flat 1D gather per
+    step, early exit once every lane's pointer chain ends); positions,
+    indel counts and the match/mismatch tallies are reconstructed
+    vectorized from the emitted op string afterwards, which keeps the
+    sequential part gather-light."""
     B, R, G = bp.shape
-    bp_flat = bp.reshape(B, R * G).astype(jnp.int32)
+    L = R + G
+    bp_all = bp.reshape(B * R * G).astype(jnp.int32)
+    base = jnp.arange(B, dtype=jnp.int32) * (R * G)
     genome_i = genome.astype(jnp.int32)
     read_i = read.astype(jnp.int32)
 
-    def gather2(tab, i, j, width):
-        idx = jnp.clip(i, 0, None) * width + jnp.clip(j, 0, None)
-        return jnp.take_along_axis(tab, idx[:, None], axis=1)[:, 0]
-
     i0 = max_i.astype(jnp.int32)
     j0 = max_j.astype(jnp.int32)
-    frm0 = _tb_decode(gather2(bp_flat, i0, j0, G), plane)
-    zero = jnp.zeros(B, jnp.int32)
+    frm0 = _tb_decode(bp_all[base + jnp.clip(i0, 0, None) * G
+                             + jnp.clip(j0, 0, None)], plane)
 
-    def step(carry, _):
-        i, j, frm, rs, gs, m_, mm_, ins, dele, nops = carry
-        active = (frm != 0) & (i >= 0) & (j >= 0)
+    def cond(carry):
+        t, i, j, frm, ops_buf = carry
+        return (t < L) & jnp.any(frm != 0)
+
+    def body(carry):
+        t, i, j, frm, ops_buf = carry
+        active = frm != 0
         is_n = active & ((frm == _F_NN) | (frm == _F_NNW))
         is_w = active & ((frm == _F_WW) | (frm == _F_WNW))
         is_nw = active & (frm >= _F_NWN)
         op = jnp.where(is_n, BACK_DEL,
                        jnp.where(is_w, BACK_INS,
                                  jnp.where(is_nw, BACK_MM, 0)))
-        gch = jnp.take_along_axis(genome_i,
-                                  jnp.clip(j, 0, G - 1)[:, None], 1)[:, 0]
-        rch = jnp.take_along_axis(read_i,
-                                  jnp.clip(i, 0, R - 1)[:, None], 1)[:, 0]
-        eq = gch == rch
-        m_ = m_ + (is_nw & eq)
-        mm_ = mm_ + (is_nw & ~eq)
-        dele = dele + is_n
-        ins = ins + is_w
-        rs = jnp.where(is_n | is_nw, i, rs)
-        gs = jnp.where(is_w | is_nw, j, gs)
-        nops = nops + active
         i2 = i - (is_n | is_nw)
         j2 = j - (is_w | is_nw)
         nxt = _NEXT_PLANE[jnp.clip(frm, 0, 7)]
         inb = active & (i2 >= 0) & (j2 >= 0)
-        frm2 = jnp.where(inb, _tb_decode(gather2(bp_flat, i2, j2, G), nxt),
-                         0)
-        return (i2, j2, frm2, rs, gs, m_, mm_, ins, dele, nops), \
-            op.astype(jnp.int8)
+        bpv = bp_all[base + jnp.clip(i2, 0, R - 1) * G
+                     + jnp.clip(j2, 0, G - 1)]
+        frm2 = jnp.where(inb, _tb_decode(bpv, nxt), 0)
+        ops_buf = jax.lax.dynamic_update_slice(
+            ops_buf, op.astype(jnp.int8)[:, None], (0, t))
+        return (t + 1, i2, j2, frm2, ops_buf)
 
-    carry0 = (i0, j0, frm0, zero, zero, zero, zero, zero, zero, zero)
-    carry, ops_rev = jax.lax.scan(step, carry0, None, length=R + G)
-    _, _, _, rs, gs, m_, mm_, ins, dele, nops = carry
-    ops_rev = jnp.transpose(ops_rev, (1, 0))   # [B, R+G]
+    ops0 = jnp.zeros((B, L), jnp.int8)
+    _, _, _, _, ops_rev = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), i0, j0, frm0, ops0))
+
+    # ---- vectorized stats from the op string (walk order = reversed
+    # alignment): positions at step t follow from exclusive cumsums
+    consumes_r = (ops_rev == BACK_DEL) | (ops_rev == BACK_MM)
+    consumes_g = (ops_rev == BACK_INS) | (ops_rev == BACK_MM)
+    act = ops_rev != 0
+    cr = jnp.cumsum(consumes_r.astype(jnp.int32), axis=1)
+    cg = jnp.cumsum(consumes_g.astype(jnp.int32), axis=1)
+    i_t = i0[:, None] - (cr - consumes_r)           # exclusive cumsum
+    j_t = j0[:, None] - (cg - consumes_g)
+    is_nw_t = ops_rev == BACK_MM
+    gch = jnp.take_along_axis(genome_i, jnp.clip(j_t, 0, G - 1), axis=1)
+    rch = jnp.take_along_axis(read_i, jnp.clip(i_t, 0, R - 1), axis=1)
+    eq = gch == rch
+    m_ = jnp.sum(is_nw_t & eq, axis=1).astype(jnp.int32)
+    mm_ = jnp.sum(is_nw_t & ~eq, axis=1).astype(jnp.int32)
+    dele = jnp.sum(ops_rev == BACK_DEL, axis=1).astype(jnp.int32)
+    ins = jnp.sum(ops_rev == BACK_INS, axis=1).astype(jnp.int32)
+    nops = jnp.sum(act, axis=1).astype(jnp.int32)
+    ncr = cr[:, -1]
+    ncg = cg[:, -1]
+    rs = jnp.where(ncr > 0, i0 - ncr + 1, 0)
+    gs = jnp.where(ncg > 0, j0 - ncg + 1, 0)
     # pack scalar outputs into one tensor and the 2-bit ops 4-per-byte:
     # every device fetch costs a PCIe/tunnel round-trip, so the host gets
     # exactly two small arrays per launch (traceback.unpack_ops reverses)

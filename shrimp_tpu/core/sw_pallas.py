@@ -151,7 +151,7 @@ def sw_vector_batch_pallas(genome: jnp.ndarray, glen: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=(
     "G", "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
     "b_gap_ext", "use_pallas"))
-def sw_vector_ls_from_index(codes, gstart, glen, rwin, rlen,
+def sw_vector_ls_from_index(codes, gstart, glen, rtab, owner, rlen,
                             *, G: int, match: int, mismatch: int,
                             a_gap_open: int, a_gap_ext: int,
                             b_gap_open: int, b_gap_ext: int,
@@ -161,11 +161,14 @@ def sw_vector_ls_from_index(codes, gstart, glen, rwin, rlen,
     Instead of gathering [B, G] genome windows on the host and shipping
     them per launch, the packed genome `codes` lives on the device once
     and only window start offsets (`gstart`, absolute) cross the host
-    boundary — several-fold less PCIe/tunnel traffic per launch. All
-    argument shapes are launch-size constants so exactly one compile per
-    (G, R) bucket happens. Windows crossing the genome end clip to the
-    last base; `glen` masks them (same semantics as the host gather in
-    mapper._gather_rows).
+    boundary — several-fold less PCIe/tunnel traffic per launch. Read
+    rows are gathered on-device too when `owner` is given: `rtab` is
+    the per-batch read table (upload it once with device_put) and
+    `owner` the per-candidate row index; with owner=None, `rtab` is
+    already the per-candidate [B, R] row matrix. All argument shapes
+    are launch-size constants so exactly one compile per (G, R) bucket
+    happens. Windows crossing the genome end clip to the last base;
+    `glen` masks them (same semantics as mapper._gather_rows).
     """
     from . import sw_jax
     B = gstart.shape[0]
@@ -173,6 +176,9 @@ def sw_vector_ls_from_index(codes, gstart, glen, rwin, rlen,
     pos = jnp.clip(gstart.astype(jnp.int32)[:, None] + jidx, 0,
                    codes.shape[0] - 1)
     gwin = codes[pos]
+    rwin = (rtab if owner is None
+            else rtab[jnp.clip(owner.astype(jnp.int32), 0,
+                               rtab.shape[0] - 1)])
     kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
               a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
               b_gap_ext=b_gap_ext)

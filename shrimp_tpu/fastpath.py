@@ -114,13 +114,6 @@ class FastLS:
         self.lib = get_lib()
         self.m = mapper
         idx = mapper.index
-        # genome padded by a gather-width margin so window gathers never
-        # need clipping
-        pad = 4096
-        self.codes_pad = np.concatenate(
-            [idx.codes, np.full(pad, 255, np.uint8)])
-        self.codes_rc_pad = np.concatenate(
-            [idx.codes_rc, np.full(pad, 255, np.uint8)])
         blob = b""
         offs = [0]
         for nm in idx.contig_names:
@@ -133,9 +126,12 @@ class FastLS:
                                                      np.uint32)
 
     # ---------------------------------------------------------- stage A
-    def stage_prepare(self, records: Sequence[SeqRecord]):
+    def stage_prepare(self, records: Sequence[SeqRecord],
+                      batch_cap: Optional[int] = None):
         """Encode batch + filter1 + async vector-SW dispatch. Returns
-        None when the batch shape is unsupported (caller falls back)."""
+        None when the batch shape is unsupported (caller falls back).
+        `batch_cap` pads the device read table to a fixed row count so
+        jit shapes stay constant across batches."""
         m = self.m
         cfg = m.config
         t0 = _time.perf_counter()
@@ -206,7 +202,8 @@ class FastLS:
         m.stats.add_stage("filter1 + dispatch", _time.perf_counter() - t1)
         return dict(B=B, L=L, wlen=wlen, fh=fh, vec_state=vec_state,
                     codes=codes, names=nm_blob, name_off=offs,
-                    seq_fwd=seq_fwd, seq_rc=seq_rc)
+                    seq_fwd=seq_fwd, seq_rc=seq_rc,
+                    Bcap=max(batch_cap or B, B))
 
     # ---------------------------------------------------------- stage B
     def stage_pass1_dispatch(self, ctx):
@@ -261,7 +258,8 @@ class FastLS:
             assert n_sel >= 0
         m.stats.add_stage("pass1 select", _time.perf_counter() - t0)
 
-        # ---- full-SW dispatch (vectorized _pass2_dispatch)
+        # ---- full-SW dispatch: device-resident genome, only offsets +
+        # read-row indices cross the host boundary
         t1 = _time.perf_counter()
         idx = m.index
         sc = cfg.scores
@@ -289,51 +287,56 @@ class FastLS:
             starts = (idx.contig_offsets[jobs["cn"]].astype(np.int64)
                       + jobs["g_off"])
             rcmask = jobs["gen_st"] == 1
-            total = idx.total_len
-            gi = starts[:, None] + np.arange(G, dtype=np.int64)[None, :]
-            gwin = np.where(rcmask[:, None], self.codes_rc_pad[gi],
-                            self.codes_pad[gi])
-            rwin = np.full((n_jobs, R), 254, np.uint8)
-            rwin[:, :L] = ctx["codes"][jobs["ri"]]
+            # per-batch read table, padded to the pipeline batch cap so
+            # the jit shape never varies (TPU recompiles are minutes)
+            Bcap = ctx["Bcap"]
+            read_tab = np.full((Bcap, R), 254, np.uint8)
+            read_tab[:B, :L] = ctx["codes"]
             glen = jobs["w_len"].astype(np.int32)
-            rlen = np.full(n_jobs, L, np.int32)
             aw = cfg.anchor_width
             rx = (jobs["ax"] - aw // 2).astype(np.int32)
             ry = (jobs["ay"] + aw // 2).astype(np.int32)
             rl_ = jobs["alen"].astype(np.int32)
             rw_ = (jobs["awid"] + aw).astype(np.int32)
             rev = rcmask & cfg.rev_tiebreak
-            from .core.sw_jax import sw_full_and_traceback
-            full_kw = dict(match=sc.match, mismatch=sc.mismatch,
+            from .core.sw_full_pallas import pallas_full_ok
+            from .core.sw_jax import sw_full_tb_from_index
+            codes_dev = m._dev_codes()
+            codes_rc_dev = m._dev_codes_rc()
+            use_pallas = pallas_full_ok(FULL_BATCH, R, G)
+            full_kw = dict(G=G, match=sc.match, mismatch=sc.mismatch,
                            a_gap_open=sc.a_gap_open,
                            a_gap_ext=sc.a_gap_extend,
                            b_gap_open=sc.b_gap_open,
                            b_gap_ext=sc.b_gap_extend,
-                           local_alignment=False)
+                           local_alignment=False, use_pallas=use_pallas)
             for off in range(0, n_jobs, FULL_BATCH):
                 end = min(off + FULL_BATCH, n_jobs)
                 k = end - off
-                cg = np.zeros((FULL_BATCH, G), np.uint8)
+                cgs = np.zeros(FULL_BATCH, np.int32)
+                crc = np.zeros(FULL_BATCH, bool)
                 cgl = np.ones(FULL_BATCH, np.int32)
-                cr = np.full((FULL_BATCH, R), 254, np.uint8)
+                cri = np.zeros(FULL_BATCH, np.int32)
                 crl = np.ones(FULL_BATCH, np.int32)
                 cx = np.zeros(FULL_BATCH, np.int32)
                 cy = np.zeros(FULL_BATCH, np.int32)
                 cl = np.ones(FULL_BATCH, np.int32)
                 cw = np.ones(FULL_BATCH, np.int32)
                 cv = np.zeros(FULL_BATCH, bool)
-                cg[:k] = gwin[off:end]
+                cgs[:k] = starts[off:end]
+                crc[:k] = rcmask[off:end]
                 cgl[:k] = glen[off:end]
-                cr[:k] = rwin[off:end]
-                crl[:k] = rlen[off:end]
+                cri[:k] = jobs["ri"][off:end]
+                crl[:k] = L
                 cx[:k] = rx[off:end]
                 cy[:k] = ry[off:end]
                 cl[:k] = rl_[off:end]
                 cw[:k] = rw_[off:end]
                 cv[:k] = rev[off:end]
                 with m._device_ctx():
-                    res = sw_full_and_traceback(cg, cgl, cr, crl, cx, cy,
-                                                cl, cw, cv, **full_kw)
+                    res = sw_full_tb_from_index(
+                        codes_dev, codes_rc_dev, cgs, crc, cgl, read_tab,
+                        cri, crl, cx, cy, cl, cw, cv, **full_kw)
                 futures.append((off, k, res))
         m.stats.add_stage("pass2 dispatch", _time.perf_counter() - t1)
         return dict(ctx=ctx, jobs=jobs, n_jobs=n_jobs, futures=futures,
@@ -409,7 +412,7 @@ def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
     if fast.lib is None:
         return None
     # probe the first batch for shape support before committing
-    first = fast.stage_prepare(records[:batch_size])
+    first = fast.stage_prepare(records[:batch_size], batch_cap=batch_size)
     if first is None and len(records):
         return None
 
@@ -432,7 +435,8 @@ def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
         while True:
             a = None
             if off < len(records):
-                a = fast.stage_prepare(records[off:off + batch_size])
+                a = fast.stage_prepare(records[off:off + batch_size],
+                                       batch_cap=batch_size)
                 if a is None:
                     # drain the pipeline in input order, then the slow
                     # batch, then resume

@@ -253,6 +253,16 @@ class Mapper:
                                                  self.device)
         return self._codes_dev
 
+    def _dev_codes_rc(self):
+        """Revcomp genome plane on the device (for full-SW window
+        gathers of reverse-strand hits)."""
+        if getattr(self, "_codes_rc_dev", None) is None:
+            import jax
+            with self._device_ctx():
+                self._codes_rc_dev = jax.device_put(self.index.codes_rc,
+                                                    self.device)
+        return self._codes_rc_dev
+
     def _device_ctx(self):
         import contextlib
         if self.device is None:
@@ -564,19 +574,26 @@ class Mapper:
         R = rtab.shape[1]
         futures = []
         with self._device_ctx():
+            # read table uploaded once per batch (row count padded to a
+            # fixed bucket so the jit shape never varies); each launch
+            # ships only int32 offsets + row indices
+            rows = _round_up(max(rtab.shape[0], 1), 4096)
+            rtab_pad = np.full((rows, R), 254, np.uint8)
+            rtab_pad[:rtab.shape[0]] = rtab
+            rtab_dev = jax.device_put(rtab_pad, self.device)
             for off in range(0, n, VEC_BATCH):
                 end = min(off + VEC_BATCH, n)
                 k = end - off
                 cgs = np.zeros(VEC_BATCH, np.int64)
                 cgl = np.zeros(VEC_BATCH, np.int32)
-                crw = np.full((VEC_BATCH, R), 254, np.uint8)
+                cow = np.zeros(VEC_BATCH, np.int32)
                 crl = np.zeros(VEC_BATCH, np.int32)
                 cgs[:k] = gstart[off:end]
                 cgl[:k] = glen[off:end]
-                crw[:k] = rtab[owner[off:end]]
+                cow[:k] = owner[off:end]
                 crl[:k] = rlen[off:end]
                 fut = sw_vector_ls_from_index(
-                    codes_dev, cgs, cgl, crw, crl, G=G,
+                    codes_dev, cgs, cgl, rtab_dev, cow, crl, G=G,
                     use_pallas=use_pallas, **self._vec_kw)
                 futures.append((off, end, fut))
         cells = int((glen.astype(np.int64) * rlen.astype(np.int64)).sum())

@@ -56,6 +56,34 @@ def test_pallas_matches_xla_cs():
     assert np.array_equal(ref, got)
 
 
+def test_full_pallas_mosaic_matches():
+    """Full-SW Pallas kernel compiled by Mosaic (not interpret mode)."""
+    import numpy as np
+
+    from shrimp_tpu.core import sw_jax
+    from shrimp_tpu.core.sw_full_pallas import sw_full_batch_pallas
+    from tests.test_full_pallas import KW, _mk
+    a = _mk(3)
+    for local in (False, True):
+        ref_pk, ref_ops = sw_jax.sw_full_and_traceback(
+            a["genome"], a["glen"], a["read"], a["rlen"], a["ax"],
+            a["ay"], a["alen"], a["awid"], a["revcmpl"],
+            local_alignment=local, use_pallas=False, **KW)
+        score, mi, mj, plane, bp = sw_full_batch_pallas(
+            a["genome"], a["glen"], a["read"], a["rlen"], a["ax"],
+            a["ay"], a["alen"], a["awid"], a["revcmpl"].astype(np.int32),
+            local_alignment=local, **KW)
+        got_pk, got_ops = sw_jax._traceback_pack(
+            np.asarray(a["genome"]), np.asarray(a["read"]),
+            score, mi, mj, plane, bp)
+        ref_pk, got_pk = np.asarray(ref_pk), np.asarray(got_pk)
+        assert np.array_equal(ref_pk[:, 0], got_pk[:, 0])
+        pos = ref_pk[:, 0] > 0
+        assert np.array_equal(ref_pk[pos], got_pk[pos])
+        assert np.array_equal(np.asarray(ref_ops)[pos],
+                              np.asarray(got_ops)[pos])
+
+
 def test_index_gather_path_matches():
     from shrimp_tpu.core.sw_jax import sw_vector_batch
     from shrimp_tpu.core.sw_pallas import sw_vector_ls_from_index
