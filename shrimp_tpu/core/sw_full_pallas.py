@@ -56,8 +56,13 @@ def pallas_full_ok(B: int, R: int, G: int) -> bool:
 
 
 def _kernel(g_ref, r_ref, glen_ref, rlen_ref, ax_ref, ay_ref, alen_ref,
-            awid_ref, rv_ref, bp_ref, stats_ref, nwp, np_, wp,
-            *, G, R, m, mm, goa, gea, gob, geb, local):
+            awid_ref, rv_ref, *refs, G, R, m, mm, goa, gea, gob, geb,
+            local, emit_bp):
+    if emit_bp:
+        bp_ref, stats_ref, nwp, np_, wp, runp, termp, deqp, basep = refs
+    else:
+        bp_ref = None
+        stats_ref, nwp, np_, wp, runp, termp, deqp, basep = refs
     i = pl.program_id(1)
     glen = glen_ref[...].reshape(_SUB, _LANE)
     rlen = rlen_ref[...].reshape(_SUB, _LANE)
@@ -78,8 +83,12 @@ def _kernel(g_ref, r_ref, glen_ref, rlen_ref, ax_ref, ay_ref, alen_ref,
                           jnp.int32)
         wp[:] = jnp.full((G + 1, _SUB, _LANE), -(goa - gea) - gea,
                          jnp.int32)
+        runp[:] = jnp.zeros((G + 1, _SUB, _LANE), jnp.int32)
+        termp[:] = jnp.zeros((G + 1, _SUB, _LANE), jnp.int32)
+        deqp[:] = jnp.zeros((G + 1, _SUB, _LANE), jnp.int32)
+        basep[:] = jnp.zeros((G + 1, _SUB, _LANE), jnp.int32)
         stats_ref[...] = jnp.broadcast_to(
-            (zeros + NEG)[None, None], (1, 6, _SUB, _LANE)
+            (zeros + NEG)[None, None], (1, N_STATS, _SUB, _LANE)
         ).astype(jnp.int32)
         stats_ref[0, 1] = zeros
         stats_ref[0, 2] = zeros
@@ -179,7 +188,21 @@ def _kernel(g_ref, r_ref, glen_ref, rlen_ref, ax_ref, ay_ref, alen_ref,
         w_from = jnp.where(w_val <= 0, 0, w_from)
     w_from = jnp.where(inb, w_from, 0)
 
-    bp_ref[0, 0] = nw_from | (n_from << 2) | (w_from << 4)
+    if emit_bp:
+        bp_ref[0, 0] = nw_from | (n_from << 2) | (w_from << 4)
+
+    # --- diagonal-chain bookkeeping (traceback-free closed form):
+    # along each NW-plane backpointer chain of consecutive NW_FROM_NW
+    # cells, precompute its length (`run`), the from-nibble at its far
+    # end (`term`, 0 when the chain is the whole path), and the eq
+    # cumsum (`deq`/`base`) so matches-in-chain = deq - base. All are
+    # diagonal carries: read prev row at j-1.
+    eq = jnp.where(g == rch[None], 1, 0)
+    deq = deqp[pl.ds(0, G)] + eq
+    chain = nw_from == NW_FROM_NW
+    run = jnp.where(chain, runp[pl.ds(0, G)] + 1, 0)
+    term = jnp.where(chain, termp[pl.ds(0, G)], nw_from)
+    base = jnp.where(chain, basep[pl.ds(0, G)], deq)
 
     # --- score tracking (sw-full-ls.c:359-368)
     cellmax = jnp.maximum(jnp.maximum(n_val, nw_val), w_val)
@@ -203,6 +226,10 @@ def _kernel(g_ref, r_ref, glen_ref, rlen_ref, ax_ref, ay_ref, alen_ref,
     stats_ref[0, 3] = jnp.where(upd, pick(nw_val), stats_ref[0, 3])
     stats_ref[0, 4] = jnp.where(upd, pick(n_val), stats_ref[0, 4])
     stats_ref[0, 5] = jnp.where(upd, pick(w_val), stats_ref[0, 5])
+    stats_ref[0, 6] = jnp.where(upd, pick(run), stats_ref[0, 6])
+    stats_ref[0, 7] = jnp.where(upd, pick(term), stats_ref[0, 7])
+    stats_ref[0, 8] = jnp.where(upd, pick(deq), stats_ref[0, 8])
+    stats_ref[0, 9] = jnp.where(upd, pick(base), stats_ref[0, 9])
 
     # --- planes for the next row (pad col j=-1 = per-mode init)
     nwp[pl.ds(0, 1)] = jnp.full((1, _SUB, _LANE), init_nw_v, jnp.int32)
@@ -211,24 +238,23 @@ def _kernel(g_ref, r_ref, glen_ref, rlen_ref, ax_ref, ay_ref, alen_ref,
     np_[pl.ds(1, G)] = n_val
     wp[pl.ds(0, 1)] = jnp.full((1, _SUB, _LANE), init_w_v, jnp.int32)
     wp[pl.ds(1, G)] = w_val
+    zrow = jnp.zeros((1, _SUB, _LANE), jnp.int32)
+    runp[pl.ds(0, 1)] = zrow
+    runp[pl.ds(1, G)] = run
+    termp[pl.ds(0, 1)] = zrow
+    termp[pl.ds(1, G)] = term
+    deqp[pl.ds(0, 1)] = zrow
+    deqp[pl.ds(1, G)] = deq
+    basep[pl.ds(0, 1)] = zrow
+    basep[pl.ds(1, G)] = base
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
-    "b_gap_ext", "local_alignment", "interpret"))
-def sw_full_batch_pallas(genome, glen, read, rlen, ax, ay, alen, awid,
-                         revcmpl, *, match: int, mismatch: int,
-                         a_gap_open: int, a_gap_ext: int,
-                         b_gap_open: int, b_gap_ext: int,
-                         local_alignment: bool = False,
-                         interpret: bool = False):
-    """Pallas drop-in for sw_jax.sw_full_batch.
+N_STATS = 10
 
-    Returns (score, max_i, max_j, plane, bp[B, R, G] int32). Scores,
-    positions and backpointers are bit-equal to sw_full_batch; `plane`
-    matches wherever score > 0 (when nothing scores positive the start
-    plane is irrelevant — the hit is dropped downstream).
-    """
+
+def _run_kernel(genome, glen, read, rlen, ax, ay, alen, awid, revcmpl,
+                match, mismatch, a_gap_open, a_gap_ext, b_gap_open,
+                b_gap_ext, local_alignment, interpret, emit_bp):
     B, G = genome.shape
     R = read.shape[1]
     assert B % TILE == 0, B
@@ -248,7 +274,7 @@ def sw_full_batch_pallas(genome, glen, read, rlen, ax, ay, alen, awid,
         _kernel, G=G, R=R, m=int(match), mm=int(mismatch),
         goa=int(-(a_gap_open)), gea=int(-(a_gap_ext)),
         gob=int(-(b_gap_open)), geb=int(-(b_gap_ext)),
-        local=bool(local_alignment))
+        local=bool(local_alignment), emit_bp=emit_bp)
 
     def cspec(shape):
         # constant over the row dimension
@@ -261,8 +287,15 @@ def sw_full_batch_pallas(genome, glen, read, rlen, ax, ay, alen, awid,
     bp_spec = pl.BlockSpec((1, 1, G, _SUB, _LANE),
                            lambda t, i: (t, i, 0, 0, 0),
                            memory_space=pltpu.VMEM)
+    out_specs = [cspec((N_STATS, _SUB, _LANE))]
+    out_shape = [jax.ShapeDtypeStruct((nb, N_STATS, _SUB, _LANE),
+                                      jnp.int32)]
+    if emit_bp:
+        out_specs.insert(0, bp_spec)
+        out_shape.insert(
+            0, jax.ShapeDtypeStruct((nb, R, G, _SUB, _LANE), jnp.int32))
 
-    bp, stats = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=(nb, R),
         in_specs=[cspec((G, _SUB, _LANE)), row_spec,
@@ -270,26 +303,83 @@ def sw_full_batch_pallas(genome, glen, read, rlen, ax, ay, alen, awid,
                   cspec((1, _SUB, _LANE)), cspec((1, _SUB, _LANE)),
                   cspec((1, _SUB, _LANE)), cspec((1, _SUB, _LANE)),
                   cspec((1, _SUB, _LANE))],
-        out_specs=[bp_spec, cspec((6, _SUB, _LANE))],
-        out_shape=[jax.ShapeDtypeStruct((nb, R, G, _SUB, _LANE), jnp.int32),
-                   jax.ShapeDtypeStruct((nb, 6, _SUB, _LANE), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((G + 1, _SUB, _LANE), jnp.int32)] * 3,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((G + 1, _SUB, _LANE), jnp.int32)] * 7,
         interpret=interpret,
     )(gT, rT, flat(glen), flat(rlen), flat(ax), flat(ay), flat(alen),
       flat(awid), flat(revcmpl))
+    if emit_bp:
+        bp, stats = outs
+        bp = bp.transpose(0, 3, 4, 1, 2).reshape(B, R, G)
+    else:
+        (stats,) = outs
+        bp = None
+    st = stats.transpose(0, 2, 3, 1).reshape(B, N_STATS)
+    return st, bp
 
-    # [nb, R|6, G?, 8, 128] -> [B, ...]
-    bp = bp.transpose(0, 3, 4, 1, 2).reshape(B, R, G)
-    st = stats.transpose(0, 2, 3, 1).reshape(B, 6)
+
+def _plane_from_stats(st):
     best, bi, bj, nw_c, n_c, w_c = (st[:, k] for k in range(6))
     score = jnp.maximum(best, 0)
     has = best > 0
     max_i = jnp.where(has, bi, 0)
     max_j = jnp.where(has, bj, 0)
-    plane = jnp.zeros(B, jnp.int32)
+    plane = jnp.zeros(st.shape[0], jnp.int32)
     fs = nw_c
     plane = jnp.where(w_c > fs, 1, plane)
     fs = jnp.maximum(fs, w_c)
     plane = jnp.where(n_c > fs, 2, plane)
     plane = jnp.where(has, plane, 0)
+    return score, max_i, max_j, plane
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
+    "b_gap_ext", "local_alignment", "interpret"))
+def sw_full_batch_pallas(genome, glen, read, rlen, ax, ay, alen, awid,
+                         revcmpl, *, match: int, mismatch: int,
+                         a_gap_open: int, a_gap_ext: int,
+                         b_gap_open: int, b_gap_ext: int,
+                         local_alignment: bool = False,
+                         interpret: bool = False):
+    """Pallas drop-in for sw_jax.sw_full_batch.
+
+    Returns (score, max_i, max_j, plane, bp[B, R, G] int32). Scores,
+    positions and backpointers are bit-equal to sw_full_batch; `plane`
+    matches wherever score > 0 (when nothing scores positive the start
+    plane is irrelevant — the hit is dropped downstream).
+    """
+    st, bp = _run_kernel(genome, glen, read, rlen, ax, ay, alen, awid,
+                         revcmpl, match, mismatch, a_gap_open, a_gap_ext,
+                         b_gap_open, b_gap_ext, local_alignment,
+                         interpret, True)
+    score, max_i, max_j, plane = _plane_from_stats(st)
     return score, max_i, max_j, plane, bp
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
+    "b_gap_ext", "local_alignment", "interpret"))
+def sw_full_stats_pallas(genome, glen, read, rlen, ax, ay, alen, awid,
+                         revcmpl, *, match: int, mismatch: int,
+                         a_gap_open: int, a_gap_ext: int,
+                         b_gap_open: int, b_gap_ext: int,
+                         local_alignment: bool = False,
+                         interpret: bool = False):
+    """Traceback-free full SW: the DP plus the in-kernel diagonal-chain
+    summary, with no backpointer tensor at all.
+
+    Returns [B, 8] int32: score, max_i, max_j, plane, run, term, deq,
+    base. When plane == 0 and term == 0 the whole traceback is the
+    single diagonal chain: nops = run, read_start = max_i - run + 1,
+    genome_start = max_j - run + 1, matches = deq - base, mismatches =
+    run - matches, no indels. Otherwise the caller must walk the path
+    itself (host C++ banded DP re-run)."""
+    st, _ = _run_kernel(genome, glen, read, rlen, ax, ay, alen, awid,
+                        revcmpl, match, mismatch, a_gap_open, a_gap_ext,
+                        b_gap_open, b_gap_ext, local_alignment,
+                        interpret, False)
+    score, max_i, max_j, plane = _plane_from_stats(st)
+    return jnp.stack([score, max_i, max_j, plane, st[:, 6], st[:, 7],
+                      st[:, 8], st[:, 9]], axis=1)

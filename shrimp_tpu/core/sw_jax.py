@@ -409,6 +409,33 @@ def sw_full_tb_from_index(codes_fwd, codes_rc, gstart, use_rc, glen,
     return _traceback_pack(gwin, rwin, score, max_i, max_j, plane, bp)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "G", "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
+    "b_gap_ext", "local_alignment", "interpret"))
+def sw_full_stats_from_index(codes_fwd, codes_rc, gstart, use_rc, glen,
+                             read_tab, ri, rlen, ax, ay, alen, awid,
+                             revcmpl, *, G: int, match, mismatch,
+                             a_gap_open, a_gap_ext, b_gap_open, b_gap_ext,
+                             local_alignment=False, interpret=False):
+    """Traceback-free full SW against the device-resident genome: the
+    Pallas stats kernel (sw_full_pallas.sw_full_stats_pallas) on
+    device-gathered windows. Returns [B, 8] int32 (score, max_i, max_j,
+    plane, run, term, deq, base); the host reconstructs single-diagonal
+    alignments closed-form and re-runs the rare indel paths natively."""
+    from .sw_full_pallas import sw_full_stats_pallas
+    jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+    pos = jnp.clip(gstart.astype(jnp.int32)[:, None] + jidx, 0,
+                   codes_fwd.shape[0] - 1)
+    gwin = jnp.where(use_rc[:, None], codes_rc[pos], codes_fwd[pos])
+    rwin = read_tab[jnp.clip(ri, 0, read_tab.shape[0] - 1)]
+    return sw_full_stats_pallas.__wrapped__(
+        gwin, glen, rwin, rlen, ax, ay, alen, awid,
+        revcmpl.astype(jnp.int32), match=match, mismatch=mismatch,
+        a_gap_open=a_gap_open, a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
+        b_gap_ext=b_gap_ext, local_alignment=local_alignment,
+        interpret=interpret)
+
+
 def _traceback_pack(genome, read, score, max_i, max_j, plane, bp):
     """Shared on-device traceback + output packing (do_backtrace,
     sw-full-ls.c:413-516); bp is [B, R, G] of packed plane nibbles.

@@ -102,6 +102,35 @@ class _FRJobs(ctypes.Structure):
                  "ops_pk")]
 
 
+class _FSWParams(ctypes.Structure):
+    _fields_ = [("n_jobs", ctypes.c_int64), ("G", ctypes.c_int32),
+                ("R", ctypes.c_int32), ("ops_words", ctypes.c_int32),
+                ("match", ctypes.c_int32), ("mismatch", ctypes.c_int32),
+                ("a_gap_open", ctypes.c_int32),
+                ("a_gap_ext", ctypes.c_int32),
+                ("b_gap_open", ctypes.c_int32),
+                ("b_gap_ext", ctypes.c_int32), ("local", ctypes.c_int32)]
+
+
+class _FSWJobs(ctypes.Structure):
+    _fields_ = [(f, ctypes.c_void_p) for f in
+                ("gwin", "glen", "read", "rlen", "ax", "ay", "alen",
+                 "awid", "rev")]
+
+
+def _stats_flow_enabled(B: int, R: int, G: int) -> bool:
+    """The traceback-free stats flow (Pallas DP stats + host closed
+    form / native DP for indel paths) replaces the on-device traceback
+    wherever the Mosaic kernel runs; SHRIMP_TPU_STATS_FLOW=0/1
+    overrides (tests force it on CPU with interpret-mode Pallas)."""
+    import os
+    ov = os.environ.get("SHRIMP_TPU_STATS_FLOW")
+    if ov is not None:
+        return ov == "1"
+    from .core.sw_full_pallas import pallas_full_ok
+    return pallas_full_ok(B, R, G)
+
+
 def _vp(a: np.ndarray) -> ctypes.c_void_p:
     return ctypes.c_void_p(a.ctypes.data)
 
@@ -299,17 +328,27 @@ class FastLS:
             rl_ = jobs["alen"].astype(np.int32)
             rw_ = (jobs["awid"] + aw).astype(np.int32)
             rev = rcmask & cfg.rev_tiebreak
+            import os as _os
+
             from .core.sw_full_pallas import pallas_full_ok
-            from .core.sw_jax import sw_full_tb_from_index
+            from .core.sw_jax import (sw_full_stats_from_index,
+                                      sw_full_tb_from_index)
             codes_dev = m._dev_codes()
             codes_rc_dev = m._dev_codes_rc()
-            use_pallas = pallas_full_ok(FULL_BATCH, R, G)
+            stats_flow = _stats_flow_enabled(FULL_BATCH, R, G)
             full_kw = dict(G=G, match=sc.match, mismatch=sc.mismatch,
                            a_gap_open=sc.a_gap_open,
                            a_gap_ext=sc.a_gap_extend,
                            b_gap_open=sc.b_gap_open,
                            b_gap_ext=sc.b_gap_extend,
-                           local_alignment=False, use_pallas=use_pallas)
+                           local_alignment=False)
+            if stats_flow:
+                full_kw["interpret"] = (_os.environ.get(
+                    "SHRIMP_TPU_PALLAS_INTERPRET") == "1")
+                full_fn = sw_full_stats_from_index
+            else:
+                full_kw["use_pallas"] = pallas_full_ok(FULL_BATCH, R, G)
+                full_fn = sw_full_tb_from_index
             for off in range(0, n_jobs, FULL_BATCH):
                 end = min(off + FULL_BATCH, n_jobs)
                 k = end - off
@@ -334,13 +373,97 @@ class FastLS:
                 cw[:k] = rw_[off:end]
                 cv[:k] = rev[off:end]
                 with m._device_ctx():
-                    res = sw_full_tb_from_index(
+                    res = full_fn(
                         codes_dev, codes_rc_dev, cgs, crc, cgl, read_tab,
                         cri, crl, cx, cy, cl, cw, cv, **full_kw)
                 futures.append((off, k, res))
+            ctx2_extra = dict(stats_flow=stats_flow, G=G, R=R,
+                              read_tab=read_tab, rx=rx, ry=ry, rl_=rl_,
+                              rw_=rw_, rev=rev, starts=starts,
+                              rcmask=rcmask)
+        else:
+            ctx2_extra = {}
         m.stats.add_stage("pass2 dispatch", _time.perf_counter() - t1)
         return dict(ctx=ctx, jobs=jobs, n_jobs=n_jobs, futures=futures,
-                    t_dispatch=_time.perf_counter() - t1)
+                    t_dispatch=_time.perf_counter() - t1, **ctx2_extra)
+
+    def _stats_to_packed(self, stats, ctx2):
+        """Expand the [n, 8] device stats rows (score, max_i, max_j,
+        plane, run, term, deq, base — sw_full_stats_pallas) into the
+        finalize_render job format. Rows whose best path is a single
+        diagonal chain (plane == 0, term == 0) are reconstructed closed
+        form, vectorized; the rare indel / cross-plane paths are re-run
+        by the native banded DP (hostpipe.cpp sw_full_tb_host). Output
+        is bit-identical to the on-device traceback flow."""
+        m = self.m
+        sc = m.config.scores
+        n_jobs = ctx2["n_jobs"]
+        jobs = ctx2["jobs"]
+        R, G = ctx2["R"], ctx2["G"]
+        L = ctx2["ctx"]["L"]
+        W = (R + G + 3) // 4
+        packed = np.zeros((n_jobs, 10), np.int32)
+        ops_pk = np.zeros((n_jobs, W), np.uint8)
+        score, mi, mj, plane, run, term = (stats[:, k] for k in range(6))
+        matches = stats[:, 6] - stats[:, 7]
+        packed[:, 0] = score
+        packed[:, 1] = mi
+        packed[:, 2] = mj
+        pos = score > 0
+        closed = pos & (plane == 0) & (term == 0)
+        packed[closed, 3] = run[closed]
+        packed[closed, 4] = (mi - run + 1)[closed]
+        packed[closed, 5] = (mj - run + 1)[closed]
+        packed[closed, 6] = matches[closed]
+        packed[closed, 7] = (run - matches)[closed]
+        rows = np.nonzero(closed)[0]
+        if rows.size:
+            # walk-order op string: `run` diagonal ops (0b11), 4/byte
+            fb = run[rows] // 4
+            rem = run[rows] % 4
+            sub = np.zeros((rows.size, W), np.uint8)
+            sub[np.arange(W, dtype=np.int32)[None, :] < fb[:, None]] = 255
+            ii = np.nonzero(rem > 0)[0]
+            sub[ii, fb[ii]] = ((1 << (2 * rem[ii])) - 1).astype(np.uint8)
+            ops_pk[rows] = sub
+        need = np.nonzero(pos & ~closed)[0]
+        m.stats.full_host_tb += int(need.size)
+        if need.size:
+            idx = m.index
+            k2 = need.size
+            starts = ctx2["starts"][need]
+            rc = ctx2["rcmask"][need]
+            gpos = np.clip(starts[:, None]
+                           + np.arange(G, dtype=np.int64)[None, :],
+                           0, idx.total_len - 1)
+            gwin = np.ascontiguousarray(
+                np.where(rc[:, None], idx.codes_rc[gpos],
+                         idx.codes[gpos]).astype(np.uint8))
+            read = np.ascontiguousarray(
+                ctx2["read_tab"][jobs["ri"][need]])
+            glen = np.ascontiguousarray(
+                jobs["w_len"][need].astype(np.int32))
+            rlen = np.full(k2, L, np.int32)
+            ax = np.ascontiguousarray(ctx2["rx"][need])
+            ay = np.ascontiguousarray(ctx2["ry"][need])
+            alen = np.ascontiguousarray(ctx2["rl_"][need])
+            awid = np.ascontiguousarray(ctx2["rw_"][need])
+            rev = np.ascontiguousarray(ctx2["rev"][need].astype(np.uint8))
+            pk2 = np.zeros((k2, 10), np.int32)
+            op2 = np.zeros((k2, W), np.uint8)
+            p = _FSWParams(k2, G, R, W, sc.match, sc.mismatch,
+                           sc.a_gap_open, sc.a_gap_extend, sc.b_gap_open,
+                           sc.b_gap_extend, 0)
+            jb = _FSWJobs(_vp(gwin), _vp(glen), _vp(read), _vp(rlen),
+                          _vp(ax), _vp(ay), _vp(alen), _vp(awid),
+                          _vp(rev))
+            rv = self.lib.sw_full_tb_host(ctypes.byref(p),
+                                          ctypes.byref(jb), _vp(pk2),
+                                          _vp(op2))
+            assert rv == 0, rv
+            packed[need] = pk2
+            ops_pk[need] = op2
+        return packed, ops_pk, W
 
     # ---------------------------------------------------------- stage C
     def stage_finish(self, ctx2) -> Tuple[bytes, np.ndarray]:
@@ -357,14 +480,21 @@ class FastLS:
             m.stats.reads += B
             return b"", nhits
         import jax
-        fetched = jax.device_get(
-            [(pk, opk) for _, _, (pk, opk) in ctx2["futures"]])
-        W = fetched[0][1].shape[1]
-        packed = np.empty((n_jobs, 10), np.int32)
-        ops_pk = np.empty((n_jobs, W), np.uint8)
-        for (off, k, _), (pk, opk) in zip(ctx2["futures"], fetched):
-            packed[off:off + k] = pk[:k]
-            ops_pk[off:off + k] = opk[:k]
+        if ctx2.get("stats_flow"):
+            fetched = jax.device_get([res for _, _, res in ctx2["futures"]])
+            stats = np.empty((n_jobs, 8), np.int32)
+            for (off, k, _), st in zip(ctx2["futures"], fetched):
+                stats[off:off + k] = st[:k]
+            packed, ops_pk, W = self._stats_to_packed(stats, ctx2)
+        else:
+            fetched = jax.device_get(
+                [(pk, opk) for _, _, (pk, opk) in ctx2["futures"]])
+            W = fetched[0][1].shape[1]
+            packed = np.empty((n_jobs, 10), np.int32)
+            ops_pk = np.empty((n_jobs, W), np.uint8)
+            for (off, k, _), (pk, opk) in zip(ctx2["futures"], fetched):
+                packed[off:off + k] = pk[:k]
+                ops_pk[off:off + k] = opk[:k]
         m.stats.full_invocs += n_jobs
         m.stats.full_cells += int(jobs["w_len"].astype(np.int64).sum()) * L
         m.stats.full_secs += _time.perf_counter() - t0 + ctx2["t_dispatch"]

@@ -68,4 +68,5 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _LIB.filter1_batch.restype = ctypes.c_int64
         _LIB.pass1_select.restype = ctypes.c_int64
         _LIB.finalize_render.restype = ctypes.c_int64
+        _LIB.sw_full_tb_host.restype = ctypes.c_int64
     return _LIB

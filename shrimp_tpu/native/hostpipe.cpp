@@ -456,4 +456,219 @@ int64_t finalize_render(const FRParams* p, const FRJobs* j,
   return w - out_buf;
 }
 
+// ------------------------------------------------------ sw_full_tb_host
+//
+// Banded 3-plane full Smith-Waterman with traceback for the minority of
+// hits whose path is not a single diagonal chain (the Pallas kernel's
+// closed-form stats cover the rest). Cell-for-cell port of
+// common/sw-full-ls.c:154-516 via the numpy oracle (core/sw_np.py);
+// emits the same packed row + walk-order 2-bit op string as the device
+// traceback (core/sw_jax.py _traceback_pack).
+
+struct FSWParams {
+  int64_t n_jobs;
+  int32_t G;             // gwin row stride
+  int32_t R;             // read row stride
+  int32_t ops_words;     // bytes per ops_pk row
+  int32_t match, mismatch;
+  int32_t a_gap_open, a_gap_ext, b_gap_open, b_gap_ext;  // raw (negative)
+  int32_t local;
+};
+
+struct FSWJobs {
+  const uint8_t* gwin;   // [n, G]
+  const int32_t* glen;
+  const uint8_t* read;   // [n, R]
+  const int32_t* rlen;
+  const int32_t* ax;     // already-widened anchor rect
+  const int32_t* ay;
+  const int32_t* alen;
+  const int32_t* awid;
+  const uint8_t* rev;    // revcmpl tie-break flags
+};
+
+// FROM_* codes (sw-full-ls.c:36-46)
+enum { F_NN = 1, F_NNW = 2, F_WNW = 3, F_WW = 4,
+       F_NWN = 5, F_NWNW = 6, F_NWW = 7 };
+
+static const int64_t FSW_NEG = -(int64_t)1 << 30;
+
+static inline void fsw_x_range(int32_t ax, int32_t ay, int32_t alen,
+                               int32_t awid, int32_t x_len, int32_t y,
+                               int32_t* x_min, int32_t* x_max) {
+  int32_t mn, mx;
+  if (y < ay) mn = 0;
+  else if (y <= ay + alen - 1) mn = ax + (y - ay);
+  else mn = ax + alen;
+  if (mn < 0) mn = 0;
+  if (mn > x_len - 1) mn = x_len - 1;
+  if (y < ay - (awid - 1)) mx = ax + (awid - 1) - 1;
+  else if (y <= ay - (awid - 1) + alen - 1)
+    mx = ax + (awid - 1) + (y - (ay - (awid - 1)));
+  else mx = x_len - 1;
+  if (mx < 0) mx = 0;
+  if (mx > x_len - 1) mx = x_len - 1;
+  *x_min = mn;
+  *x_max = mx;
+}
+
+int64_t sw_full_tb_host(const FSWParams* p, const FSWJobs* jb,
+                        int32_t* packed /* [n,10] */,
+                        uint8_t* ops_pk /* [n, ops_words] */) {
+  const int64_t go_a = -(int64_t)p->a_gap_open, ge_a = -(int64_t)p->a_gap_ext;
+  const int64_t go_b = -(int64_t)p->b_gap_open, ge_b = -(int64_t)p->b_gap_ext;
+  const bool local = p->local != 0;
+  const int32_t Gs = p->G, Rs = p->R;
+
+  std::vector<int64_t> nw, n, w;
+  std::vector<int8_t> bnw, bn, bw;
+
+  for (int64_t t = 0; t < p->n_jobs; t++) {
+    const uint8_t* genome = jb->gwin + t * Gs;
+    const uint8_t* read = jb->read + t * Rs;
+    const int32_t G = jb->glen[t], R = jb->rlen[t];
+    const int32_t AX = jb->ax[t], AY = jb->ay[t];
+    const int32_t AL = jb->alen[t], AW = jb->awid[t];
+    const bool rv = jb->rev[t] != 0;
+    const int64_t W = G + 1;
+    nw.assign((R + 1) * W, 0);
+    n.assign((R + 1) * W, 0);
+    w.assign((R + 1) * W, 0);
+    bnw.assign((R + 1) * W, 0);
+    bn.assign((R + 1) * W, 0);
+    bw.assign((R + 1) * W, 0);
+    // init every cell (reference inits exactly the cells later read;
+    // initializing all of them is value-identical, see sw_np.py)
+    const int64_t init_nw = local ? 0 : FSW_NEG;
+    const int64_t init_n = local ? (int64_t)p->b_gap_open : FSW_NEG;
+    const int64_t init_w = local ? (int64_t)p->a_gap_open : FSW_NEG;
+    // row 0 (virtual row -1) is always local-init (sw-full-ls.c:194-196)
+    for (int64_t j = 0; j < W; j++) {
+      nw[j] = 0;
+      n[j] = (int64_t)p->b_gap_open;
+      w[j] = (int64_t)p->a_gap_open;
+    }
+    for (int64_t r = 1; r <= R; r++)
+      for (int64_t j = 0; j < W; j++) {
+        nw[r * W + j] = init_nw;
+        n[r * W + j] = init_n;
+        w[r * W + j] = init_w;
+      }
+
+    int64_t score = 0;
+    int32_t max_i = 0, max_j = 0;
+    for (int32_t i = 0; i < R; i++) {
+      int32_t x_min, x_max;
+      fsw_x_range(AX, AY, AL, AW, G, i, &x_min, &x_max);
+      for (int32_t j = x_min; j <= x_max; j++) {
+        const int64_t s =
+            genome[j] == read[i] ? p->match : p->mismatch;
+        const int64_t* pnw = &nw[(int64_t)i * W];
+        const int64_t* pn = &n[(int64_t)i * W];
+        const int64_t* pw = &w[(int64_t)i * W];
+        int64_t* cnw = &nw[(int64_t)(i + 1) * W];
+        int64_t* cn = &n[(int64_t)(i + 1) * W];
+        int64_t* cw = &w[(int64_t)(i + 1) * W];
+        // northwest plane (tie pref nw > n > w; flipped under rv)
+        int64_t tmp;
+        int8_t tmp2;
+        if (!rv) { tmp = pnw[j]; tmp2 = F_NWNW; }
+        else     { tmp = pw[j];  tmp2 = F_NWW; }
+        if (pn[j] > tmp) { tmp = pn[j]; tmp2 = F_NWN; }
+        if (!rv) { if (pw[j] > tmp) { tmp = pw[j]; tmp2 = F_NWW; } }
+        else     { if (pnw[j] > tmp) { tmp = pnw[j]; tmp2 = F_NWNW; } }
+        tmp += s;
+        if (local && tmp <= 0) { tmp = 0; tmp2 = 0; }
+        cnw[j + 1] = tmp;
+        bnw[(int64_t)(i + 1) * W + j + 1] = tmp2;
+        // north plane
+        int64_t c_open = pnw[j + 1] - go_b - ge_b;
+        int64_t c_ext = pn[j + 1] - ge_b;
+        if (!rv) {
+          if (c_ext > c_open) { tmp = c_ext; tmp2 = F_NN; }
+          else { tmp = c_open; tmp2 = F_NNW; }
+        } else {
+          if (c_open > c_ext) { tmp = c_open; tmp2 = F_NNW; }
+          else { tmp = c_ext; tmp2 = F_NN; }
+        }
+        if (local && tmp <= 0) { tmp = 0; tmp2 = 0; }
+        cn[j + 1] = tmp;
+        bn[(int64_t)(i + 1) * W + j + 1] = tmp2;
+        // west plane
+        c_open = cnw[j] - go_a - ge_a;
+        c_ext = cw[j] - ge_a;
+        if (!rv) {
+          if (c_ext > c_open) { tmp = c_ext; tmp2 = F_WW; }
+          else { tmp = c_open; tmp2 = F_WNW; }
+        } else {
+          if (c_open > c_ext) { tmp = c_open; tmp2 = F_WNW; }
+          else { tmp = c_ext; tmp2 = F_WW; }
+        }
+        if (local && tmp <= 0) { tmp = 0; tmp2 = 0; }
+        cw[j + 1] = tmp;
+        bw[(int64_t)(i + 1) * W + j + 1] = tmp2;
+        // max tracking (sw-full-ls.c:359-368)
+        if (local || i == R - 1) {
+          int64_t mx = cn[j + 1];
+          if (cnw[j + 1] > mx) mx = cnw[j + 1];
+          if (cw[j + 1] > mx) mx = cw[j + 1];
+          if (mx > score) { score = mx; max_i = i; max_j = j; }
+        }
+      }
+    }
+
+    int32_t* pk = packed + t * 10;
+    uint8_t* opw = ops_pk + t * p->ops_words;
+    memset(opw, 0, p->ops_words);
+    pk[0] = (int32_t)score;
+    pk[1] = max_i; pk[2] = max_j;
+    for (int q = 3; q < 10; q++) pk[q] = 0;
+    if (score <= 0) continue;
+
+    // do_backtrace (sw-full-ls.c:413-516), walk-order op emission
+    int32_t i = max_i, j = max_j;
+    int64_t base = (int64_t)(i + 1) * W + j + 1;
+    int8_t frm = bnw[base];
+    int64_t fs = nw[base];
+    if (w[base] > fs) { frm = bw[base]; fs = w[base]; }
+    if (n[base] > fs) frm = bn[base];
+    int32_t nops = 0, rs = 0, gs = 0, m_ = 0, mm_ = 0, ins = 0, dele = 0;
+    while (i >= 0 && j >= 0 && frm != 0) {
+      int op;
+      if (frm == F_NN || frm == F_NNW) {
+        op = 2;                       // read-consuming (CIGAR I)
+        dele++;
+        rs = i;
+        i--;
+      } else if (frm == F_WW || frm == F_WNW) {
+        op = 1;                       // genome-consuming (CIGAR D)
+        ins++;
+        gs = j;
+        j--;
+      } else {
+        op = 3;
+        if (genome[j] == read[i]) m_++; else mm_++;
+        rs = i;
+        gs = j;
+        i--;
+        j--;
+      }
+      if (nops < 4 * p->ops_words)
+        opw[nops >> 2] |= (uint8_t)(op << ((nops & 3) * 2));
+      nops++;
+      int8_t nf = 0;
+      int64_t nb = (int64_t)(i + 1) * W + j + 1;
+      if (i >= -1 && j >= -1) {
+        if (frm == F_NN || frm == F_NWN) nf = bn[nb];
+        else if (frm == F_WW || frm == F_NWW) nf = bw[nb];
+        else nf = bnw[nb];            // F_NNW, F_WNW, F_NWNW
+      }
+      frm = nf;
+    }
+    pk[3] = nops; pk[4] = rs; pk[5] = gs;
+    pk[6] = m_; pk[7] = mm_; pk[8] = ins; pk[9] = dele;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -22,6 +22,7 @@ class MapperStats:
     full_invocs: int = 0
     full_cells: int = 0
     full_secs: float = 0.0
+    full_host_tb: int = 0   # stats-flow jobs re-run by the host DP
     post_invocs: int = 0
     stage_secs: Dict[str, float] = field(default_factory=dict)
     started: float = field(default_factory=time.time)

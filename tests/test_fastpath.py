@@ -97,6 +97,25 @@ def test_fastpath_option_variants(tmp_path):
         assert got == want, f"mismatch for {kw}"
 
 
+def test_fastpath_stats_flow(tmp_path, monkeypatch):
+    """The traceback-free stats flow (Pallas DP-stats kernel +
+    closed-form diagonal reconstruction + native host DP for the
+    indel/cross-plane minority) is byte-identical to the on-device
+    traceback flow."""
+    monkeypatch.setenv("SHRIMP_TPU_STATS_FLOW", "1")
+    monkeypatch.setenv("SHRIMP_TPU_PALLAS_INTERPRET", "1")
+    idx, reads, _, _ = _build(tmp_path, n_reads=150, seed=3)
+    recs = [SeqRecord(n, s) for n, s in reads]
+    cfg = MapperConfig()
+    m = Mapper(idx, cfg)
+    got = _fast_sam(m, recs)
+    assert m.stats.full_host_tb > 0, "indel paths never hit the host DP"
+    monkeypatch.delenv("SHRIMP_TPU_STATS_FLOW")
+    monkeypatch.delenv("SHRIMP_TPU_PALLAS_INTERPRET")
+    want = _generic_sam(Mapper(idx, cfg), recs)
+    assert got == want
+
+
 @pytest.mark.skipif(oracle.ensure_gmapper() is None,
                     reason="reference gmapper not available")
 def test_fastpath_matches_reference(tmp_path):
