@@ -160,6 +160,11 @@ def main():
     to the CPU backend (still one JSON line) if the TPU attempt exceeds
     its budget."""
     if "--inner" in sys.argv:
+        if os.environ.get("JAX_PLATFORMS") == "cpu":
+            # The axon sitecustomize registers the TPU backend before
+            # our env var is consulted; force the platform explicitly.
+            import jax
+            jax.config.update("jax_platforms", "cpu")
         run_measurement()
         return
     budget = float(os.environ.get("SHRIMP_TPU_BENCH_BUDGET", "2100"))
