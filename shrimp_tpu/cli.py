@@ -75,7 +75,13 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
                    default=C.DEF_LONGEST_READ_LENGTH)
     p.add_argument("--trim-front", type=int, default=0)
     p.add_argument("--trim-end", type=int, default=0)
+    p.add_argument("--trim-first", action="store_true",
+                   help="trim only the first read in each pair")
+    p.add_argument("--trim-second", action="store_true",
+                   help="trim only the second read in each pair")
     p.add_argument("--trim-illumina", action="store_true")
+    p.add_argument("--min-avg-qv", type=int, default=10)
+    p.add_argument("--no-qv-check", action="store_true")
     p.add_argument("--un", default=None,
                    help="write unaligned reads to this file")
     p.add_argument("--al", default=None,
@@ -162,7 +168,18 @@ def build_config(args) -> "MapperConfig":
         pair_mode=args.pair_mode,
         extra_sam_fields=args.extra_sam_fields,
         list_cutoff=args.cutoff,
+        trim_front=args.trim_front,
+        trim_end=args.trim_end,
+        trim_illumina=args.trim_illumina,
+        min_avg_qv=args.min_avg_qv,
+        no_qv_check=args.no_qv_check,
     )
+    if args.trim_first or args.trim_second:
+        if args.pair_mode == C.PAIR_NONE:
+            raise SystemExit("error: cannot use --trim-first or "
+                             "--trim-second in unpaired mode")
+        kw["trim_first"] = args.trim_first or not args.trim_second
+        kw["trim_second"] = args.trim_second or not args.trim_first
     if args.cmw_mode is not None:
         kw["match_mode"] = args.cmw_mode
     if args.isize:
@@ -413,13 +430,8 @@ def cmd_map(args) -> int:
                 out.write(chunk.decode())
 
     do_flush = flush_window if use_fast else flush
-    from .io.fasta import SeqRecord
     for rec in read_seqs(args.reads, fastq=fastq):
-        if args.trim_front or args.trim_end:
-            end = len(rec.seq) - args.trim_end
-            rec = SeqRecord(rec.name, rec.seq[args.trim_front:end],
-                            rec.qual[args.trim_front:end]
-                            if rec.qual else None)
+        # trimming/qv gating happens in Mapper.prepare_read
         batch.append(rec)
         nreads += 1
         if len(batch) >= win_size:

@@ -197,6 +197,14 @@ class MapperConfig:
     qual_delta: Optional[int] = None               # None -> mode default
     pr_xover: float = 0.03
     ignore_qvs: bool = False
+    # read trimming + quality gating (gmapper.c:262-281, 430-473)
+    trim_front: int = 0
+    trim_end: int = 0
+    trim_first: bool = True     # --trim-first: trim only leg 1 of a pair
+    trim_second: bool = True    # --trim-second: trim only leg 2
+    trim_illumina: bool = False  # strip trailing 'B' quals (LS only)
+    min_avg_qv: int = 10        # drop fastq reads below this avg qv; <0 off
+    no_qv_check: bool = False   # disable the PHRED offset sanity check
     read_group_name: Optional[str] = None
     sam_sample_name: Optional[str] = None
     extra_sam_fields: bool = False

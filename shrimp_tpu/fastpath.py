@@ -166,6 +166,10 @@ class FastLS:
         t0 = _time.perf_counter()
         if not records:
             return None
+        if cfg.trim_front or cfg.trim_end or cfg.trim_illumina:
+            return None  # raw-string trims: generic prepare_read path
+        if any(r.qual is not None for r in records):
+            return None  # C renderer emits QUAL '*'; quals need sam.py
         L = len(records[0].seq)
         if L == 0 or L > cfg.longest_read_len:
             return None

@@ -271,8 +271,33 @@ class Mapper:
         return jax.default_device(self.device)
 
     # ------------------------------------------------------------ read prep
-    def prepare_read(self, rec: SeqRecord) -> Optional[ReadEntry]:
+    def prepare_read(self, rec: SeqRecord,
+                     trim: bool = True) -> Optional[ReadEntry]:
         cfg = self.config
+        if trim and (cfg.trim_front or cfg.trim_end):
+            # trim_read (gmapper.c:262-281): raw-string front/end trim
+            end = len(rec.seq) - cfg.trim_end
+            rec = SeqRecord(rec.name, rec.seq[cfg.trim_front:end],
+                            rec.qual[cfg.trim_front:end]
+                            if rec.qual is not None else None)
+        if (cfg.mode == C.MODE_LETTER_SPACE and cfg.trim_illumina
+                and rec.qual):
+            # strip trailing Illumina 'B' quality run (gmapper.c:440-453)
+            nb = len(rec.qual) - len(rec.qual.rstrip("B"))
+            if nb:
+                rec = SeqRecord(rec.name, rec.seq[:len(rec.seq) - nb],
+                                rec.qual[:len(rec.qual) - nb])
+        if rec.qual is not None and not cfg.ignore_qvs:
+            if not cfg.no_qv_check:
+                # PHRED offset sanity check (gmapper.c:464-473)
+                for ch in rec.qual:
+                    q = ord(ch) - cfg.qual_delta
+                    if q < -10 or q > 50:
+                        raise ValueError(
+                            "The qv-offset might be set incorrectly! "
+                            f"Currently qvs are interpreted as PHRED+"
+                            f"{cfg.qual_delta} and a qv of {q} was "
+                            "observed.")
         seq = rec.seq
         if cfg.mode == C.MODE_LETTER_SPACE:
             codes0 = encode.encode_ls(seq)
@@ -288,6 +313,13 @@ class Mapper:
             min_kmer_pos = 1
         if read_len > cfg.longest_read_len or read_len == 0:
             return None
+        if (rec.qual is not None and not cfg.ignore_qvs
+                and cfg.min_avg_qv >= 0):
+            # average qv drop (gmapper.c:455-462, 496-498); C int division
+            s = sum(ord(ch) - cfg.qual_delta for ch in rec.qual)
+            avg = -(-s // read_len) if s < 0 else s // read_len
+            if avg < cfg.min_avg_qv:
+                return None
         window_len = int(abs_or_pct(cfg.window_len, read_len))
         e = ReadEntry(name=rec.name, seq=seq, qual=rec.qual,
                       read_len=read_len, codes=(codes0, codes1),
@@ -1448,6 +1480,12 @@ class Mapper:
         cfg = self.config
         if cfg.mode != C.MODE_LETTER_SPACE or not records:
             return None
+        if cfg.trim_front or cfg.trim_end or cfg.trim_illumina:
+            return None  # raw-string trims: per-read prepare_read path
+        if (not cfg.ignore_qvs
+                and (cfg.min_avg_qv >= 0 or not cfg.no_qv_check)
+                and any(r.qual is not None for r in records)):
+            return None  # qv gating runs in prepare_read
         L = len(records[0].seq)
         if L == 0 or L > cfg.longest_read_len:
             return None

@@ -305,8 +305,8 @@ class PairedMapper(Mapper):
     # ------------------------------------------------------------- driver
     def prepare_pair(self, rec1: SeqRecord, rec2: SeqRecord
                      ) -> Optional[PairEntry]:
-        e1 = self.prepare_read(rec1)
-        e2 = self.prepare_read(rec2)
+        e1 = self.prepare_read(rec1, trim=self.config.trim_first)
+        e2 = self.prepare_read(rec2, trim=self.config.trim_second)
         if e1 is None or e2 is None:
             return None
         flip1, flip2 = C.PAIR_REVERSE[self.config.pair_mode]
