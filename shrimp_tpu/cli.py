@@ -82,6 +82,14 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--trim-illumina", action="store_true")
     p.add_argument("--min-avg-qv", type=int, default=10)
     p.add_argument("--no-qv-check", action="store_true")
+    p.add_argument("--unpaired-options", action="append", default=[],
+                   metavar="NIP;RO",
+                   help="multi-round unpaired option-set DSL "
+                        "(gmapper.c:2204-2220); may be repeated")
+    p.add_argument("--paired-options", action="append", default=[],
+                   metavar="PAIRING;RO;RO",
+                   help="multi-round paired option-set DSL "
+                        "(gmapper.c:2184-2201); may be repeated")
     p.add_argument("--un", default=None,
                    help="write unaligned reads to this file")
     p.add_argument("--al", default=None,
@@ -173,7 +181,27 @@ def build_config(args) -> "MapperConfig":
         trim_illumina=args.trim_illumina,
         min_avg_qv=args.min_avg_qv,
         no_qv_check=args.no_qv_check,
+        custom_unpaired_options=tuple(args.unpaired_options),
+        custom_paired_options=tuple(args.paired_options),
     )
+    if args.paired_options:
+        # the first paired set's pair mode takes over (gmapper.c:2201)
+        from .config import parse_paired_options_arg
+        try:
+            first = parse_paired_options_arg(args.paired_options[0])
+        except ValueError as exc:
+            raise SystemExit(f"error: {exc}")
+        kw["pair_mode"] = first.pairing.pair_mode
+        if args.unpaired_options:
+            # both kinds present -> half-paired (gmapper.c:2185-2212)
+            kw["half_paired"] = True
+    elif args.unpaired_options:
+        from .config import parse_unpaired_options_arg
+        try:
+            for t in args.unpaired_options:
+                parse_unpaired_options_arg(t)
+        except ValueError as exc:
+            raise SystemExit(f"error: {exc}")
     if args.trim_first or args.trim_second:
         if args.pair_mode == C.PAIR_NONE:
             raise SystemExit("error: cannot use --trim-first or "

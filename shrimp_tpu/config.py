@@ -156,6 +156,154 @@ class ReadpairMappingOptions:
     read: List[ReadMappingOptions] = field(default_factory=list)
 
 
+# --------------------------------------------------------------- DSL parsing
+# --unpaired-options / --paired-options mini-language
+# (gmapper.c:1530-1718, option handling :2184-2220)
+
+def _dsl_int(tok: str) -> int:
+    if tok is None:
+        raise ValueError("invalid integer")
+    return int(tok)
+
+
+def _dsl_bool(tok: str) -> bool:
+    if tok in ("true", "1"):
+        return True
+    if tok in ("false", "0"):
+        return False
+    raise ValueError(f"invalid bool [{tok}]")
+
+
+def _dsl_threshold(tok: str) -> float:
+    """get_threshold (gmapper.c:1560-1573): non-negative; bare integers
+    (no '%' or '.') are negated to mark them absolute."""
+    if tok is None:
+        raise ValueError("invalid threshold")
+    t = float(tok.rstrip("%"))
+    if t < 0.0:
+        raise ValueError(f"invalid threshold [{tok}]")
+    if "%" not in tok and "." not in tok:
+        t = -t
+    return t
+
+
+class _TokStream:
+    """strtok-style sequential consumption of comma-separated fields."""
+
+    def __init__(self, text: str):
+        self.toks = [t for t in text.split(",") if t != ""]
+        self.i = 0
+
+    def next(self) -> str:
+        if self.i >= len(self.toks):
+            raise ValueError("missing option field")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+
+def parse_pairing_options(text: str) -> PairingOptions:
+    """get_pairing_options (gmapper.c:1588-1619): 11 comma-separated
+    fields."""
+    s = _TokStream(text)
+    pair_mode = s.next()
+    if pair_mode not in C.PAIR_MODES:
+        raise ValueError(f"invalid pair mode [{pair_mode}]")
+    return PairingOptions(
+        pair_mode=pair_mode,
+        min_insert_size=_dsl_int(s.next()),
+        max_insert_size=_dsl_int(s.next()),
+        pass1_num_outputs=_dsl_int(s.next()),
+        pass1_threshold=_dsl_threshold(s.next()),
+        pass2_num_outputs=_dsl_int(s.next()),
+        pass2_threshold=_dsl_threshold(s.next()),
+        stop_count=_dsl_int(s.next()),
+        stop_threshold=_dsl_threshold(s.next()),
+        strata=_dsl_bool(s.next()),
+        save_outputs=_dsl_bool(s.next()),
+    )
+
+
+def parse_read_mapping_options(text: str, is_paired: bool
+                               ) -> ReadMappingOptions:
+    """get_read_mapping_options (gmapper.c:1621-1718): '/'-separated
+    stage sections, comma-separated fields within each."""
+    secs = text.split("/")
+    want = 5 if is_paired else 6
+    if len(secs) != want:
+        raise ValueError(
+            f"expected {want} '/'-separated sections, got {len(secs)}")
+    ro = ReadMappingOptions()
+    # regions
+    s = _TokStream(secs[0])
+    ro.regions.recompute = _dsl_bool(s.next())
+    # anchor_list
+    s = _TokStream(secs[1])
+    ro.anchor_list.recompute = _dsl_bool(s.next())
+    if ro.anchor_list.recompute:
+        ro.anchor_list.collapse = _dsl_bool(s.next())
+        ro.anchor_list.use_region_counts = _dsl_bool(s.next())
+        if is_paired:
+            ro.anchor_list.use_mp_region_counts = _dsl_int(s.next())
+    # hit_list
+    s = _TokStream(secs[2])
+    ro.hit_list.recompute = _dsl_bool(s.next())
+    if ro.hit_list.recompute:
+        ro.hit_list.gapless = _dsl_bool(s.next())
+        ro.hit_list.match_mode = _dsl_int(s.next())
+        ro.hit_list.threshold = _dsl_threshold(s.next())
+    # pass1
+    s = _TokStream(secs[3])
+    ro.pass1.recompute = _dsl_bool(s.next())
+    if ro.pass1.recompute:
+        ro.pass1.threshold = _dsl_threshold(s.next())
+        ro.pass1.window_overlap = _dsl_threshold(s.next())
+        ro.pass1.min_matches = _dsl_int(s.next())
+        ro.pass1.gapless = _dsl_bool(s.next())
+        if is_paired:
+            ro.pass1.only_paired = _dsl_bool(s.next())
+        else:
+            ro.pass1.num_outputs = _dsl_int(s.next())
+    # pass2
+    s = _TokStream(secs[4])
+    ro.pass2.threshold = _dsl_threshold(s.next())
+    if not is_paired:
+        ro.pass2.strata = _dsl_bool(s.next())
+        ro.pass2.save_outputs = _dsl_bool(s.next())
+        ro.pass2.num_outputs = _dsl_int(s.next())
+        # stop
+        s = _TokStream(secs[5])
+        ro.pass2.stop_count = _dsl_int(s.next())
+        if ro.pass2.stop_count > 0:
+            ro.pass2.stop_threshold = _dsl_threshold(s.next())
+    return ro
+
+
+def parse_unpaired_options_arg(text: str) -> tuple:
+    """One --unpaired-options value: 'nip;read-options'
+    (gmapper.c:2204-2220). Returns (nip, ReadMappingOptions)."""
+    head, _, rest = text.partition(";")
+    if head not in ("0", "1") or not rest:
+        raise ValueError(f"invalid unpaired mapping options [{text}]")
+    return int(head), parse_read_mapping_options(rest, is_paired=False)
+
+
+def parse_paired_options_arg(text: str) -> ReadpairMappingOptions:
+    """One --paired-options value: 'pairing;read0-options;read1-options'
+    (gmapper.c:2184-2201)."""
+    parts = text.split(";")
+    if len(parts) != 3:
+        raise ValueError(f"invalid paired mapping options [{text}]")
+    pairing = parse_pairing_options(parts[0])
+    r0 = parse_read_mapping_options(parts[1], is_paired=True)
+    r1 = parse_read_mapping_options(parts[2], is_paired=True)
+    # pass1.num_outputs is not in the paired read DSL; the extraction
+    # heap is sized by pairing.pass1_num_outputs (mapping.c:2571-2574)
+    r0.pass1.num_outputs = pairing.pass1_num_outputs
+    r1.pass1.num_outputs = pairing.pass1_num_outputs
+    return ReadpairMappingOptions(pairing=pairing, read=[r0, r1])
+
+
 @dataclass
 class MapperConfig:
     """Top-level config; mirrors the gmapper globals it needs."""
@@ -212,6 +360,10 @@ class MapperConfig:
     # strand restriction (-F / -C)
     search_forward: bool = True
     search_reverse: bool = True
+    # multi-round option-set DSL (--unpaired-options / --paired-options,
+    # gmapper.c:2184-2220); raw strings as given on the command line
+    custom_unpaired_options: tuple = ()            # of 'nip;...' strings
+    custom_paired_options: tuple = ()              # of 'pairing;ro;ro'
 
     def __post_init__(self):
         if self.mode == C.MODE_COLOUR_SPACE and self.scores == Scores():
@@ -236,8 +388,17 @@ class MapperConfig:
         return ScoreCalibration.from_scores(self.scores, self.mode,
                                             self.pr_xover)
 
+    def _custom_unpaired(self, nip: int) -> List[ReadMappingOptions]:
+        return [ro for n, ro in map(parse_unpaired_options_arg,
+                                    self.custom_unpaired_options)
+                if n == nip]
+
     def unpaired_options(self) -> List[ReadMappingOptions]:
-        """Default unpaired option set (gmapper.c:2610-2632)."""
+        """Default unpaired option set (gmapper.c:2610-2632), or the
+        --unpaired-options DSL sets when given."""
+        custom = self._custom_unpaired(0)
+        if custom:
+            return custom
         mm = self.match_mode
         use_rc = mm == 2 and self.use_regions
         return [ReadMappingOptions(
@@ -260,7 +421,11 @@ class MapperConfig:
         )]
 
     def paired_options(self) -> List[ReadpairMappingOptions]:
-        """Default paired option set (gmapper.c:2636-2718)."""
+        """Default paired option set (gmapper.c:2636-2718), or the
+        --paired-options DSL sets when given."""
+        if self.custom_paired_options:
+            return [parse_paired_options_arg(t)
+                    for t in self.custom_paired_options]
         mm = self.match_mode
         use_rc = self.use_regions and mm != 2
         mp_rc = 0
@@ -304,8 +469,13 @@ class MapperConfig:
         )
         return [ReadpairMappingOptions(pairing=pairing, read=[ro, replace(ro)])]
 
-    def half_paired_unpaired_options(self) -> List[ReadMappingOptions]:
-        """Unpaired fallback options in half-paired mode (gmapper.c:2700-2716)."""
+    def half_paired_unpaired_options(self, nip: int = 0
+                                     ) -> List[ReadMappingOptions]:
+        """Unpaired fallback options in half-paired mode (gmapper.c:2700-2716),
+        or the per-leg --unpaired-options DSL sets when given."""
+        custom = self._custom_unpaired(nip)
+        if custom:
+            return custom
         return [ReadMappingOptions(
             regions=RegionOptions(recompute=False),
             anchor_list=AnchorListOptions(recompute=False),

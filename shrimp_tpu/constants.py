@@ -94,6 +94,7 @@ PAIR_OPP_IN = "opp-in"
 PAIR_OPP_OUT = "opp-out"
 PAIR_COL_FW = "col-fw"
 PAIR_COL_BW = "col-bw"
+PAIR_MODES = (PAIR_NONE, PAIR_OPP_IN, PAIR_OPP_OUT, PAIR_COL_FW, PAIR_COL_BW)
 # pair_reverse strand pre-flip table (gmapper-defaults.h:184-191)
 PAIR_REVERSE = {
     PAIR_NONE: (False, False),

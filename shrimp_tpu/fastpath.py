@@ -168,6 +168,8 @@ class FastLS:
             return None
         if cfg.trim_front or cfg.trim_end or cfg.trim_illumina:
             return None  # raw-string trims: generic prepare_read path
+        if cfg.custom_unpaired_options or cfg.custom_paired_options:
+            return None  # multi-round option sets: handle_read loop path
         if any(r.qual is not None for r in records):
             return None  # C renderer emits QUAL '*'; quals need sam.py
         L = len(records[0].seq)

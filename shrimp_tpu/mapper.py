@@ -20,7 +20,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from . import constants as C
-from .config import MapperConfig, abs_or_pct, is_absolute
+from .config import (MapperConfig, Pass2Options, ReadMappingOptions,
+                     abs_or_pct, is_absolute)
 from .core import candidates, encode
 from .core.sw_jax import (sw_full_and_traceback, sw_full_batch,
                           sw_vector_batch)
@@ -371,7 +372,8 @@ class Mapper:
 
     # ---------------------------------------------------------- vector pass
     def _score_windows(self, entries: List[ReadEntry],
-                       hls: List[List[candidates.HitList]]
+                       hls: List[List[candidates.HitList]],
+                       gapless: Optional[bool] = None
                        ) -> List[List[np.ndarray]]:
         """Batched sw_vector over every candidate window of every read.
 
@@ -408,7 +410,9 @@ class Mapper:
         glen = wl_a.astype(np.int32)
         rlens = np.array([e.read_len for e in entries], np.int32)
         rlen = rlens[ri_a]
-        if self._unpaired_opts[0].pass1.gapless:
+        if gapless is None:
+            gapless = self._unpaired_opts[0].pass1.gapless
+        if gapless:
             ax_a = np.concatenate(
                 [hl2[st].ax for hl2 in hls for st in (0, 1)
                  if hl2[st].n]) if n else np.zeros(0, np.int64)
@@ -1220,16 +1224,27 @@ class Mapper:
         h.pct_score_full = (1000 * 100 * h.posterior_score) // h.score_max
 
     # ----------------------------------------------------- pass2 filtering
-    def _finalize(self, re: ReadEntry, hits_pass1: List[Hit]) -> List[Hit]:
+    def _finalize(self, re: ReadEntry, hits_pass1: List[Hit],
+                  p2: Optional[Pass2Options] = None,
+                  fresh: Optional[set] = None) -> List[Hit]:
         """Threshold, duplicate removal, score sort, trims
-        (read_pass2, mapping.c:1631-1750)."""
+        (read_pass2, mapping.c:1631-1750).
+
+        p2 carries the per-option-set pass2 knobs; defaults mirror the
+        single-set config. fresh, when given, is the set of id(hit) whose
+        full SW ran this round — only those get a new pass2_key
+        (mapping.c:1646-1659 assigns it inside the recompute branch)."""
         cfg = self.config
-        absolute = is_absolute(cfg.sw_full_threshold)
+        threshold = cfg.sw_full_threshold if p2 is None else p2.threshold
+        num_outputs = cfg.num_outputs if p2 is None else p2.num_outputs
+        strata = cfg.strata if p2 is None else p2.strata
+        absolute = is_absolute(threshold)
         survivors = []
         for h in hits_pass1:
-            h.pass2_key = h.score_full if absolute else h.pct_score_full
-            if h.score_full >= abs_or_pct(cfg.sw_full_threshold,
-                                          h.score_max):
+            if fresh is None or id(h) in fresh:
+                h.pass2_key = (h.score_full if absolute
+                               else h.pct_score_full)
+            if h.score_full >= abs_or_pct(threshold, h.score_max):
                 survivors.append(h)
 
         if len(survivors) > 1:
@@ -1240,9 +1255,9 @@ class Mapper:
                 - h.insertions))
             # stable sort by non-increasing key (mapping.c:1678)
             survivors.sort(key=lambda h: -h.pass2_key)
-        if len(survivors) > cfg.num_outputs:
-            survivors = survivors[:cfg.num_outputs]
-        if cfg.strata and survivors:
+        if len(survivors) > num_outputs:
+            survivors = survivors[:num_outputs]
+        if strata and survivors:
             i = 1
             while (i < len(survivors)
                    and survivors[0].score_full == survivors[i].score_full):
@@ -1571,8 +1586,187 @@ class Mapper:
         self.stats.add_stage("finalize + mqv", _time.perf_counter() - t0)
         return results
 
+    # ------------------------------------------- multi-round option sets
+    @property
+    def multi_round(self) -> bool:
+        """True when the unpaired option sets need the full handle_read
+        fallthrough loop rather than the single-set fast pipeline."""
+        if self.config.pair_mode != C.PAIR_NONE:
+            return False
+        o = self._unpaired_opts
+        return (len(o) > 1 or o[0].pass2.stop_count > 0
+                or o[0].pass2.save_outputs
+                or not (o[0].anchor_list.recompute
+                        and o[0].hit_list.recompute
+                        and o[0].pass1.recompute))
+
+    @staticmethod
+    def _new_cache() -> dict:
+        """Per-read cross-round state (the read_entry fields handle_read
+        carries between option sets: region map, anchor/hit lists and
+        their vector scores)."""
+        return {"regions_valid": False, "anchor_opts": None,
+                "hits2": None, "hl2": None, "scores": {}}
+
+    def _round_candidates(self, entries: List[ReadEntry], idxs: List[int],
+                          caches: List[dict], opts) -> None:
+        """(Re)build hit lists for this round's reads, honouring cached
+        stage options for stages with recompute=False (handle_read,
+        mapping.c:1792-1808). A stage that was never computed behaves
+        like the reference's NULL list: no candidates."""
+        from dataclasses import replace as _replace
+        groups: Dict[tuple, List[int]] = {}
+        for i in idxs:
+            c = caches[i]
+            if opts.regions.recompute:
+                c["regions_valid"] = True
+            if opts.anchor_list.recompute:
+                c["anchor_opts"] = opts.anchor_list
+            if not opts.hit_list.recompute:
+                if c["hits2"] is None:
+                    c["hits2"] = [[], []]
+                    c["hl2"] = None
+                    c["scores"] = {}
+                continue
+            al = c["anchor_opts"]
+            if al is None or (al.use_region_counts
+                              and not c["regions_valid"]):
+                c["hits2"] = [[], []]
+                c["hl2"] = None
+                c["scores"] = {}
+                continue
+            groups.setdefault((al.collapse, al.use_region_counts,
+                               al.use_mp_region_counts), []).append(i)
+        for (collapse, use_rc, use_mp), g in groups.items():
+            eff = ReadMappingOptions(
+                anchor_list=_replace(opts.anchor_list, collapse=collapse,
+                                     use_region_counts=use_rc,
+                                     use_mp_region_counts=use_mp),
+                hit_list=opts.hit_list, pass1=opts.pass1,
+                pass2=opts.pass2)
+            sub = [entries[i] for i in g]
+            hls = self.hit_lists_batched(sub, eff)
+            for k, i in enumerate(g):
+                caches[i]["hits2"] = self._make_hits(hls[k])
+                caches[i]["hl2"] = hls[k]
+                caches[i]["scores"] = {}
+
+    def _round_scores(self, entries: List[ReadEntry], idxs: List[int],
+                      caches: List[dict], gapless: bool) -> None:
+        """Vector-SW scores for this round's hit lists, cached per
+        gapless flag (read_pass1 scores with options->gapless)."""
+        empty = [np.zeros(0, np.int64), np.zeros(0, np.int64)]
+        need = []
+        for i in idxs:
+            c = caches[i]
+            if gapless in c["scores"]:
+                continue
+            if c["hl2"] is None:
+                c["scores"][gapless] = empty
+            else:
+                need.append(i)
+        if need:
+            sub = [entries[i] for i in need]
+            raw = self._score_windows(sub, [caches[i]["hl2"]
+                                            for i in need],
+                                      gapless=gapless)
+            for k, i in enumerate(need):
+                caches[i]["scores"][gapless] = raw[k]
+
+    def _run_option_sets(self, entries: List[ReadEntry], opts_list,
+                         caches: Optional[List[dict]] = None
+                         ) -> Tuple[List[List[List[Hit]]], List[int]]:
+        """handle_read's option-set fallthrough loop (mapping.c:1773-1850)
+        batched over reads.
+
+        Returns (emitted, fell_through): emitted[i] is the per-round list
+        of final hit lists output for read i (rounds with
+        pass2.save_outputs instead accumulate on
+        entries[i].final_unpaired_hits); fell_through lists the reads
+        that were not stopped by any option set. caches may be
+        pre-seeded (the half-paired fallback reuses the paired round's
+        hit lists, mapping.c:2607-2611)."""
+        cfg = self.config
+        if caches is None:
+            caches = [self._new_cache() for _ in entries]
+        emitted: List[List[List[Hit]]] = [[] for _ in entries]
+        active = list(range(len(entries)))
+        for opts in opts_list:
+            if not active:
+                break
+            self._round_candidates(entries, active, caches, opts)
+            if opts.pass1.recompute:
+                self._round_scores(entries, active, caches,
+                                   opts.pass1.gapless)
+                for i in active:
+                    c = caches[i]
+                    self._pass1_walk(entries[i], c["hits2"],
+                                     c["scores"][opts.pass1.gapless],
+                                     opts.pass1)
+            sels = [self._get_vector_hits(caches[i]["hits2"], opts.pass1)
+                    for i in active]
+            # full SW only for hits never run: score_full < 0 is exactly
+            # the reference's sfrp == NULL (hit_run_full_sw always
+            # allocates sfrp and sets score_full >= 0, mapping.c:364-402)
+            jobs = [[h for h in sel if h.score_full < 0] for sel in sels]
+            fresh = {id(h) for js in jobs for h in js}
+            if any(jobs):
+                self._pass2([entries[i] for i in active], jobs,
+                            [opts.pass2.threshold] * len(jobs))
+            still = []
+            for k, i in enumerate(active):
+                e = entries[i]
+                final = self._finalize(e, sels[k], p2=opts.pass2,
+                                       fresh=fresh)
+                if final:
+                    e.mapped = True
+                    if opts.pass2.save_outputs:
+                        e.final_unpaired_hits.extend(final)
+                    else:
+                        if (cfg.compute_mapping_qualities
+                                and cfg.pair_mode == C.PAIR_NONE):
+                            self._compute_mqv(final)
+                            if cfg.single_best_mapping:
+                                best = max(range(len(final)),
+                                           key=lambda j: (final[j].mqv,
+                                                          -j))
+                                final = [final[best]]
+                        emitted[i].append(final)
+                # stop condition (read_pass2, mapping.c:1736-1749)
+                if opts.pass2.stop_count == 0:
+                    done = True
+                else:
+                    cnt = sum(1 for h in final if h.score_full >= int(
+                        abs_or_pct(opts.pass2.stop_threshold,
+                                   h.score_max)))
+                    done = cnt >= opts.pass2.stop_count
+                if not done:
+                    still.append(i)
+            active = still
+        return emitted, active
+
+    def _map_unpaired_multi(self, records: Sequence[SeqRecord]
+                            ) -> List[Tuple[ReadEntry, List[Hit]]]:
+        entries = self._prepare_batch_ls(records)
+        if entries is None:
+            entries = []
+            for rec in records:
+                re = self.prepare_read(rec)
+                if re is not None:
+                    entries.append(re)
+        emitted, _ = self._run_option_sets(entries, self._unpaired_opts)
+        results = []
+        for e, rounds in zip(entries, emitted):
+            results.append((e, [h for r in rounds for h in r]))
+        self.stats.reads += len(entries)
+        self.stats.reads_mapped += sum(1 for _, f in results if f)
+        self.stats.alignments += sum(len(f) for _, f in results)
+        return results
+
     def map_unpaired(self, records: Sequence[SeqRecord]
                      ) -> List[Tuple[ReadEntry, List[Hit]]]:
+        if self.multi_round:
+            return self._map_unpaired_multi(records)
         return self._stage_finish(self._stage_pass1(
             self._stage_candidates(records)))
 
@@ -1582,6 +1776,11 @@ class Mapper:
         order while overlapping host filter work with in-flight device
         batches (stage A of batch i runs before the fetches of batches
         i-1/i-2)."""
+        if self.multi_round:
+            for off in range(0, len(records), batch_size):
+                yield from self._map_unpaired_multi(
+                    records[off:off + batch_size])
+            return
         pend_a = None   # stage-A ctx awaiting stage B
         pend_b = None   # stage-B ctx awaiting stage C
         for off in range(0, len(records), batch_size):

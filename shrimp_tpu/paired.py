@@ -73,7 +73,9 @@ class PairedMapper(Mapper):
         cfg = self.config
         assert cfg.pair_mode != C.PAIR_NONE
         self._paired_opts = cfg.paired_options()
-        self._hp_opts = cfg.half_paired_unpaired_options()
+        # per-leg unpaired fallback option sets (gmapper.c:2607-2611)
+        self._hp_opts = (cfg.half_paired_unpaired_options(0),
+                         cfg.half_paired_unpaired_options(1))
         self.total_genome_size = int(index.contig_lengths.astype(
             np.int64).sum())
 
@@ -114,9 +116,10 @@ class PairedMapper(Mapper):
         return max(res, 1e-200)
 
     # ------------------------------------------------------------ pairing
-    def _compute_mp_ranges(self, re1: ReadEntry, re2: ReadEntry) -> None:
+    def _compute_mp_ranges(self, re1: ReadEntry, re2: ReadEntry,
+                           popts=None) -> None:
         """readpair_compute_mp_ranges (mapping.c:2317-2430)."""
-        p = self._paired_opts[0].pairing
+        p = popts if popts is not None else self._paired_opts[0].pairing
         mode = p.pair_mode
         mn, mx = p.min_insert_size, p.max_insert_size
         w1, w2 = re1.window_len, re2.window_len
@@ -322,12 +325,55 @@ class PairedMapper(Mapper):
         e2.mate_pair = e1
         return PairEntry(re=[e1, e2])
 
+    def _readpair_pass2_filter(self, pe: PairEntry,
+                               ph_sel: List[PairHit], popts) -> bool:
+        """readpair_pass2 tail (mapping.c:2221-2314): pair threshold,
+        duplicate removal, sort, trims, saved marks, stop condition.
+        Returns the pair's done flag."""
+        cfg = self.config
+        absolute = is_absolute(popts.pass2_threshold)
+        hits_pass2: List[PairHit] = []
+        for ph in ph_sel:
+            if ph.rh[0].score_full == 0 or ph.rh[1].score_full == 0:
+                continue
+            if ph.rh[0].score_full + ph.rh[1].score_full >= int(
+                    abs_or_pct(popts.pass2_threshold, ph.score_max)):
+                hits_pass2.append(self._compute_paired_hit(
+                    ph.rh[0], ph.rh[1], absolute))
+        hits_pass2 = self._remove_duplicate_pairs(hits_pass2, absolute)
+        hits_pass2.sort(key=lambda p: -p.pass1_key)
+        if len(hits_pass2) > popts.pass2_num_outputs:
+            hits_pass2 = hits_pass2[:popts.pass2_num_outputs]
+        if popts.strata and hits_pass2:
+            i = 1
+            while i < len(hits_pass2) and \
+                    hits_pass2[0].score == hits_pass2[i].score:
+                i += 1
+            hits_pass2 = hits_pass2[:i]
+        if hits_pass2 and cfg.max_alignments and \
+                len(hits_pass2) > cfg.max_alignments:
+            hits_pass2 = []
+        for p in hits_pass2:
+            p.rh[0].saved = 1
+            p.rh[1].saved = 1
+        if hits_pass2:
+            pe.mapped = True
+        # rounds accumulate (readpair_save_final_hits /
+        # readpair_output_no_mqv both append in round order)
+        pe.final_paired_hits.extend(hits_pass2)
+        if popts.stop_count == 0:
+            return True
+        cnt = sum(1 for p in hits_pass2 if p.score >= int(
+            abs_or_pct(popts.stop_threshold, p.score_max)))
+        return cnt >= popts.stop_count
+
     def map_paired(self, records: Sequence[SeqRecord]
                    ) -> List[PairEntry]:
+        """handle_readpair's option-set loop (mapping.c:2502-2636),
+        batched over pairs, with the half-paired unpaired fallback for
+        pairs that fall through every option set."""
         assert len(records) % 2 == 0
         cfg = self.config
-        ropts = self._paired_opts[0]
-        popts = ropts.pairing
         pairs: List[PairEntry] = []
         for i in range(0, len(records), 2):
             pe = self.prepare_pair(records[i], records[i + 1])
@@ -337,93 +383,81 @@ class PairedMapper(Mapper):
         entries: List[ReadEntry] = []
         for pe in pairs:
             entries.extend(pe.re)
-        hls = self.hit_lists_batched(entries, ropts.read[0])
-        raw_scores = self._score_windows(entries, hls)
-        all_hits2 = [self._make_hits(hl2) for hl2 in hls]
-
-        # ---- paired phase
-        ph_sel: List[List[PairHit]] = []
-        for pi, pe in enumerate(pairs):
-            e1, e2 = pe.re
-            h1, h2 = all_hits2[2 * pi], all_hits2[2 * pi + 1]
-            self._compute_mp_ranges(e1, e2)
-            self._pair_up_hits(e1, h1, h2)
-            self._pass1_walk(e1, h1, raw_scores[2 * pi], ropts.read[0].pass1)
-            self._pass1_walk(e2, h2, raw_scores[2 * pi + 1],
-                             ropts.read[1].pass1)
-            ph_sel.append(self._readpair_get_vector_hits(
-                e1, e2, h1, h2, popts))
-
-        # ---- full SW for all selected feet (batched)
-        feet_entries: List[ReadEntry] = []
-        feet_hits: List[List[Hit]] = []
-        feet_thresh: List[float] = []
-        seen = set()
-        for pi, pe in enumerate(pairs):
-            for ph in ph_sel[pi]:
-                for nip in (0, 1):
-                    h = ph.rh[nip]
-                    if id(h) in seen or h.score_full >= 0:
-                        continue
-                    seen.add(id(h))
-                    feet_entries.append(pe.re[nip])
-                    feet_hits.append([h])
-                    feet_thresh.append(ropts.read[nip].pass2.threshold)
-        self._pass2(feet_entries, feet_hits, feet_thresh)
-
-        # ---- readpair_pass2 filtering per pair
-        absolute = is_absolute(popts.pass2_threshold)
-        for pi, pe in enumerate(pairs):
-            hits_pass2: List[PairHit] = []
-            for ph in ph_sel[pi]:
-                if ph.rh[0].score_full == 0 or ph.rh[1].score_full == 0:
+        caches = [self._new_cache() for _ in entries]
+        active = list(range(len(pairs)))
+        for ropts in self._paired_opts:
+            if not active:
+                break
+            popts = ropts.pairing
+            # mp ranges, recomputed every round (mapping.c:2522)
+            for pi in active:
+                self._compute_mp_ranges(pairs[pi].re[0], pairs[pi].re[1],
+                                        popts)
+            # candidate stages per leg with that leg's options
+            for nip in (0, 1):
+                self._round_candidates(entries,
+                                       [2 * pi + nip for pi in active],
+                                       caches, ropts.read[nip])
+            # pair-up on the current hit lists (mapping.c:2561)
+            for pi in active:
+                self._pair_up_hits(pairs[pi].re[0],
+                                   caches[2 * pi]["hits2"],
+                                   caches[2 * pi + 1]["hits2"])
+            # pass1 per leg
+            for nip in (0, 1):
+                p1 = ropts.read[nip].pass1
+                if not p1.recompute:
                     continue
-                if ph.rh[0].score_full + ph.rh[1].score_full >= int(
-                        abs_or_pct(popts.pass2_threshold, ph.score_max)):
-                    hits_pass2.append(self._compute_paired_hit(
-                        ph.rh[0], ph.rh[1], absolute))
-            hits_pass2 = self._remove_duplicate_pairs(hits_pass2, absolute)
-            hits_pass2.sort(key=lambda p: -p.pass1_key)
-            if len(hits_pass2) > popts.pass2_num_outputs:
-                hits_pass2 = hits_pass2[:popts.pass2_num_outputs]
-            if popts.strata and hits_pass2:
-                i = 1
-                while i < len(hits_pass2) and \
-                        hits_pass2[0].score == hits_pass2[i].score:
-                    i += 1
-                hits_pass2 = hits_pass2[:i]
-            if hits_pass2 and cfg.max_alignments and \
-                    len(hits_pass2) > cfg.max_alignments:
-                hits_pass2 = []
-            for p in hits_pass2:
-                p.rh[0].saved = 1
-                p.rh[1].saved = 1
-            if hits_pass2:
-                pe.mapped = True
-            pe.final_paired_hits = hits_pass2
+                idxs = [2 * pi + nip for pi in active]
+                self._round_scores(entries, idxs, caches, p1.gapless)
+                for i in idxs:
+                    self._pass1_walk(entries[i], caches[i]["hits2"],
+                                     caches[i]["scores"][p1.gapless], p1)
+            ph_sel = [self._readpair_get_vector_hits(
+                pairs[pi].re[0], pairs[pi].re[1],
+                caches[2 * pi]["hits2"], caches[2 * pi + 1]["hits2"],
+                popts) for pi in active]
 
-        # ---- half-paired unpaired fallback (always runs with the default
-        # stop_threshold=101%, handle_readpair -> mapping.c:2607-2611)
-        if cfg.half_paired:
-            hp = self._hp_opts[0]
-            up_sel: List[List[Hit]] = []
-            up_entries: List[ReadEntry] = []
-            for pi, pe in enumerate(pairs):
-                for nip in (0, 1):
-                    e = pe.re[nip]
-                    hits2 = all_hits2[2 * pi + nip]
-                    self._pass1_walk(e, hits2, raw_scores[2 * pi + nip],
-                                     hp.pass1)
-                    sel = self._get_vector_hits(hits2, hp.pass1)
-                    up_entries.append(e)
-                    up_sel.append(sel)
-            self._pass2(up_entries, up_sel,
-                        [hp.pass2.threshold] * len(up_sel))
-            for e, sel in zip(up_entries, up_sel):
-                final = self._finalize(e, sel)
-                e.final_unpaired_hits = final
-                if final:
-                    e.mapped = True
+            # full SW for selected feet not yet run (score_full < 0 is
+            # the reference's sfrp == NULL, see Mapper._run_option_sets)
+            feet_entries: List[ReadEntry] = []
+            feet_hits: List[List[Hit]] = []
+            feet_thresh: List[float] = []
+            seen = set()
+            for k, pi in enumerate(active):
+                for ph in ph_sel[k]:
+                    for nip in (0, 1):
+                        h = ph.rh[nip]
+                        if id(h) in seen or h.score_full >= 0:
+                            continue
+                        seen.add(id(h))
+                        feet_entries.append(pairs[pi].re[nip])
+                        feet_hits.append([h])
+                        feet_thresh.append(ropts.read[nip].pass2.threshold)
+            if feet_hits:
+                self._pass2(feet_entries, feet_hits, feet_thresh)
+
+            still = []
+            for k, pi in enumerate(active):
+                done = self._readpair_pass2_filter(pairs[pi], ph_sel[k],
+                                                   popts)
+                if not done:
+                    still.append(pi)
+            active = still
+
+        # ---- half-paired unpaired fallback for pairs that fell through
+        # all option sets (handle_readpair, mapping.c:2607-2611); reuses
+        # the last paired round's hit lists via the caches
+        if cfg.half_paired and active:
+            for nip in (0, 1):
+                idxs = [2 * pi + nip for pi in active]
+                sub_entries = [entries[i] for i in idxs]
+                emitted, _ = self._run_option_sets(
+                    sub_entries, self._hp_opts[nip],
+                    caches=[caches[i] for i in idxs])
+                for e, rounds in zip(sub_entries, emitted):
+                    for r in rounds:
+                        e.final_unpaired_hits.extend(r)
 
         # ---- mapping qualities
         if cfg.compute_mapping_qualities:
