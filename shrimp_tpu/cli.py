@@ -94,6 +94,39 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
                    help="write unaligned reads to this file")
     p.add_argument("--al", default=None,
                    help="write aligned reads to this file")
+    p.add_argument("-1", "--upstream", default=None,
+                   help="first-mate reads file (use with -2)")
+    p.add_argument("-2", "--downstream", default=None,
+                   help="second-mate reads file (use with -1)")
+    p.add_argument("--bfast", action="store_true",
+                   help="bfast-style CS base qualities (CS only)")
+    p.add_argument("-P", "--pretty", action="store_true",
+                   help="pretty-print alignments (SHRiMP format only)")
+    p.add_argument("--half-paired", action="store_true",
+                   dest="half_paired_on")
+    p.add_argument("--use-regions", action="store_true",
+                   dest="toggle_regions",
+                   help="toggle the region-count prefilter (default: on)")
+    p.add_argument("--region-bits", type=int, default=None)
+    p.add_argument("--pr-xover", type=float, default=None)
+    p.add_argument("--no-autodetect-input", action="store_true")
+    p.add_argument("--sam-header", default=None,
+                   help="replace the whole SAM header with this file")
+    p.add_argument("--sam-header-hd", default=None)
+    p.add_argument("--sam-header-sq", default=None)
+    p.add_argument("--sam-header-rg", default=None)
+    p.add_argument("--sam-header-pg", default=None)
+    p.add_argument("-N", "--threads", type=int, default=None,
+                   help="host filter threads (device work is batched)")
+    p.add_argument("-K", "--thread-chunk", type=int, default=None,
+                   help="accepted for gmapper compatibility; batching "
+                        "replaces per-thread read chunks")
+    p.add_argument("-Z", "--cachebypass-off", action="store_true",
+                   help="accepted for gmapper compatibility; batch-level "
+                        "window dedup replaces the per-thread SW cache")
+    p.add_argument("-G", "--global", action="store_true",
+                   dest="global_mode",
+                   help="global alignment (the default)")
     p.add_argument("--extra-sam-fields", action="store_true")
     p.add_argument("--shrimp-format", action="store_true",
                    help="legacy SHRiMP output format instead of SAM")
@@ -183,7 +216,30 @@ def build_config(args) -> "MapperConfig":
         no_qv_check=args.no_qv_check,
         custom_unpaired_options=tuple(args.unpaired_options),
         custom_paired_options=tuple(args.paired_options),
+        bfast=args.bfast,
     )
+    if args.ungapped and not args.local:
+        raise SystemExit("error: cannot use global (or bfast) and "
+                         "ungapped mode at the same time!")
+    if args.pretty and not args.shrimp_format:
+        raise SystemExit("error: -P/--pretty requires --shrimp-format")
+    if args.sam_unaligned and args.shrimp_format:
+        raise SystemExit("error: when using flag --sam-unaligned must "
+                         "also use SAM output")
+    if args.toggle_regions:
+        kw["use_regions"] = False
+    if args.region_bits is not None:
+        if not 8 <= args.region_bits <= 20:
+            raise SystemExit(f"invalid number of region bits: "
+                             f"{args.region_bits}; must be between 8 and 20")
+        kw["region_bits"] = args.region_bits
+    if args.pr_xover is not None:
+        kw["pr_xover"] = args.pr_xover
+    if args.half_paired_on:
+        kw["half_paired"] = True
+    if args.threads is not None:
+        import os
+        os.environ["SHRIMP_TPU_FILTER1_THREADS"] = str(args.threads)
     if args.paired_options:
         # the first paired set's pair mode takes over (gmapper.c:2201)
         from .config import parse_paired_options_arg
@@ -341,6 +397,20 @@ def cmd_map(args) -> int:
     from .mapper import Mapper
     from .paired import PairedMapper
 
+    split_mates = args.upstream is not None or args.downstream is not None
+    if split_mates:
+        if args.upstream is None or args.downstream is None:
+            raise SystemExit('error: when using "-1" must also specify '
+                             '"-2" (and vice versa)')
+        # the reads positional slot actually holds the first genome path
+        if args.reads is not None:
+            args.genome = [args.reads] + args.genome
+            args.reads = None
+    if not split_mates and args.reads is None:
+        raise SystemExit("error: no reads file given")
+    if not args.genome:
+        raise SystemExit("error: no genome given")
+
     t_load = time.time()
     cfg = build_config(args)
     idx = load_or_build_index(args.genome, args.seeds, cfg.mode,
@@ -355,7 +425,9 @@ def cmd_map(args) -> int:
     ins_hist = (InsertHistogram(cfg.min_insert_size, cfg.max_insert_size)
                 if args.insert_histogram and paired else None)
 
-    fastq = args.fastq or detect_fastq(args.reads)
+    probe = args.upstream if split_mates else args.reads
+    fastq = args.fastq or (not args.no_autodetect_input
+                           and detect_fastq(probe))
     out = sys.stdout
     if cfg.shrimp_format:
         from .io import shrimp_format
@@ -364,7 +436,12 @@ def cmd_map(args) -> int:
             line += " readsequence"
         out.write(line + "\n")
     else:
-        for line in sam.sam_header(idx, " ".join(sys.argv), cfg):
+        for line in sam.sam_header(idx, " ".join(sys.argv), cfg,
+                                   header_file=args.sam_header,
+                                   hd_file=args.sam_header_hd,
+                                   sq_file=args.sam_header_sq,
+                                   rg_file=args.sam_header_rg,
+                                   pg_file=args.sam_header_pg):
             out.write(line + "\n")
 
     un_f = open(args.un, "w") if args.un else None
@@ -411,6 +488,17 @@ def cmd_map(args) -> int:
                     out.write(shrimp_format.output_normal(
                         re_, h, idx, include_read=args.print_reads) + "\n")
                     total_lines += 1
+                    if args.pretty:
+                        # -P: alignment block after each hit line
+                        # (hit_output, gmapper/output.c:283-290)
+                        from .tools.prettyprint import output_pretty
+                        coff = int(idx.contig_offsets[h.cn])
+                        glen = int(idx.contig_lengths[h.cn])
+                        out.write(output_pretty(
+                            h, idx.codes[coff:coff + glen], glen,
+                            cfg.mode == C.MODE_COLOUR_SPACE,
+                            re_.codes[h.st], re_.read_len,
+                            re_.initbp[h.st], h.gen_st == 1) + "\n")
                 if al_f and hits:
                     write_read(al_f, re_)
                 if un_f and not hits:
@@ -457,8 +545,27 @@ def cmd_map(args) -> int:
             else:
                 out.write(chunk.decode())
 
+    def input_records():
+        if not split_mates:
+            yield from read_seqs(args.reads, fastq=fastq)
+            return
+        # -1/-2: interleave the two mate files (gmapper.c:356-376)
+        it1 = read_seqs(args.upstream, fastq=fastq)
+        it2 = read_seqs(args.downstream, fastq=fastq)
+        while True:
+            r1 = next(it1, None)
+            r2 = next(it2, None)
+            if (r1 is None) != (r2 is None):
+                raise SystemExit(
+                    "error: when using options -1 and -2, both files "
+                    "specified must have the same number of entries")
+            if r1 is None:
+                return
+            yield r1
+            yield r2
+
     do_flush = flush_window if use_fast else flush
-    for rec in read_seqs(args.reads, fastq=fastq):
+    for rec in input_records():
         # trimming/qv gating happens in Mapper.prepare_read
         batch.append(rec)
         nreads += 1
@@ -514,8 +621,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p_map = sub.add_parser("map", help="map reads", add_help=False)
     p_map.add_argument("--help", action="help")
-    p_map.add_argument("reads")
-    p_map.add_argument("genome", nargs="+",
+    p_map.add_argument("reads", nargs="?", default=None)
+    p_map.add_argument("genome", nargs="*",
                        help="genome fasta file(s) or a saved .npz index")
     _add_map_flags(p_map)
 

@@ -356,6 +356,7 @@ class MapperConfig:
     read_group_name: Optional[str] = None
     sam_sample_name: Optional[str] = None
     extra_sam_fields: bool = False
+    bfast: bool = False          # Bflag: bfast-style CS base quals (CS only)
     shrimp_format: bool = False                    # legacy output format
     # strand restriction (-F / -C)
     search_forward: bool = True

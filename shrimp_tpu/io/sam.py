@@ -30,17 +30,39 @@ _COMP_TBL = str.maketrans(
         ord(c): "N" for c in "RYSWKMBDHVryswkmbdhv"})
 
 
+def _cat_lines(path: str) -> List[str]:
+    with open(path) as f:
+        return f.read().splitlines()
+
+
 def sam_header(index: GenomeIndex, command_line: str,
                cfg: Optional[MapperConfig] = None,
-               version: str = "2.2.3") -> List[str]:
-    """gmapper.c:2968-3014."""
-    lines = ["@HD\tVN:1.0\tSO:unsorted"]
-    for name, ln in zip(index.contig_names, index.contig_lengths):
-        lines.append(f"@SQ\tSN:{name}\tLN:{ln}")
-    if cfg is not None and cfg.read_group_name is not None:
+               version: str = "2.2.3",
+               header_file: Optional[str] = None,
+               hd_file: Optional[str] = None,
+               sq_file: Optional[str] = None,
+               rg_file: Optional[str] = None,
+               pg_file: Optional[str] = None) -> List[str]:
+    """gmapper.c:2968-3014, incl. the --sam-header[-hd/-sq/-rg/-pg]
+    per-section override files."""
+    if header_file is not None:
+        return _cat_lines(header_file)
+    lines = (_cat_lines(hd_file) if hd_file is not None
+             else ["@HD\tVN:1.0\tSO:unsorted"])
+    if sq_file is not None:
+        lines += _cat_lines(sq_file)
+    else:
+        for name, ln in zip(index.contig_names, index.contig_lengths):
+            lines.append(f"@SQ\tSN:{name}\tLN:{ln}")
+    if rg_file is not None:
+        lines += _cat_lines(rg_file)
+    elif cfg is not None and cfg.read_group_name is not None:
         lines.append(f"@RG\tID:{cfg.read_group_name}"
                      f"\tSM:{cfg.sam_sample_name or cfg.read_group_name}")
-    lines.append(f"@PG\tID:gmapper\tVN:{version}\tCL:{command_line}")
+    if pg_file is not None:
+        lines += _cat_lines(pg_file)
+    else:
+        lines.append(f"@PG\tID:gmapper\tVN:{version}\tCL:{command_line}")
     return lines
 
 
@@ -190,6 +212,27 @@ def render_hit(re: ReadEntry, rh: Optional[Hit], rh_mp: Optional[Hit],
     if fastq and cfg.mode == C.MODE_LETTER_SPACE and re.qual:
         q = re.qual[::-1] if reverse_strand else re.qual
         qual = _requal(q, cfg.qual_delta)
+    elif (fastq and cfg.mode == C.MODE_COLOUR_SPACE and cfg.bfast
+          and re.qual):
+        # bfast-style base quals from adjacent colour quals
+        # (--bfast, output.c:581-612); raw char arithmetic kept as-is
+        q = [ord(re.qual[i + rh.read_start]) for i in range(rh.rmapped)]
+        qr = rh.qralign or ""
+        for i in range(rh.rmapped - 1):
+            mm1 = i < len(qr) and ord(qr[i]) > 96
+            mm2 = i + 1 < len(qr) and ord(qr[i + 1]) > 96
+            if mm1 and mm2:
+                bq = 0
+            elif mm1:
+                bq = q[i + 1] - q[i]
+            elif mm2:
+                bq = q[i] - q[i + 1] + 33
+            else:
+                bq = q[i] + q[i + 1] + 10 - 33
+            q[i] = min(ord("`"), max(bq, ord('"')))
+        qual = "".join(chr(c) for c in q)
+        if reverse_strand:
+            qual = qual[::-1]
     elif (fastq and cfg.mode == C.MODE_COLOUR_SPACE
           and cfg.compute_mapping_qualities and rh.qual_str):
         # post-SW base qualities (output.c:613-622)

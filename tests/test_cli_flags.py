@@ -1,0 +1,111 @@
+"""CLI parity long tail: -1/-2 split mate files, --sam-header* overrides,
+-P pretty print, --bfast CS base quals, --use-regions toggle
+(gmapper.c:356-376, 2968-3014, output.c:283-290, 581-612)."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from . import oracle
+from .test_e2e_paired import make_paired_dataset
+from .test_e2e_unpaired import make_dataset
+
+
+def run_cli(args, cwd=None):
+    env = {"JAX_PLATFORMS": "cpu", "PYTHONPATH": "/root/repo"}
+    import os
+    env.update({k: v for k, v in os.environ.items()
+                if k not in env})
+    r = subprocess.run([sys.executable, "-m", "shrimp_tpu.cli", "map"]
+                       + args, capture_output=True, text=True, env=env,
+                       cwd=cwd, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+pytestmark = pytest.mark.skipif(oracle.ensure_gmapper() is None,
+                                reason="reference gmapper not available")
+
+
+def test_split_mate_files(tmp_path):
+    gpath, rpath, g, reads = make_paired_dataset(str(tmp_path),
+                                                 mode="opp-in")
+    left, right = str(tmp_path / "l.fa"), str(tmp_path / "r.fa")
+    with open(left, "w") as f1, open(right, "w") as f2:
+        for k, (n, s) in enumerate(reads):
+            (f1 if k % 2 == 0 else f2).write(f">{n}\n{s}\n")
+    want = oracle.sam_body(oracle.run_gmapper(
+        ["-E", "-p", "opp-in", "-1", left, "-2", right, gpath]))
+    got = [l for l in run_cli(["-p", "opp-in", "-1", left, "-2", right,
+                               gpath]).splitlines()
+           if not l.startswith("@")]
+    assert got == want and got
+
+
+def test_sam_header_overrides(tmp_path):
+    gpath, rpath, g, reads = make_dataset(str(tmp_path), n_reads=5)
+    hd = tmp_path / "hd.txt"
+    hd.write_text("@HD\tVN:1.5\tSO:coordinate\n")
+    pg = tmp_path / "pg.txt"
+    pg.write_text("@CO\tcustom\n")
+    out = run_cli(["--sam-header-hd", str(hd), "--sam-header-pg", str(pg),
+                   rpath, gpath])
+    hdr = [l for l in out.splitlines() if l.startswith("@")]
+    assert hdr[0] == "@HD\tVN:1.5\tSO:coordinate"
+    assert hdr[-1] == "@CO\tcustom"
+    whole = tmp_path / "whole.txt"
+    whole.write_text("@HD\tVN:9\n@CO\tonly\n")
+    out = run_cli(["--sam-header", str(whole), rpath, gpath])
+    hdr = [l for l in out.splitlines() if l.startswith("@")]
+    assert hdr == ["@HD\tVN:9", "@CO\tonly"]
+
+
+def test_pretty_print_matches(tmp_path):
+    gpath, rpath, g, reads = make_dataset(str(tmp_path), n_reads=40)
+    want = oracle.run_gmapper(["-P", rpath, gpath]).splitlines()
+    got = run_cli(["--shrimp-format", "-P", rpath, gpath]).splitlines()
+    assert got == want and any(l.startswith("G:") for l in got)
+
+
+def _cs_fastq(tmp_path, g, rng, n=60, L=40):
+    enc = {"A": 0, "C": 1, "G": 2, "T": 3}
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    path = str(tmp_path / "reads_cs.fq")
+    with open(path, "w") as f:
+        for i in range(n):
+            p = int(rng.integers(0, len(g) - L))
+            s = list(g[p:p + L])
+            for _ in range(int(rng.integers(0, 3))):
+                s[int(rng.integers(L))] = str(rng.choice(list("ACGT")))
+            if rng.random() < 0.5:
+                s = [comp[c] for c in reversed(s)]
+            prev, cols = "T", []
+            for c in s:
+                cols.append(str(enc[prev] ^ enc[c]))
+                prev = c
+            qual = "".join(chr(33 + int(rng.integers(5, 40)))
+                           for _ in range(L))
+            f.write(f"@c{i:03d}\nT{''.join(cols)}\n+\n{qual}\n")
+    return path
+
+
+def test_bfast_quals_match(tmp_path):
+    gpath, rpath, g, reads = make_dataset(str(tmp_path), n_reads=5)
+    rng = np.random.default_rng(17)
+    fq = _cs_fastq(tmp_path, g, rng)
+    want = oracle.sam_body(oracle.run_gmapper(
+        ["-E", "-Q", "--bfast", fq, gpath], mode="cs"))
+    got = [l for l in run_cli(["--cs", "--fastq", "--bfast", fq,
+                               gpath]).splitlines()
+           if not l.startswith("@")]
+    assert got == want and got
+
+
+def test_use_regions_toggle_matches(tmp_path):
+    gpath, rpath, g, reads = make_dataset(str(tmp_path), n_reads=40)
+    want = oracle.sam_body(oracle.run_gmapper(
+        ["-E", "--use-regions", rpath, gpath]))
+    got = [l for l in run_cli(["--use-regions", rpath, gpath]).splitlines()
+           if not l.startswith("@")]
+    assert got == want and got
