@@ -62,6 +62,52 @@ def _ranges_to_flat(lo: np.ndarray, hi: np.ndarray):
     return idx + np.arange(total, dtype=np.int64), ln
 
 
+def region_mark_keys(index: GenomeIndex, codes: np.ndarray, read_len: int,
+                     cutoff: int, min_kmer_pos: int = 0,
+                     region_bits: int = C.DEF_REGION_BITS,
+                     region_overlap: int = C.DEF_REGION_OVERLAP):
+    """Per-owner region marks (read_get_region_counts,
+    mapping.c:459-542). Returns (keys1, keys2): sorted arrays of
+    owner * n_regions + region keys touched >= 1 / >= 2 times (the
+    MAP_ID / HAS_2 bits of the reference's region_map), where
+    owner = read_index * 2 + strand and the region-overlap extension
+    counts as an extra touch of region-1."""
+    from ..index.seeds import mapidx_matrix
+    N = codes.shape[0]
+    n_owners = N * 2
+    flat_codes = codes.reshape(n_owners, read_len)
+    n_reg = (index.total_len >> region_bits) + 2
+    mask = (1 << region_bits) - 1
+    max_span = max(s.seed.span for s in index.seeds)
+    chunks = []
+    for sn, si in enumerate(index.seeds):
+        span = si.seed.span
+        last = read_len - span
+        if last < min_kmer_pos:
+            continue
+        starts = np.arange(min_kmer_pos, last + 1, dtype=np.int64)
+        keys = mapidx_matrix(flat_codes, starts, si.seed, index.hashed,
+                             max_span)
+        lo = si.offsets[keys]
+        hi = si.offsets[keys + 1]
+        ok = (hi - lo) <= cutoff
+        idx, counts = _ranges_to_flat(lo[ok], hi[ok])
+        if len(idx) == 0:
+            continue
+        own_k, _ = np.nonzero(ok)
+        owner = np.repeat(own_k.astype(np.int64), counts)
+        x = si.positions[idx].astype(np.int64)
+        r = x >> region_bits
+        ov = ((x & mask) < region_overlap) & (r > 0)
+        chunks.append(owner * n_reg + r)
+        chunks.append(owner[ov] * n_reg + (r[ov] - 1))
+    if not chunks:
+        z = np.zeros(0, np.int64)
+        return z, z
+    ids, counts = np.unique(np.concatenate(chunks), return_counts=True)
+    return ids, ids[counts >= 2]
+
+
 def generate_candidates(index: GenomeIndex, codes: np.ndarray,
                         read_len: int, window_len: int, cutoff: int,
                         match_mode: int, threshold: float, match_score: int,
@@ -73,6 +119,11 @@ def generate_candidates(index: GenomeIndex, codes: np.ndarray,
                         collapse: bool = True,
                         gapless: bool = False,
                         search_strands=(True, True),
+                        mp_mode: int = 0,
+                        mp_mate_m1: Optional[np.ndarray] = None,
+                        mp_mate_m2: Optional[np.ndarray] = None,
+                        mp_drmin: Optional[np.ndarray] = None,
+                        mp_drmax: Optional[np.ndarray] = None,
                         ) -> FlatHits:
     """codes: [N, 2, read_len] uint8 for N same-length reads, both strands."""
     N = codes.shape[0]
@@ -132,8 +183,35 @@ def generate_candidates(index: GenomeIndex, codes: np.ndarray,
         marks = np.concatenate([mk, mk_ov])
         ids, counts = np.unique(marks, return_counts=True)
         has2 = ids[counts >= 2]
-        keep = np.isin(mk, has2)
-        keep |= ov & np.isin(mk - 1, has2)
+        if mp_mode == 0:
+            keep = np.isin(mk, has2)
+            keep |= ov & np.isin(mk - 1, has2)
+        else:
+            # mate-pair region filter (advance_index_in_genomemap,
+            # mapping.c:695-745): per anchor region, count_main is the
+            # read's own HAS_2 and count_mp the best mark of the mate's
+            # opposite strand within [r+drmin, r+drmax]; modes 1/2/3
+            # combine them. mp_mate_m1/m2 hold the mate marks rebased
+            # to this batch's owner slots.
+            drmin = mp_drmin[owner]
+            drmax = mp_drmax[owner]
+
+            def _mode_pass(rq):
+                main2 = np.isin(owner * n_reg + rq, has2)
+                lo_q = owner * n_reg + np.maximum(rq + drmin, 0)
+                hi_q = owner * n_reg + np.minimum(rq + drmax, n_reg - 1)
+                mp1 = (np.searchsorted(mp_mate_m1, lo_q)
+                       < np.searchsorted(mp_mate_m1, hi_q + 1))
+                mp2 = (np.searchsorted(mp_mate_m2, lo_q)
+                       < np.searchsorted(mp_mate_m2, hi_q + 1))
+                if mp_mode == 1:
+                    return main2 & mp2
+                if mp_mode == 2:
+                    return main2 | mp2
+                return mp1 & (main2 | mp2)     # mode 3
+
+            keep = _mode_pass(r)
+            keep |= ov & _mode_pass(r - 1)
         x, owner, y, stream, span = (x[keep], owner[keep], y[keep],
                                      stream[keep], span[keep])
         if len(x) == 0:
@@ -185,9 +263,32 @@ def generate_candidates(index: GenomeIndex, codes: np.ndarray,
     gend = np.minimum((x - coff) + read_len - 1 - y, clen - 1)
     gstart = np.where(gend >= window_len, gend - window_len, 0)
 
+    # match_mode 3: per-anchor mate support (heavy_mp, mapping.c:1083-1094)
+    # = mate's opposite strand has a >=2-touch region within the delta
+    # range of the anchor's region (with the region-overlap fallback).
+    heavy = np.zeros(n, bool)
+    if match_mode == 3 and mp_mode and mp_mate_m2 is not None and n:
+        n_reg = (index.total_len >> region_bits) + 2
+        mask = (1 << region_bits) - 1
+        r = x >> region_bits
+        drmin = mp_drmin[owner]
+        drmax = mp_drmax[owner]
+
+        def _mp2(rq):
+            lo_q = owner * n_reg + np.maximum(rq + drmin, 0)
+            hi_q = owner * n_reg + np.minimum(rq + drmax, n_reg - 1)
+            return (np.searchsorted(mp_mate_m2, lo_q)
+                    < np.searchsorted(mp_mate_m2, hi_q + 1))
+
+        heavy = _mp2(r)
+        ovl = ((x & mask) < region_overlap) & (r > 0)
+        heavy |= ~heavy & ovl & _mp2(r - 1)
+
     max_score = alen * match_score
-    if not gapless and match_mode in (2,):
-        max_score = np.where(aweight == 1, -1, max_score)
+    if not gapless and match_mode in (2, 3):
+        single = (aweight == 1) if match_mode == 2 else \
+            ((aweight == 1) & ~heavy)
+        max_score = np.where(single, -1, max_score)
     max_idx = np.arange(n, dtype=np.int64)
 
     if not gapless and n:
@@ -255,6 +356,10 @@ def generate_candidates(index: GenomeIndex, codes: np.ndarray,
         thr = (np.full(n, -threshold)
                if is_absolute(threshold) else cap * (threshold / 100.0))
         keep = max_score.astype(np.float64) >= thr
+        if match_mode == 3:
+            # heavy anchors get a window with no threshold check
+            # (mapping.c:1160-1163)
+            keep |= heavy
 
     i = np.nonzero(keep)[0]
     j = max_idx[i]

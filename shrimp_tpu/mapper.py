@@ -90,6 +90,8 @@ class ReadEntry:
     mate_pair: Optional["ReadEntry"] = None
     delta_g_off_min: Tuple[int, int] = (0, 0)
     delta_g_off_max: Tuple[int, int] = (0, 0)
+    delta_region_min: Tuple[int, int] = (0, 0)
+    delta_region_max: Tuple[int, int] = (0, 0)
     final_unpaired_hits: List["Hit"] = field(default_factory=list)
     crossover_score: Optional[np.ndarray] = None  # per-colour, CS+qvs
 
@@ -263,6 +265,19 @@ class Mapper:
                 self._codes_rc_dev = jax.device_put(self.index.codes_rc,
                                                     self.device)
         return self._codes_rc_dev
+
+    def _dev_cs_planes(self):
+        """Colour + letter genome planes (fw/rc) on the device, for the
+        CS vector-SW device-resident gather path."""
+        if getattr(self, "_cs_planes_dev", None) is None:
+            import jax
+            idx = self.index
+            with self._device_ctx():
+                self._cs_planes_dev = tuple(
+                    jax.device_put(a, self.device)
+                    for a in (idx.cs_codes, idx.cs_codes_rc,
+                              idx.codes, idx.codes_rc))
+        return self._cs_planes_dev
 
     def _device_ctx(self):
         import contextlib
@@ -630,6 +645,51 @@ class Mapper:
                 crl[:k] = rlen[off:end]
                 fut = sw_vector_ls_from_index(
                     codes_dev, cgs, cgl, rtab_dev, cow, crl, G=G,
+                    use_pallas=use_pallas, **self._vec_kw)
+                futures.append((off, end, fut))
+        cells = int((glen.astype(np.int64) * rlen.astype(np.int64)).sum())
+        return (futures, out, n, cells, t0)
+
+    def _vec_dispatch_cs_idx(self, gstart, glen, eff_rc, owner, rtab, rlen,
+                             initbp, G):
+        """CS vector-SW launches against the device-resident genome
+        planes (sw_pallas.sw_vector_cs_from_index): only window offsets,
+        strand flags and read rows cross the host boundary."""
+        import time as _tm
+
+        import jax
+
+        from .core.sw_pallas import (pallas_available,
+                                     sw_vector_cs_from_index)
+        t0 = _tm.perf_counter()
+        n = len(gstart)
+        planes = self._dev_cs_planes()
+        use_pallas = pallas_available()
+        out = np.empty(n, np.int64)
+        R = rtab.shape[1]
+        futures = []
+        with self._device_ctx():
+            rows = _round_up(max(rtab.shape[0], 1), 4096)
+            rtab_pad = np.full((rows, R), 254, np.uint8)
+            rtab_pad[:rtab.shape[0]] = rtab
+            rtab_dev = jax.device_put(rtab_pad, self.device)
+            for off in range(0, n, VEC_BATCH):
+                end = min(off + VEC_BATCH, n)
+                k = end - off
+                cgs = np.zeros(VEC_BATCH, np.int64)
+                cgl = np.zeros(VEC_BATCH, np.int32)
+                crc = np.zeros(VEC_BATCH, np.int32)
+                cow = np.zeros(VEC_BATCH, np.int32)
+                crl = np.zeros(VEC_BATCH, np.int32)
+                cib = np.zeros(VEC_BATCH, np.int32)
+                cgs[:k] = gstart[off:end]
+                cgl[:k] = glen[off:end]
+                crc[:k] = eff_rc[off:end]
+                cow[:k] = owner[off:end]
+                crl[:k] = rlen[off:end]
+                cib[:k] = initbp[off:end]
+                fut = sw_vector_cs_from_index(
+                    *planes, cgs, cgl, crc, rtab_dev, cow, crl, cib, G=G,
                     use_pallas=use_pallas, **self._vec_kw)
                 futures.append((off, end, fut))
         cells = int((glen.astype(np.int64) * rlen.astype(np.int64)).sum())
@@ -1282,6 +1342,55 @@ class Mapper:
                 h.mqv = 0
 
     # ------------------------------------------------- batched candidate gen
+    def _mp_context(self, sub: List[ReadEntry], mp_mode: int) -> dict:
+        """Mate-pair region-filter inputs (read_get_mp_region_counts,
+        mapping.c:545-608): each sub owner's view of its mate's
+        opposite-strand region marks, rebased to this batch's owner key
+        space, plus the per-(read,strand) region delta ranges."""
+        from .core import batch_pipeline as bp
+        cfg = self.config
+        n_reg = (self.index.total_len >> cfg.region_bits) + 2
+        mates = [e.mate_pair for e in sub]
+        mate_marks: List[List[Optional[np.ndarray]]] = \
+            [[None, None, None, None] for _ in mates]   # m1_st0,m1_st1,m2_..
+        by_len: Dict[int, List[int]] = {}
+        for k, e in enumerate(mates):
+            by_len.setdefault(e.read_len, []).append(k)
+        for L, idxs in by_len.items():
+            codes = np.empty((len(idxs), 2, L), np.uint8)
+            for j, k in enumerate(idxs):
+                codes[j, 0] = mates[k].codes[0]
+                codes[j, 1] = mates[k].codes[1]
+            ids1, ids2 = bp.region_mark_keys(
+                self.index, codes, L, self.cutoff,
+                min_kmer_pos=mates[idxs[0]].min_kmer_pos,
+                region_bits=cfg.region_bits,
+                region_overlap=cfg.region_overlap)
+            for j, k in enumerate(idxs):
+                for st in (0, 1):
+                    o = 2 * j + st
+                    s1 = slice(np.searchsorted(ids1, o * n_reg),
+                               np.searchsorted(ids1, (o + 1) * n_reg))
+                    s2 = slice(np.searchsorted(ids2, o * n_reg),
+                               np.searchsorted(ids2, (o + 1) * n_reg))
+                    mate_marks[k][st] = ids1[s1] - o * n_reg
+                    mate_marks[k][2 + st] = ids2[s2] - o * n_reg
+        n_owners = 2 * len(sub)
+        m1_chunks, m2_chunks = [], []
+        drmin = np.zeros(n_owners, np.int64)
+        drmax = np.zeros(n_owners, np.int64)
+        for k, e in enumerate(sub):
+            for st in (0, 1):
+                o = 2 * k + st
+                m1_chunks.append(o * n_reg + mate_marks[k][1 - st])
+                m2_chunks.append(o * n_reg + mate_marks[k][2 + 1 - st])
+                drmin[o] = e.delta_region_min[st]
+                drmax[o] = e.delta_region_max[st]
+        return dict(mp_mode=mp_mode,
+                    mp_mate_m1=np.concatenate(m1_chunks),
+                    mp_mate_m2=np.concatenate(m2_chunks),
+                    mp_drmin=drmin, mp_drmax=drmax)
+
     def _flat_hits(self, sub: List[ReadEntry], rl: int, opts):
         """Flat cross-read candidate generation for reads of one length."""
         from .core import batch_pipeline as bp
@@ -1302,6 +1411,12 @@ class Mapper:
                 self.cutoff, opts.hit_list.match_mode,
                 opts.hit_list.threshold, cfg.scores.match,
                 cfg.scores.b_gap_open, cfg.scores.b_gap_extend)
+        mp_mode = opts.anchor_list.use_mp_region_counts
+        if (mp_mode and opts.anchor_list.use_region_counts
+                and all(e.mate_pair is not None for e in sub)):
+            # mate-pair region filter: python pipeline only
+            kw.update(self._mp_context(sub, mp_mode))
+            return bp.generate_candidates(*args, **kw)
         try:
             from .native.filter1_py import generate_candidates_native
             fh = generate_candidates_native(*args, **kw)
@@ -1372,7 +1487,9 @@ class Mapper:
                                         G)
             return (lambda: self._vec_finish(st)) if defer \
                 else self._vec_finish(st)
-        # colour space (see _score_windows for the coordinate notes)
+        # colour space (see _score_windows for the coordinate notes):
+        # strand-normalized window starts + initbp ship to the device,
+        # colour/letter windows and g_row0 are gathered there
         inp = np.array([e.input_strand for e in sub], np.int64)
         eff_rc = st_a != inp[ri_a]
         cn_a = idx.contig_of(goff_a)
@@ -1381,20 +1498,14 @@ class Mapper:
         local = goff_a - coff2
         local_rc = clen2 - local - wl_a
         starts = coff2 + np.where(eff_rc, local_rc, local)
-        cs_f = _gather_rows(idx.cs_codes, starts, G)
-        cs_r = _gather_rows(idx.cs_codes_rc, starts, G)
-        gwin = np.where(eff_rc[:, None], cs_r, cs_f)
-        ls_f = _gather_rows(idx.codes, starts, G)
-        ls_r = _gather_rows(idx.codes_rc, starts, G)
-        lswin = np.where(eff_rc[:, None], ls_r, ls_f)
         initbp = np.array([e.initbp[0] for e in sub], np.int64)
-        g_row0 = C.COLOUR_MAT[lswin, initbp[ri_a][:, None]]
         rtab = np.full((len(sub) * 2, R), 254, np.uint8)
         for ri, e in enumerate(sub):
             rtab[2 * ri, :e.read_len] = e.codes[e.input_strand]
             rtab[2 * ri + 1, :e.read_len] = e.codes[e.input_strand]
-        rwin = rtab[fh.owner]
-        st2 = self._vec_dispatch(gwin, glen, rwin, rlen, g_row0)
+        st2 = self._vec_dispatch_cs_idx(starts, glen,
+                                        eff_rc.astype(np.int32), fh.owner,
+                                        rtab, rlen, initbp[ri_a], G)
         return (lambda: self._vec_finish(st2)) if defer \
             else self._vec_finish(st2)
 

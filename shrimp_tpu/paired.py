@@ -154,6 +154,21 @@ class PairedMapper(Mapper):
         else:
             re2.delta_g_off_min = (-d0mx, -d1mx)
             re2.delta_g_off_max = (-d0mn, -d1mn)
+        # region deltas for the mate-pair region filter
+        # (mapping.c:2424-2436; C truncating division)
+        R = 1 << self.config.region_bits
+
+        def _rmin(dg):
+            return dg // R if dg >= 0 else -1 - ((-dg - 1) // R)
+
+        def _rmax(dg):
+            return 1 + (dg - 1) // R if dg > 0 else -((-dg) // R)
+
+        for re in (re1, re2):
+            re.delta_region_min = (_rmin(re.delta_g_off_min[0]),
+                                   _rmin(re.delta_g_off_min[1]))
+            re.delta_region_max = (_rmax(re.delta_g_off_max[0]),
+                                   _rmax(re.delta_g_off_max[1]))
 
     @staticmethod
     def _pair_up_hits(re1: ReadEntry, hits1, hits2) -> None:

@@ -99,3 +99,79 @@ def test_paired_ls_matches_reference(tmp_path, mode):
         + "\n".join(got[:6]) + "\n--- want:\n" + "\n".join(want[:6]))
     for gl, wl in zip(got, want):
         assert gl == wl, f"\n got: {gl}\nwant: {wl}"
+
+
+def make_mp_dataset(tmpdir, seed=13, genome_len=120_000, n_pairs=70,
+                    read_len=36):
+    """Long-insert opp-in pairs straddling 2048-bp region boundaries plus
+    junk mates, so the mate-pair region filter (and heavy_mp window
+    rescue) actually discriminates."""
+    rng = np.random.default_rng(seed)
+    g = list(rng.choice(list("ACGT"), genome_len))
+    g[80_000:81_200] = g[20_000:21_200]      # big repeat, offset 60_000
+    g = "".join(g)
+    gpath = os.path.join(tmpdir, "genome.fa")
+    with open(gpath, "w") as f:
+        f.write(">chrR\n")
+        for i in range(0, len(g), 70):
+            f.write(g[i:i + 70] + "\n")
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    reads = []
+    for k in range(n_pairs):
+        isize = max(2 * read_len + 5, min(int(rng.normal(800, 700)), 3000))
+        p = int(rng.integers(0, genome_len - isize - 1))
+        r1 = list(g[p:p + read_len])
+        r2 = list(g[p + isize - read_len:p + isize])
+        for r in (r1, r2):
+            for _ in range(int(rng.integers(0, 4))):
+                r[int(rng.integers(read_len))] = str(rng.choice(list("ACGT")))
+        if k % 6 == 1:  # indel
+            i2 = int(rng.integers(5, read_len - 8))
+            d = int(rng.integers(1, 4))
+            r1 = list(g[p:p + read_len + d])
+            del r1[i2:i2 + d]
+        m1 = "".join(r1)
+        m2 = "".join(comp[c] for c in reversed("".join(r2)))
+        if k % 9 == 4:
+            m2 = "".join(rng.choice(list("ACGT"), read_len))
+        if k % 11 == 7:
+            m1 = "".join(rng.choice(list("ACGT"), read_len))
+            m2 = "".join(rng.choice(list("ACGT"), read_len))
+        reads.append((f"q{k}:{p}/1", m1))
+        reads.append((f"q{k}:{p}/2", m2))
+    rpath = os.path.join(tmpdir, "reads.fa")
+    with open(rpath, "w") as f:
+        for n, r in reads:
+            f.write(f">{n}\n{r}\n")
+    return gpath, rpath, g, reads
+
+
+@pytest.mark.skipif(oracle.ensure_gmapper() is None,
+                    reason="reference gmapper not available")
+@pytest.mark.parametrize("mp_mode,flags,kw", [
+    (1, ["--no-half-paired"], dict(half_paired=False)),
+    (2, ["-n", "3"], dict(match_mode=3)),
+    (3, ["-n", "3", "--no-half-paired"],
+     dict(match_mode=3, half_paired=False)),
+])
+def test_paired_mp_region_filter_matches_reference(tmp_path, mp_mode,
+                                                   flags, kw):
+    """Mate-pair region filter modes 1/2/3 (advance_index_in_genomemap
+    mapping.c:695-745, heavy_mp mapping.c:1083-1163)."""
+    gpath, rpath, g, reads = make_mp_dataset(str(tmp_path))
+    want = oracle.sam_body(oracle.run_gmapper(
+        ["-E", "-p", "opp-in"] + flags + [rpath, gpath]))
+
+    idx = build_index([("chrR", encode.encode_ls(g))], default_seeds())
+    cfg = MapperConfig(pair_mode="opp-in", **kw)
+    m = PairedMapper(idx, cfg)
+    pairs = m.map_paired([SeqRecord(n, s) for n, s in reads])
+    got = []
+    for pe in pairs:
+        paired_out, unpaired_out = m.select_output(pe)
+        got.extend(sam.render_pair_entry(pe, idx, cfg, paired_out,
+                                         unpaired_out))
+    assert len(got) == len(want), (
+        f"line count differs: got {len(got)} want {len(want)}")
+    for gl, wl in zip(got, want):
+        assert gl == wl, f"\n got: {gl}\nwant: {wl}"
