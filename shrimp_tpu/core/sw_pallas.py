@@ -188,6 +188,49 @@ def sw_vector_ls_from_index(codes, gstart, glen, rtab, owner, rlen,
     return sw_jax.sw_vector_batch.__wrapped__(gwin, glen, rwin, rlen, **kw)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "G", "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
+    "b_gap_ext", "use_pallas"))
+def sw_vector_cs_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
+                            gstart, glen, eff_rc, rtab, owner, rlen, initbp,
+                            *, G: int, match: int, mismatch: int,
+                            a_gap_open: int, a_gap_ext: int,
+                            b_gap_open: int, b_gap_ext: int,
+                            use_pallas: bool) -> jnp.ndarray:
+    """Colour-space vector SW against the DEVICE-RESIDENT genome planes.
+
+    The CS vector SW scores the colour read against the genome's colour
+    projection, except row 0 which re-derives the first colour from the
+    genome letter and the read's initial base (sw-vector.c:108-146).
+    Both colour planes (fw/rc) and both letter planes live on the device;
+    per candidate only `gstart` (absolute, already strand-normalized on
+    the host per reverse_hit, mapping.c:254-263), `eff_rc`, the read-row
+    index and `initbp` cross the host boundary. g_row0 is computed
+    on-device as COLOUR_MAT[genome_letter, initbp].
+    """
+    from . import sw_jax
+    from .. import constants as C
+    B = gstart.shape[0]
+    jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+    pos = jnp.clip(gstart.astype(jnp.int32)[:, None] + jidx, 0,
+                   cs_codes.shape[0] - 1)
+    rcb = (eff_rc != 0)[:, None]
+    gwin = jnp.where(rcb, cs_codes_rc[pos], cs_codes[pos])
+    lswin = jnp.where(rcb, ls_codes_rc[pos], ls_codes[pos])
+    cmat = jnp.asarray(C.COLOUR_MAT.reshape(-1))
+    g_row0 = cmat[lswin.astype(jnp.int32) * 16
+                  + initbp.astype(jnp.int32)[:, None]]
+    rwin = rtab[jnp.clip(owner.astype(jnp.int32), 0, rtab.shape[0] - 1)]
+    kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
+              a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
+              b_gap_ext=b_gap_ext)
+    if use_pallas and B % TILE == 0:
+        return sw_vector_batch_pallas.__wrapped__(gwin, glen, rwin, rlen,
+                                                  g_row0, cs_mode=True, **kw)
+    return sw_jax.sw_vector_batch.__wrapped__(gwin, glen, rwin, rlen,
+                                              g_row0, cs_mode=True, **kw)
+
+
 def pallas_available() -> bool:
     """True when the default backend can run the Mosaic kernels."""
     try:
