@@ -73,7 +73,16 @@ class ShardedMapper:
 
     def map_unpaired(self, records: Sequence[SeqRecord]
                      ) -> List[Tuple[ReadEntry, List[Hit]]]:
-        per_shard = [m.map_unpaired(records) for m in self.mappers]
+        if len(self.mappers) == 1:
+            per_shard = [self.mappers[0].map_unpaired(records)]
+        else:
+            # one thread per shard: native filter1 and the device waits
+            # release the GIL, so shard pipelines overlap on host and
+            # each shard's kernels run on its own device concurrently
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(len(self.mappers)) as ex:
+                per_shard = list(ex.map(
+                    lambda m: m.map_unpaired(records), self.mappers))
         cfg = self.config
         out = []
         n_reads = len(per_shard[0])
