@@ -666,6 +666,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_srd.add_argument("--paired", action="store_true",
                        help="keep read pairs together")
 
+    p_sct = sub.add_parser(
+        "split-contigs", help="balanced contig->chunk assignment for a "
+        "RAM budget (utils/split-contigs.c)")
+    p_sct.add_argument("genome",
+                       help="fasta file, or - for name/size pairs on stdin")
+    p_sct.add_argument("ram_size", type=float,
+                       help="target RAM size in GB")
+    p_sct.add_argument("seed_weights", nargs="?", default=None,
+                       help="comma-separated seed weights (default 12,12,12)")
+
+    p_tsk = sub.add_parser(
+        "temp-sink", help="buffer stdin to a temp file, flush to DEST at "
+        "EOF (utils/temp-sink.c)")
+    p_tsk.add_argument("dest")
+    p_tsk.add_argument("-b", "--block-size", type=int, default=1 << 20)
+
     p_f2q = sub.add_parser("fasta2fastq",
                            help="fasta + .qual -> fastq (mergesam tool)")
     p_f2q.add_argument("fasta")
@@ -720,6 +736,27 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .tools.split import split_reads
         split_reads(args.reads, args.n_chunks, args.prefix,
                     paired=args.paired)
+        return 0
+    if args.cmd == "split-contigs":
+        from .io.fasta import read_seqs
+        from .tools.split import split_contigs
+        if args.genome == "-":
+            toks = sys.stdin.read().split()
+            contigs = [(toks[i], int(toks[i + 1]))
+                       for i in range(0, len(toks) - 1, 2)]
+        else:
+            contigs = [(r.name, len(r.seq)) for r in read_seqs(args.genome)]
+        weights = ([int(w) for w in args.seed_weights.split(",")]
+                   if args.seed_weights else None)
+        chunks = split_contigs(contigs, args.ram_size, weights)
+        for i, ch in enumerate(chunks):
+            print(f"chunk {i + 1}:")
+            for name, size in ch:
+                print(f"{name}\t{size}")
+        return 0
+    if args.cmd == "temp-sink":
+        from .tools.split import temp_sink
+        temp_sink(args.dest, block_size=args.block_size)
         return 0
     if args.cmd == "fasta2fastq":
         from .tools.split import fasta2fastq

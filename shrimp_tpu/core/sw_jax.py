@@ -428,12 +428,101 @@ def sw_full_stats_from_index(codes_fwd, codes_rc, gstart, use_rc, glen,
                    codes_fwd.shape[0] - 1)
     gwin = jnp.where(use_rc[:, None], codes_rc[pos], codes_fwd[pos])
     rwin = read_tab[jnp.clip(ri, 0, read_tab.shape[0] - 1)]
-    return sw_full_stats_pallas.__wrapped__(
+    out = sw_full_stats_pallas.__wrapped__(
         gwin, glen, rwin, rlen, ax, ay, alen, awid,
         revcmpl.astype(jnp.int32), match=match, mismatch=mismatch,
         a_gap_open=a_gap_open, a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
         b_gap_ext=b_gap_ext, local_alignment=local_alignment,
         interpret=interpret)
+    # every field (score <= rlen*match < 2^15 per the reference's own
+    # cap sw-vector.c:393-398; positions/runs < R+G) fits int16: halves
+    # the device->host fetch
+    return out.astype(jnp.int16)
+
+
+def _vec_full_gather(codes_fwd, codes_rc, args, rtab, G):
+    """Shared gather for the fused filter2+3 launch. args int32 [B, 10]:
+    (gstart, glen, ri, rc, rlen, ax, ay, alen, awid, rev); one packed
+    host->device buffer per launch. Strand-1 rows hold the reverse_hit
+    coordinates (mapping.c:254-263), so the window is gathered from the
+    revcomp plane and scored against the FORWARD read row —
+    SW(revcomp(r), w) == SW(r, revcomp(w)) exactly, so the read table
+    needs no rc rows."""
+    cols = [args[:, k] for k in range(10)]
+    gstart, glen, ri, rc, rlen, ax, ay, alen, awid, rev = cols
+    jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+    pos = jnp.clip(gstart[:, None] + jidx, 0, codes_fwd.shape[0] - 1)
+    gwin = jnp.where((rc != 0)[:, None], codes_rc[pos], codes_fwd[pos])
+    rwin = rtab[jnp.clip(ri, 0, rtab.shape[0] - 1)]
+    return gwin, rwin, glen, rlen, ax, ay, alen, awid, rev
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
+    "b_gap_ext", "local_alignment", "use_pallas", "interpret"))
+def sw_vec_full_stats_from_index(codes_fwd, codes_rc, args, rtab,
+                                 *, G: int, match, mismatch, a_gap_open,
+                                 a_gap_ext, b_gap_open, b_gap_ext,
+                                 local_alignment=False, use_pallas=True,
+                                 interpret=False):
+    """Fused filter 2 + SPECULATIVE filter 3 (stats flow) in ONE device
+    launch: vector SW scores and full-SW DP stats for every candidate
+    window. The host runs pass1 selection afterwards and simply indexes
+    the speculative rows it keeps — trading ~15% extra (cheap) DP cells
+    for one host->device->host round trip per batch instead of two,
+    which dominates when device latency is high. Returns
+    (int16 vec_scores [B], int16 stats [B, 8])."""
+    from .sw_full_pallas import sw_full_stats_pallas
+    gwin, rwin, glen, rlen, ax, ay, alen, awid, rev = _vec_full_gather(
+        codes_fwd, codes_rc, args, rtab, G)
+    kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
+              a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
+              b_gap_ext=b_gap_ext)
+    if use_pallas:
+        from .sw_pallas import sw_vector_batch_pallas
+        vec = sw_vector_batch_pallas.__wrapped__(gwin, glen, rwin, rlen,
+                                                 **kw)
+    else:
+        vec = sw_vector_batch.__wrapped__(gwin, glen, rwin, rlen, **kw)
+    stats = sw_full_stats_pallas.__wrapped__(
+        gwin, glen, rwin, rlen, ax, ay, alen, awid, rev,
+        local_alignment=local_alignment, interpret=interpret, **kw)
+    # vec scores fit int16 by the reference's own cap (sw-vector.c:393);
+    # stats fields are positions/runs < R+G — halves the fetch
+    return vec.astype(jnp.int16), stats.astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
+    "b_gap_ext", "local_alignment", "use_pallas"))
+def sw_vec_full_tb_from_index(codes_fwd, codes_rc, args, rtab,
+                              *, G: int, match, mismatch, a_gap_open,
+                              a_gap_ext, b_gap_open, b_gap_ext,
+                              local_alignment=False, use_pallas=False):
+    """Fused filter 2 + speculative filter 3 with on-device traceback
+    (the non-stats flow, e.g. CPU backend). Returns
+    (int16 vec_scores, packed [B, 10] int32, ops [B, W] uint8)."""
+    gwin, rwin, glen, rlen, ax, ay, alen, awid, rev = _vec_full_gather(
+        codes_fwd, codes_rc, args, rtab, G)
+    kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
+              a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
+              b_gap_ext=b_gap_ext)
+    if use_pallas:
+        from .sw_pallas import sw_vector_batch_pallas
+        vec = sw_vector_batch_pallas.__wrapped__(gwin, glen, rwin, rlen,
+                                                 **kw)
+        from .sw_full_pallas import sw_full_batch_pallas
+        score, max_i, max_j, plane, bp = sw_full_batch_pallas.__wrapped__(
+            gwin, glen, rwin, rlen, ax, ay, alen, awid, rev,
+            local_alignment=local_alignment, **kw)
+    else:
+        vec = sw_vector_batch.__wrapped__(gwin, glen, rwin, rlen, **kw)
+        score, max_i, max_j, plane, bp = sw_full_batch.__wrapped__(
+            gwin, glen, rwin, rlen, ax, ay, alen, awid, rev != 0,
+            local_alignment=local_alignment, **kw)
+    packed, ops = _traceback_pack(gwin, rwin, score, max_i, max_j, plane,
+                                  bp)
+    return vec.astype(jnp.int16), packed, ops
 
 
 def _traceback_pack(genome, read, score, max_i, max_j, plane, bp):

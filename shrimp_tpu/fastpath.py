@@ -77,7 +77,7 @@ class _P1Out(ctypes.Structure):
     _fields_ = [("cap", ctypes.c_int64)] + \
         [(f, ctypes.c_void_p) for f in
          ("ri", "gen_st", "cn", "g_off", "w_len", "score_max", "ax", "ay",
-          "alen", "awid", "score_vector", "seg")]
+          "alen", "awid", "score_vector", "seg", "src")]
 
 
 class _FRParams(ctypes.Structure):
@@ -221,177 +221,113 @@ class FastLS:
             search_strands=(True, True))
         if fh is None:
             return None
-        # async vector-SW on the device-resident genome
+        m.stats.add_stage("filter1", _time.perf_counter() - t1)
+        t2 = _time.perf_counter()
+        # Fused filter2 + SPECULATIVE filter3: full-SW DP runs on EVERY
+        # candidate window in the same launch as the vector SW, so each
+        # batch pays ONE host->device->host round trip (the tunnel/PCIe
+        # latency dominates; the extra DP cells on windows pass1 later
+        # drops are ~15% of cheap kernel time). The shared per-batch
+        # read table holds forward rows only: strand-1 windows carry
+        # reverse_hit coordinates (mapping.c:254-263) and gather from
+        # the revcomp genome plane (score-identical strand algebra, see
+        # sw_jax._vec_full_gather).
         idx = m.index
-        rtab = np.empty((2 * B, L), np.uint8)
-        rtab[0::2] = codes
-        rtab[1::2] = rc
-        if fh.n:
-            goff_a = idx.contig_offsets[fh.cn].astype(np.int64) + fh.g_off
-            G = _round_up(max(int(fh.w_len.max()), 16), 32)
-            rlen = np.full(fh.n, L, np.int32)
-            vec_state = m._vec_dispatch_idx(goff_a, fh.w_len.astype(np.int32),
-                                            fh.owner, rtab, rlen, G)
-        else:
-            vec_state = None
-        m.stats.add_stage("filter1 + dispatch", _time.perf_counter() - t1)
-        return dict(B=B, L=L, wlen=wlen, fh=fh, vec_state=vec_state,
-                    codes=codes, names=nm_blob, name_off=offs,
-                    seq_fwd=seq_fwd, seq_rc=seq_rc,
-                    Bcap=max(batch_cap or B, B))
-
-    # ---------------------------------------------------------- stage B
-    def stage_pass1_dispatch(self, ctx):
-        """Fetch vector scores, native pass1 select, dispatch full SW."""
-        m = self.m
-        cfg = m.config
-        fh = ctx["fh"]
-        B, L, wlen = ctx["B"], ctx["L"], ctx["wlen"]
-        scores = (m._vec_finish(ctx["vec_state"])
-                  if ctx["vec_state"] is not None
-                  else np.zeros(0, np.int64))
-        t0 = _time.perf_counter()
-        opts = m._unpaired_opts[0].pass1
-        cap = max(int(fh.n), 1)
-        sel = {k: np.empty(cap, dt) for k, dt in
-               (("ri", np.int32), ("gen_st", np.int8), ("cn", np.int32),
-                ("g_off", np.int64), ("w_len", np.int32),
-                ("score_max", np.int64), ("ax", np.int64),
-                ("ay", np.int64), ("alen", np.int64), ("awid", np.int64),
-                ("score_vector", np.int64))}
-        seg = np.zeros(B + 1, np.int64)
-        n_sel = 0
-        if fh.n:
-            p1 = _P1Params(
-                fh.n, 2 * B, L, wlen,
-                int(abs_or_pct(opts.window_overlap, wlen)),
-                float(opts.threshold), opts.min_matches, opts.num_outputs,
-                1, self.contig_lengths32.ctypes.data)
-            arrs = dict(owner=fh.owner,
-                        cn=np.ascontiguousarray(fh.cn, np.int32),
-                        g_off=np.ascontiguousarray(fh.g_off, np.int64),
-                        w_len=np.ascontiguousarray(fh.w_len, np.int32),
-                        matches=np.ascontiguousarray(fh.matches, np.int32),
-                        score_max=np.ascontiguousarray(fh.score_max,
-                                                       np.int64),
-                        ax=fh.ax, ay=fh.ay,
-                        alen=np.ascontiguousarray(fh.alen, np.int64),
-                        awid=np.ascontiguousarray(fh.awid, np.int64),
-                        scores=np.ascontiguousarray(scores, np.int64))
-            arrs["owner"] = np.ascontiguousarray(arrs["owner"], np.int64)
-            arrs["ax"] = np.ascontiguousarray(arrs["ax"], np.int64)
-            arrs["ay"] = np.ascontiguousarray(arrs["ay"], np.int64)
-            p1in = _P1In(**{k: _vp(v) for k, v in arrs.items()})
-            p1out = _P1Out(cap, *[_vp(sel[k]) for k in
-                                  ("ri", "gen_st", "cn", "g_off", "w_len",
-                                   "score_max", "ax", "ay", "alen",
-                                   "awid", "score_vector")],
-                           _vp(seg))
-            n_sel = self.lib.pass1_select(ctypes.byref(p1),
-                                          ctypes.byref(p1in),
-                                          ctypes.byref(p1out))
-            assert n_sel >= 0
-        m.stats.add_stage("pass1 select", _time.perf_counter() - t0)
-
-        # ---- full-SW dispatch: device-resident genome, only offsets +
-        # read-row indices cross the host boundary
-        t1 = _time.perf_counter()
-        idx = m.index
-        sc = cfg.scores
-        n_sel = int(n_sel)
-        thr = cfg.sw_full_threshold
-        if n_sel:
-            smax = sel["score_max"][:n_sel]
-            if thr < 0:
-                thresh = np.full(n_sel, int(-thr), np.int64)
-            else:
-                thresh = (smax * (thr / 100.0)).astype(np.int64)
-            gate = sel["score_vector"][:n_sel] >= thresh
-            jsel = np.nonzero(gate)[0]
-        else:
-            jsel = np.zeros(0, np.int64)
-        n_jobs = len(jsel)
-        jobs = {k: np.ascontiguousarray(sel[k][:n_sel][jsel]) for k in
-                ("ri", "gen_st", "cn", "g_off", "w_len", "score_max",
-                 "ax", "ay", "alen", "awid")}
+        Bcap = max(batch_cap or B, B)
+        R = _round_up(L, 8)
+        read_tab = np.full((Bcap, R), 254, np.uint8)
+        read_tab[:B, :L] = codes
+        win = None
         futures = []
         G = 16
-        if n_jobs:
-            G = _round_up(max(int(jobs["w_len"].max()), 16), 32)
-            R = _round_up(L, 8)
-            starts = (idx.contig_offsets[jobs["cn"]].astype(np.int64)
-                      + jobs["g_off"])
-            rcmask = jobs["gen_st"] == 1
-            # per-batch read table, padded to the pipeline batch cap so
-            # the jit shape never varies (TPU recompiles are minutes)
-            Bcap = ctx["Bcap"]
-            read_tab = np.full((Bcap, R), 254, np.uint8)
-            read_tab[:B, :L] = ctx["codes"]
-            glen = jobs["w_len"].astype(np.int32)
-            aw = cfg.anchor_width
-            rx = (jobs["ax"] - aw // 2).astype(np.int32)
-            ry = (jobs["ay"] + aw // 2).astype(np.int32)
-            rl_ = jobs["alen"].astype(np.int32)
-            rw_ = (jobs["awid"] + aw).astype(np.int32)
-            rev = rcmask & cfg.rev_tiebreak
+        stats_flow = False
+        if fh.n:
             import os as _os
 
+            import jax
+
             from .core.sw_full_pallas import pallas_full_ok
-            from .core.sw_jax import (sw_full_stats_from_index,
-                                      sw_full_tb_from_index)
+            from .core.sw_jax import (sw_vec_full_stats_from_index,
+                                      sw_vec_full_tb_from_index)
+            from .mapper import FULL_BUCKETS
             codes_dev = m._dev_codes()
             codes_rc_dev = m._dev_codes_rc()
+            with m._device_ctx():
+                rtab_dev = jax.device_put(read_tab, m.device)
+            sc = cfg.scores
+            aw = cfg.anchor_width
+            n = fh.n
+            st = (fh.owner & 1).astype(np.int64)
+            rcf = st == 1
+            coff = idx.contig_offsets[fh.cn].astype(np.int64)
+            clen = idx.contig_lengths[fh.cn].astype(np.int64)
+            wl64 = fh.w_len.astype(np.int64)
+            # reverse_hit strand normalization for every window
+            g_off_t = np.where(rcf, clen - fh.g_off - wl64, fh.g_off)
+            ax_t = np.where(rcf, -fh.ax + (wl64 - 1) - (fh.alen - 1)
+                            - (fh.awid - 1), fh.ax)
+            ay_t = np.where(rcf, -fh.ay + (L - 1) - (fh.alen - 1)
+                            + (fh.awid - 1), fh.ay)
+            win = dict(
+                starts=coff + g_off_t,
+                rcmask=rcf,
+                glen=fh.w_len.astype(np.int32),
+                ri=(fh.owner >> 1).astype(np.int32),
+                rx=(ax_t - aw // 2).astype(np.int32),
+                ry=(ay_t + aw // 2).astype(np.int32),
+                rl_=fh.alen.astype(np.int32),
+                rw_=(fh.awid + aw).astype(np.int32),
+                rev=rcf & cfg.rev_tiebreak)
+            G = _round_up(max(int(fh.w_len.max()), 16), 32)
             stats_flow = _stats_flow_enabled(FULL_BATCH, R, G)
-            full_kw = dict(G=G, match=sc.match, mismatch=sc.mismatch,
-                           a_gap_open=sc.a_gap_open,
-                           a_gap_ext=sc.a_gap_extend,
-                           b_gap_open=sc.b_gap_open,
-                           b_gap_ext=sc.b_gap_extend,
-                           local_alignment=False)
+            kw = dict(G=G, match=sc.match, mismatch=sc.mismatch,
+                      a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
+                      b_gap_open=sc.b_gap_open, b_gap_ext=sc.b_gap_extend,
+                      local_alignment=False)
             if stats_flow:
-                full_kw["interpret"] = (_os.environ.get(
+                kw["interpret"] = (_os.environ.get(
                     "SHRIMP_TPU_PALLAS_INTERPRET") == "1")
-                full_fn = sw_full_stats_from_index
+                fn = sw_vec_full_stats_from_index
             else:
-                full_kw["use_pallas"] = pallas_full_ok(FULL_BATCH, R, G)
-                full_fn = sw_full_tb_from_index
-            for off in range(0, n_jobs, FULL_BATCH):
-                end = min(off + FULL_BATCH, n_jobs)
-                k = end - off
-                cgs = np.zeros(FULL_BATCH, np.int32)
-                crc = np.zeros(FULL_BATCH, bool)
-                cgl = np.ones(FULL_BATCH, np.int32)
-                cri = np.zeros(FULL_BATCH, np.int32)
-                crl = np.ones(FULL_BATCH, np.int32)
-                cx = np.zeros(FULL_BATCH, np.int32)
-                cy = np.zeros(FULL_BATCH, np.int32)
-                cl = np.ones(FULL_BATCH, np.int32)
-                cw = np.ones(FULL_BATCH, np.int32)
-                cv = np.zeros(FULL_BATCH, bool)
-                cgs[:k] = starts[off:end]
-                crc[:k] = rcmask[off:end]
-                cgl[:k] = glen[off:end]
-                cri[:k] = jobs["ri"][off:end]
-                crl[:k] = L
-                cx[:k] = rx[off:end]
-                cy[:k] = ry[off:end]
-                cl[:k] = rl_[off:end]
-                cw[:k] = rw_[off:end]
-                cv[:k] = rev[off:end]
+                fn = sw_vec_full_tb_from_index
+            off = 0
+            while off < n:
+                k = min(n - off, FULL_BATCH)
+                bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS,
+                                                          k))]
+                args = np.zeros((bucket, 10), np.int32)
+                args[:k, 0] = win["starts"][off:off + k]
+                args[:k, 1] = win["glen"][off:off + k]
+                args[:k, 2] = win["ri"][off:off + k]
+                args[:k, 3] = win["rcmask"][off:off + k]
+                args[:k, 4] = L
+                args[:k, 5] = win["rx"][off:off + k]
+                args[:k, 6] = win["ry"][off:off + k]
+                args[:k, 7] = win["rl_"][off:off + k]
+                args[:k, 8] = win["rw_"][off:off + k]
+                args[:k, 9] = win["rev"][off:off + k]
+                args[k:, 1] = 1          # pad rows: 1-cell windows
+                args[k:, 4] = 1
+                args[k:, 7] = 1
+                args[k:, 8] = 1
+                kw["use_pallas"] = pallas_full_ok(bucket, R, G)
                 with m._device_ctx():
-                    res = full_fn(
-                        codes_dev, codes_rc_dev, cgs, crc, cgl, read_tab,
-                        cri, crl, cx, cy, cl, cw, cv, **full_kw)
+                    res = fn(codes_dev, codes_rc_dev, args, rtab_dev,
+                             **kw)
                 futures.append((off, k, res))
-            ctx2_extra = dict(stats_flow=stats_flow, G=G, R=R,
-                              read_tab=read_tab, rx=rx, ry=ry, rl_=rl_,
-                              rw_=rw_, rev=rev, starts=starts,
-                              rcmask=rcmask)
-        else:
-            ctx2_extra = {}
-        m.stats.add_stage("pass2 dispatch", _time.perf_counter() - t1)
-        return dict(ctx=ctx, jobs=jobs, n_jobs=n_jobs, futures=futures,
-                    t_dispatch=_time.perf_counter() - t1, **ctx2_extra)
+                off += k
+            m.stats.vec_invocs += n
+            m.stats.full_invocs += n
+            cells = int(wl64.sum()) * L
+            m.stats.vec_cells += cells
+            m.stats.full_cells += cells
+        m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
+        return dict(B=B, L=L, wlen=wlen, fh=fh, win=win, futures=futures,
+                    G=G, R=R, stats_flow=stats_flow,
+                    codes=codes, names=nm_blob, name_off=offs,
+                    seq_fwd=seq_fwd, seq_rc=seq_rc,
+                    Bcap=Bcap, read_tab=read_tab,
+                    t_dispatch=_time.perf_counter() - t2)
 
     def _stats_to_packed(self, stats, ctx2):
         """Expand the [n, 8] device stats rows (score, max_i, max_j,
@@ -471,39 +407,118 @@ class FastLS:
             ops_pk[need] = op2
         return packed, ops_pk, W
 
-    # ---------------------------------------------------------- stage C
-    def stage_finish(self, ctx2) -> Tuple[bytes, np.ndarray]:
-        """Fetch full-SW results + native finalize/render."""
+    # ---------------------------------------------------------- stage B
+    def stage_finish(self, ctx) -> Tuple[bytes, np.ndarray]:
+        """Fetch the fused (vec, full) device results, run the native
+        pass1 selection on the vector scores, keep the selected rows'
+        speculative full-SW results, then native finalize/render."""
         m = self.m
         cfg = m.config
-        ctx = ctx2["ctx"]
-        B, L = ctx["B"], ctx["L"]
-        n_jobs = ctx2["n_jobs"]
-        jobs = ctx2["jobs"]
+        fh = ctx["fh"]
+        B, L, wlen = ctx["B"], ctx["L"], ctx["wlen"]
         nhits = np.zeros(B, np.int32)
-        t0 = _time.perf_counter()
-        if n_jobs == 0:
+        if fh.n == 0:
             m.stats.reads += B
             return b"", nhits
         import jax
-        if ctx2.get("stats_flow"):
-            fetched = jax.device_get([res for _, _, res in ctx2["futures"]])
-            stats = np.empty((n_jobs, 8), np.int32)
-            for (off, k, _), st in zip(ctx2["futures"], fetched):
-                stats[off:off + k] = st[:k]
-            packed, ops_pk, W = self._stats_to_packed(stats, ctx2)
+        n = int(fh.n)
+        t0 = _time.perf_counter()
+        fetched = jax.device_get([res for _, _, res in ctx["futures"]])
+        scores = np.empty(n, np.int64)
+        stats_flow = ctx["stats_flow"]
+        if stats_flow:
+            stats_all = np.empty((n, 8), np.int16)
+            for (off, k, _), (vec, st) in zip(ctx["futures"], fetched):
+                scores[off:off + k] = vec[:k]
+                stats_all[off:off + k] = st[:k]
+            packed_all = ops_all = None
         else:
-            fetched = jax.device_get(
-                [(pk, opk) for _, _, (pk, opk) in ctx2["futures"]])
-            W = fetched[0][1].shape[1]
-            packed = np.empty((n_jobs, 10), np.int32)
-            ops_pk = np.empty((n_jobs, W), np.uint8)
-            for (off, k, _), (pk, opk) in zip(ctx2["futures"], fetched):
-                packed[off:off + k] = pk[:k]
-                ops_pk[off:off + k] = opk[:k]
-        m.stats.full_invocs += n_jobs
-        m.stats.full_cells += int(jobs["w_len"].astype(np.int64).sum()) * L
-        m.stats.full_secs += _time.perf_counter() - t0 + ctx2["t_dispatch"]
+            W_all = fetched[0][2].shape[1]
+            packed_all = np.empty((n, 10), np.int32)
+            ops_all = np.empty((n, W_all), np.uint8)
+            for (off, k, _), (vec, pk, opk) in zip(ctx["futures"],
+                                                   fetched):
+                scores[off:off + k] = vec[:k]
+                packed_all[off:off + k] = pk[:k]
+                ops_all[off:off + k] = opk[:k]
+        dev_secs = _time.perf_counter() - t0 + ctx["t_dispatch"]
+        m.stats.vec_secs += dev_secs
+        m.stats.full_secs += dev_secs
+
+        # ---- native pass1 selection over vector scores
+        t0 = _time.perf_counter()
+        opts = m._unpaired_opts[0].pass1
+        cap = max(n, 1)
+        sel = {k: np.empty(cap, dt) for k, dt in
+               (("ri", np.int32), ("gen_st", np.int8), ("cn", np.int32),
+                ("g_off", np.int64), ("w_len", np.int32),
+                ("score_max", np.int64), ("ax", np.int64),
+                ("ay", np.int64), ("alen", np.int64), ("awid", np.int64),
+                ("score_vector", np.int64), ("src", np.int64))}
+        seg = np.zeros(B + 1, np.int64)
+        p1 = _P1Params(
+            n, 2 * B, L, wlen,
+            int(abs_or_pct(opts.window_overlap, wlen)),
+            float(opts.threshold), opts.min_matches, opts.num_outputs,
+            1, self.contig_lengths32.ctypes.data)
+        arrs = dict(owner=np.ascontiguousarray(fh.owner, np.int64),
+                    cn=np.ascontiguousarray(fh.cn, np.int32),
+                    g_off=np.ascontiguousarray(fh.g_off, np.int64),
+                    w_len=np.ascontiguousarray(fh.w_len, np.int32),
+                    matches=np.ascontiguousarray(fh.matches, np.int32),
+                    score_max=np.ascontiguousarray(fh.score_max, np.int64),
+                    ax=np.ascontiguousarray(fh.ax, np.int64),
+                    ay=np.ascontiguousarray(fh.ay, np.int64),
+                    alen=np.ascontiguousarray(fh.alen, np.int64),
+                    awid=np.ascontiguousarray(fh.awid, np.int64),
+                    scores=scores)
+        p1in = _P1In(**{k: _vp(v) for k, v in arrs.items()})
+        p1out = _P1Out(cap, *[_vp(sel[k]) for k in
+                              ("ri", "gen_st", "cn", "g_off", "w_len",
+                               "score_max", "ax", "ay", "alen",
+                               "awid", "score_vector")],
+                       _vp(seg), _vp(sel["src"]))
+        n_sel = int(self.lib.pass1_select(ctypes.byref(p1),
+                                          ctypes.byref(p1in),
+                                          ctypes.byref(p1out)))
+        assert n_sel >= 0
+
+        # pass2 vector-score gate (read_pass2 threshold pre-check)
+        thr = cfg.sw_full_threshold
+        if n_sel:
+            smax = sel["score_max"][:n_sel]
+            if thr < 0:
+                thresh = np.full(n_sel, int(-thr), np.int64)
+            else:
+                thresh = (smax * (thr / 100.0)).astype(np.int64)
+            jsel = np.nonzero(sel["score_vector"][:n_sel] >= thresh)[0]
+        else:
+            jsel = np.zeros(0, np.int64)
+        n_jobs = len(jsel)
+        m.stats.add_stage("pass1 select", _time.perf_counter() - t0)
+        if n_jobs == 0:
+            m.stats.reads += B
+            return b"", nhits
+        jobs = {k: np.ascontiguousarray(sel[k][:n_sel][jsel]) for k in
+                ("ri", "gen_st", "cn", "g_off", "w_len", "score_max",
+                 "ax", "ay", "alen", "awid")}
+        rows = sel["src"][:n_sel][jsel]
+        t0 = _time.perf_counter()
+        if stats_flow:
+            win = ctx["win"]
+            ctx2 = dict(n_jobs=n_jobs, jobs=jobs, R=ctx["R"], G=ctx["G"],
+                        ctx=ctx, read_tab=ctx["read_tab"],
+                        starts=win["starts"][rows],
+                        rcmask=win["rcmask"][rows],
+                        rx=win["rx"][rows], ry=win["ry"][rows],
+                        rl_=win["rl_"][rows], rw_=win["rw_"][rows],
+                        rev=win["rev"][rows])
+            packed, ops_pk, W = self._stats_to_packed(stats_all[rows],
+                                                      ctx2)
+        else:
+            W = ops_all.shape[1]
+            packed = np.ascontiguousarray(packed_all[rows])
+            ops_pk = np.ascontiguousarray(ops_all[rows])
         t1 = _time.perf_counter()
         cal = m.cal
         fr = _FRParams(
@@ -538,10 +553,17 @@ class FastLS:
 
 
 def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
-                            batch_size: int = 8192
+                            batch_size: int = 8192,
+                            lanes: Optional[int] = None
                             ) -> Optional[Iterator[bytes]]:
     """Pipelined LS unpaired mapping straight to SAM bytes; None when the
-    config or batch shape needs the generic path."""
+    config or batch shape needs the generic path.
+
+    `lanes` > 1 runs that many whole-batch pipelines on worker threads
+    with output re-ordered to input order — the launch_scan_threads
+    architecture (gmapper.c:287-645: per-thread chunks + ordered output
+    heap). Device round-trip latency and the GIL-releasing native stages
+    overlap across lanes; results are byte-identical to lanes=1."""
     if not fastpath_supported(mapper.config):
         return None
     fast = FastLS(mapper)
@@ -564,9 +586,39 @@ def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
                                              mapper.config))
         return ("\n".join(lines) + "\n").encode() if lines else b""
 
+    if lanes is None:
+        import os as _os
+        lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "4"))
+    if lanes > 1 and len(records) > batch_size:
+        # lazy init of the device genome planes happens once, up front,
+        # so worker threads never race the device_put
+        mapper._dev_codes()
+        mapper._dev_codes_rc()
+
+        def work(off: int, pre) -> bytes:
+            a = pre if pre is not None else fast.stage_prepare(
+                records[off:off + batch_size], batch_cap=batch_size)
+            if a is None:
+                return slow_tail(off)
+            return fast.stage_finish(a)[0]
+
+        def gen_mt():
+            from concurrent.futures import ThreadPoolExecutor
+            offs = list(range(0, len(records), batch_size))
+            with ThreadPoolExecutor(lanes) as ex:
+                futs = {}
+                ahead = lanes + 2
+                sub = 0
+                for i in range(len(offs)):
+                    while sub < len(offs) and sub - i < ahead:
+                        futs[sub] = ex.submit(work, offs[sub],
+                                              first if sub == 0 else None)
+                        sub += 1
+                    yield futs.pop(i).result()
+        return gen_mt()
+
     def gen():
-        pend_a = first
-        pend_b = None
+        pend = first
         off = batch_size
         while True:
             a = None
@@ -574,24 +626,17 @@ def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
                 a = fast.stage_prepare(records[off:off + batch_size],
                                        batch_cap=batch_size)
                 if a is None:
-                    # drain the pipeline in input order, then the slow
-                    # batch, then resume
-                    if pend_b is not None:
-                        yield fast.stage_finish(pend_b)[0]
-                        pend_b = None
-                    if pend_a is not None:
-                        yield fast.stage_finish(
-                            fast.stage_pass1_dispatch(pend_a))[0]
-                        pend_a = None
+                    # drain in input order, then the slow batch, resume
+                    if pend is not None:
+                        yield fast.stage_finish(pend)[0]
+                        pend = None
                     yield slow_tail(off)
                     off += batch_size
                     continue
                 off += batch_size
-            if pend_b is not None:
-                yield fast.stage_finish(pend_b)[0]
-            pend_b = (fast.stage_pass1_dispatch(pend_a)
-                      if pend_a is not None else None)
-            pend_a = a
-            if pend_a is None and pend_b is None and off >= len(records):
+            if pend is not None:
+                yield fast.stage_finish(pend)[0]
+            pend = a
+            if pend is None and off >= len(records):
                 break
     return gen()

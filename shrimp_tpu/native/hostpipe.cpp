@@ -70,6 +70,7 @@ struct P1Out {
   int64_t* awid;
   int64_t* score_vector;
   int64_t* seg;          // [n_reads + 1]
+  int64_t* src;          // optional: source candidate index per row
 };
 
 struct HeapEnt {
@@ -147,6 +148,7 @@ int64_t pass1_select(const P1Params* p, const P1In* in, P1Out* out) {
       out->alen[n_sel] = al;
       out->awid[n_sel] = aw;
       out->score_vector[n_sel] = in->scores[i];
+      if (out->src) out->src[n_sel] = i;
       n_sel++;
     }
     load = 0;

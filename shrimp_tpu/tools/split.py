@@ -65,6 +65,102 @@ def split_db(genome_files: List[str], ram_size_gb: float, prefix: str,
     return chunk_paths
 
 
+def split_contigs(contigs: List[Tuple[str, int]], target_ram_gb: float,
+                  seed_weights: Optional[List[int]] = None,
+                  out=sys.stderr) -> List[List[Tuple[str, int]]]:
+    """Balanced contig->chunk assignment (utils/split-contigs.c).
+
+    Unlike split_db's in-order packing, this sorts contigs by size
+    descending, first-fit packs them into chunks bounded by the
+    RAM-model target length (split-contigs.c:90-122), then rebalances by
+    shrinking the target in 0.1% steps while the chunk count holds
+    (split-contigs.c:215-243). Returns the per-chunk [(name, size)]
+    lists in chunk order.
+    """
+    weights = seed_weights or [12, 12, 12]
+    n_seeds = len(weights)
+    overhead = 1.5                                 # GB, split-contigs.c:32
+    index_gb = sum((1 << (2 * w)) * 12 / (1 << 30) for w in weights)
+    if target_ram_gb < overhead + index_gb:
+        raise ValueError("not enough memory for current settings")
+    target_len = int((target_ram_gb - overhead - index_gb) / n_seeds
+                     * (1 << 30)) // 4
+    order = sorted(contigs, key=lambda c: -c[1])
+    if order and order[0][1] > target_len:
+        raise ValueError(
+            f"the largest contig [{order[0][0]},{order[0][1]}] does not "
+            "fit in target memory")
+
+    def greedy_fit(tlen: int) -> List[int]:
+        """Repeated first-fit passes (split-contigs.c:90-122)."""
+        chunk = [-1] * len(order)
+        n_chunks = 0
+        while True:
+            try:
+                i0 = chunk.index(-1)
+            except ValueError:
+                break
+            n_chunks += 1
+            chunk[i0] = n_chunks - 1
+            tmp = order[i0][1]
+            for i in range(i0 + 1, len(order)):
+                if chunk[i] < 0 and tmp + order[i][1] < tlen:
+                    chunk[i] = n_chunks - 1
+                    tmp += order[i][1]
+        return chunk
+
+    assign = greedy_fit(target_len)
+    target_chunks = max(assign) + 1 if assign else 0
+    if target_chunks > 1:
+        while True:
+            try_len = target_len
+            ok = False
+            for _ in range(10):
+                try_len -= target_len // 1000
+                if try_len < order[0][1]:
+                    break
+                a = greedy_fit(try_len)
+                if max(a) + 1 <= target_chunks:
+                    target_chunks = max(a) + 1
+                    ok = True
+                    break
+            if not ok:
+                break
+            target_len = try_len
+    assign = greedy_fit(target_len)
+    n = max(assign) + 1 if assign else 0
+    chunks: List[List[Tuple[str, int]]] = [[] for _ in range(n)]
+    for (name, size), c in zip(order, assign):
+        chunks[c].append((name, size))
+    for i, ch in enumerate(chunks):
+        print(f"chunk {i + 1}: {sum(s for _, s in ch)}", file=out)
+    return chunks
+
+
+def temp_sink(dest_path: str, src=None, block_size: int = 1 << 20,
+              out=sys.stderr) -> int:
+    """Buffer a stream into a temp file, then flush it to `dest_path`
+    once the input is complete (utils/temp-sink.c): lets a pipeline
+    safely overwrite a file that is also one of its inputs. Returns the
+    byte count."""
+    import shutil
+    import tempfile
+    src = src if src is not None else sys.stdin.buffer
+    total = 0
+    with tempfile.TemporaryFile() as tmp:
+        while True:
+            block = src.read(block_size)
+            if not block:
+                break
+            tmp.write(block)
+            total += len(block)
+        tmp.seek(0)
+        with open(dest_path, "wb") as dest:
+            shutil.copyfileobj(tmp, dest, block_size)
+    print(f"temp-sink: {total} bytes -> {dest_path}", file=out)
+    return total
+
+
 def split_reads(reads_file: str, n_chunks: int, prefix: str,
                 paired: bool = False, fastq: Optional[bool] = None,
                 out=sys.stderr) -> List[str]:

@@ -123,3 +123,33 @@ def test_fasta2fastq_and_lineindex(tmp_path):
     n2 = lineindex(fa, out2)
     offs = [int(x) for x in out2.getvalue().split()]
     assert n2 == 4 and offs[0] == 0 and offs[1] == len(">a\n")
+
+
+def test_split_contigs_balanced(tmp_path):
+    """split-contigs (utils/split-contigs.c): desc-size first-fit with
+    rebalancing; every contig lands in exactly one chunk and chunk
+    genome lengths stay under the RAM-model target."""
+    from shrimp_tpu.tools.split import split_contigs
+    contigs = [(f"c{i}", size) for i, size in enumerate(
+        [9_000_000, 7_000_000, 5_000_000, 3_000_000, 2_000_000,
+         1_000_000, 500_000, 100_000])]
+    chunks = split_contigs(contigs, 1.65, [10, 10, 10],
+                           out=open(os.devnull, "w"))
+    seen = [c for ch in chunks for c in ch]
+    assert sorted(seen) == sorted(contigs)
+    assert len(chunks) >= 2
+    # chunks ordered by first-fit over descending sizes
+    assert chunks[0][0][0] == "c0"
+
+
+def test_temp_sink(tmp_path):
+    import io
+
+    from shrimp_tpu.tools.split import temp_sink
+    dest = str(tmp_path / "out.bin")
+    data = b"x" * 3_000_000
+    n = temp_sink(dest, src=io.BytesIO(data), block_size=1 << 16,
+                  out=open(os.devnull, "w"))
+    assert n == len(data)
+    with open(dest, "rb") as f:
+        assert f.read() == data
