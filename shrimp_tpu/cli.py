@@ -698,7 +698,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # legacy SHRiMP1 statistics tools take their own argv verbatim
     # (probcalc/probcalc_mp/prettyprint/shrimp_var, SURVEY §2.5)
-    for tool in ("probcalc", "probcalc-mp", "prettyprint", "shrimp-var"):
+    for tool in ("probcalc", "probcalc-mp", "prettyprint", "shrimp-var",
+                 "colorconsensus"):
         p_t = sub.add_parser(
             tool, add_help=False,
             help="legacy %s tool (args passed through)"
@@ -707,7 +708,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     args = ap.parse_args(argv)
     if args.cmd in ("probcalc", "probcalc-mp", "prettyprint",
-                    "shrimp-var"):
+                    "shrimp-var", "colorconsensus"):
         import importlib
         mod = importlib.import_module(
             ".tools." + args.cmd.replace("-", "_"), __package__)
