@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 CACHE = "/tmp/shrimp_bench_cache"
-N_READS = 20000
+N_READS = int(os.environ.get("SHRIMP_TPU_BENCH_READS", "100000"))
 READ_LEN = 36
 GENOME_LEN = 4_600_000
 FALLBACK_BASELINE = 18300.0
@@ -121,7 +121,7 @@ def run_measurement():
     cfg = MapperConfig()
     m = Mapper(idx, cfg)
     recs = [SeqRecord(n, s) for n, s in reads]
-    bs = int(os.environ.get("SHRIMP_TPU_BENCH_BATCH", "4096"))
+    bs = int(os.environ.get("SHRIMP_TPU_BENCH_BATCH", "8192"))
     # warmup: compile kernels at the exact batch geometry of the run
     warm = map_unpaired_sam_stream(m, recs[:bs], batch_size=bs)
     if warm is not None:
@@ -171,7 +171,8 @@ def main():
     env = dict(os.environ)
     for attempt, (label, extra_env, tmo) in enumerate((
             ("tpu", {}, budget),
-            ("cpu-fallback", {"JAX_PLATFORMS": "cpu"}, 560.0))):
+            ("cpu-fallback", {"JAX_PLATFORMS": "cpu",
+                              "SHRIMP_TPU_BENCH_READS": "20000"}, 560.0))):
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--inner"],

@@ -588,7 +588,10 @@ def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
 
     if lanes is None:
         import os as _os
-        lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "4"))
+        # measured on the axon v5e: throughput rises to ~16 lanes (the
+        # tunnel round-trip, not host CPU, is what the lanes overlap:
+        # 4 lanes 55k reads/s -> 16 lanes 107k on a 4-core host)
+        lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
     if lanes > 1 and len(records) > batch_size:
         # lazy init of the device genome planes happens once, up front,
         # so worker threads never race the device_put
