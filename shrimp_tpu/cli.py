@@ -522,10 +522,15 @@ def cmd_map(args) -> int:
     # bytes, pipelined across batches. Falls back per-window when a
     # batch shape is unsupported.
     use_fast = False
-    if (not paired and not cfg.shrimp_format and not fastq
-            and un_f is None and al_f is None):
-        from .fastpath import fastpath_supported, map_unpaired_sam_stream
-        use_fast = fastpath_supported(cfg)
+    if (not cfg.shrimp_format and not fastq
+            and un_f is None and al_f is None
+            and (not paired or ins_hist is None)):
+        from .fastpath import (fastpath_paired_supported,
+                               fastpath_supported,
+                               map_paired_sam_stream,
+                               map_unpaired_sam_stream)
+        use_fast = (fastpath_paired_supported(cfg) if paired
+                    else fastpath_supported(cfg))
     win_size = max(8 * B, 32768) if use_fast else B
     out_b = getattr(out, "buffer", None)
 
@@ -533,7 +538,8 @@ def cmd_map(args) -> int:
         nonlocal total_lines
         if not win:
             return
-        gen = map_unpaired_sam_stream(mapper, win, batch_size=B)
+        gen = (map_paired_sam_stream(mapper, win, batch_size=B) if paired
+               else map_unpaired_sam_stream(mapper, win, batch_size=B))
         if gen is None:
             for off in range(0, len(win), B):
                 flush(win[off:off + B])

@@ -135,6 +135,97 @@ def _vp(a: np.ndarray) -> ctypes.c_void_p:
     return ctypes.c_void_p(a.ctypes.data)
 
 
+def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
+                    rcf: np.ndarray):
+    """Fused filter2 + speculative filter3 device launches over every
+    candidate window.  `rcf` marks windows needing the reverse_hit
+    normalization (st != input_strand, mapping.c:254-263) — for unpaired
+    reads this is simply strand 1; paired legs may be pre-flipped by the
+    pair mode (gmapper.c:175-186).  Returns (futures, win, G,
+    stats_flow); `win` carries the normalized window geometry reused by
+    the host reconstruction stage."""
+    import os as _os
+
+    import jax
+
+    from .core.sw_full_pallas import pallas_full_ok
+    from .core.sw_jax import (sw_vec_full_stats_from_index,
+                              sw_vec_full_tb_from_index)
+    from .mapper import FULL_BATCH, FULL_BUCKETS
+    cfg = m.config
+    idx = m.index
+    sc = cfg.scores
+    aw = cfg.anchor_width
+    codes_dev = m._dev_codes()
+    codes_rc_dev = m._dev_codes_rc()
+    with m._device_ctx():
+        rtab_dev = jax.device_put(read_tab, m.device)
+    n = fh.n
+    coff = idx.contig_offsets[fh.cn].astype(np.int64)
+    clen = idx.contig_lengths[fh.cn].astype(np.int64)
+    wl64 = fh.w_len.astype(np.int64)
+    # reverse_hit strand normalization for every window
+    g_off_t = np.where(rcf, clen - fh.g_off - wl64, fh.g_off)
+    ax_t = np.where(rcf, -fh.ax + (wl64 - 1) - (fh.alen - 1)
+                    - (fh.awid - 1), fh.ax)
+    ay_t = np.where(rcf, -fh.ay + (L - 1) - (fh.alen - 1)
+                    + (fh.awid - 1), fh.ay)
+    win = dict(
+        starts=coff + g_off_t,
+        g_off_t=g_off_t,
+        rcmask=rcf,
+        glen=fh.w_len.astype(np.int32),
+        ri=(fh.owner >> 1).astype(np.int32),
+        rx=(ax_t - aw // 2).astype(np.int32),
+        ry=(ay_t + aw // 2).astype(np.int32),
+        rl_=fh.alen.astype(np.int32),
+        rw_=(fh.awid + aw).astype(np.int32),
+        rev=rcf & cfg.rev_tiebreak)
+    G = _round_up(max(int(fh.w_len.max()), 16), 32)
+    stats_flow = _stats_flow_enabled(FULL_BATCH, R, G)
+    kw = dict(G=G, match=sc.match, mismatch=sc.mismatch,
+              a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
+              b_gap_open=sc.b_gap_open, b_gap_ext=sc.b_gap_extend,
+              local_alignment=False)
+    if stats_flow:
+        kw["interpret"] = (_os.environ.get(
+            "SHRIMP_TPU_PALLAS_INTERPRET") == "1")
+        fn = sw_vec_full_stats_from_index
+    else:
+        fn = sw_vec_full_tb_from_index
+    futures = []
+    off = 0
+    while off < n:
+        k = min(n - off, FULL_BATCH)
+        bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS, k))]
+        args = np.zeros((bucket, 10), np.int32)
+        args[:k, 0] = win["starts"][off:off + k]
+        args[:k, 1] = win["glen"][off:off + k]
+        args[:k, 2] = win["ri"][off:off + k]
+        args[:k, 3] = win["rcmask"][off:off + k]
+        args[:k, 4] = L
+        args[:k, 5] = win["rx"][off:off + k]
+        args[:k, 6] = win["ry"][off:off + k]
+        args[:k, 7] = win["rl_"][off:off + k]
+        args[:k, 8] = win["rw_"][off:off + k]
+        args[:k, 9] = win["rev"][off:off + k]
+        args[k:, 1] = 1          # pad rows: 1-cell windows
+        args[k:, 4] = 1
+        args[k:, 7] = 1
+        args[k:, 8] = 1
+        kw["use_pallas"] = pallas_full_ok(bucket, R, G)
+        with m._device_ctx():
+            res = fn(codes_dev, codes_rc_dev, args, rtab_dev, **kw)
+        futures.append((off, k, res))
+        off += k
+    m.stats.vec_invocs += n
+    m.stats.full_invocs += n
+    cells = int(wl64.sum()) * L
+    m.stats.vec_cells += cells
+    m.stats.full_cells += cells
+    return futures, win, G, stats_flow
+
+
 class FastLS:
     """Per-Mapper fast-path state (padded genome, contig name blobs)."""
 
@@ -242,85 +333,8 @@ class FastLS:
         G = 16
         stats_flow = False
         if fh.n:
-            import os as _os
-
-            import jax
-
-            from .core.sw_full_pallas import pallas_full_ok
-            from .core.sw_jax import (sw_vec_full_stats_from_index,
-                                      sw_vec_full_tb_from_index)
-            from .mapper import FULL_BUCKETS
-            codes_dev = m._dev_codes()
-            codes_rc_dev = m._dev_codes_rc()
-            with m._device_ctx():
-                rtab_dev = jax.device_put(read_tab, m.device)
-            sc = cfg.scores
-            aw = cfg.anchor_width
-            n = fh.n
-            st = (fh.owner & 1).astype(np.int64)
-            rcf = st == 1
-            coff = idx.contig_offsets[fh.cn].astype(np.int64)
-            clen = idx.contig_lengths[fh.cn].astype(np.int64)
-            wl64 = fh.w_len.astype(np.int64)
-            # reverse_hit strand normalization for every window
-            g_off_t = np.where(rcf, clen - fh.g_off - wl64, fh.g_off)
-            ax_t = np.where(rcf, -fh.ax + (wl64 - 1) - (fh.alen - 1)
-                            - (fh.awid - 1), fh.ax)
-            ay_t = np.where(rcf, -fh.ay + (L - 1) - (fh.alen - 1)
-                            + (fh.awid - 1), fh.ay)
-            win = dict(
-                starts=coff + g_off_t,
-                rcmask=rcf,
-                glen=fh.w_len.astype(np.int32),
-                ri=(fh.owner >> 1).astype(np.int32),
-                rx=(ax_t - aw // 2).astype(np.int32),
-                ry=(ay_t + aw // 2).astype(np.int32),
-                rl_=fh.alen.astype(np.int32),
-                rw_=(fh.awid + aw).astype(np.int32),
-                rev=rcf & cfg.rev_tiebreak)
-            G = _round_up(max(int(fh.w_len.max()), 16), 32)
-            stats_flow = _stats_flow_enabled(FULL_BATCH, R, G)
-            kw = dict(G=G, match=sc.match, mismatch=sc.mismatch,
-                      a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
-                      b_gap_open=sc.b_gap_open, b_gap_ext=sc.b_gap_extend,
-                      local_alignment=False)
-            if stats_flow:
-                kw["interpret"] = (_os.environ.get(
-                    "SHRIMP_TPU_PALLAS_INTERPRET") == "1")
-                fn = sw_vec_full_stats_from_index
-            else:
-                fn = sw_vec_full_tb_from_index
-            off = 0
-            while off < n:
-                k = min(n - off, FULL_BATCH)
-                bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS,
-                                                          k))]
-                args = np.zeros((bucket, 10), np.int32)
-                args[:k, 0] = win["starts"][off:off + k]
-                args[:k, 1] = win["glen"][off:off + k]
-                args[:k, 2] = win["ri"][off:off + k]
-                args[:k, 3] = win["rcmask"][off:off + k]
-                args[:k, 4] = L
-                args[:k, 5] = win["rx"][off:off + k]
-                args[:k, 6] = win["ry"][off:off + k]
-                args[:k, 7] = win["rl_"][off:off + k]
-                args[:k, 8] = win["rw_"][off:off + k]
-                args[:k, 9] = win["rev"][off:off + k]
-                args[k:, 1] = 1          # pad rows: 1-cell windows
-                args[k:, 4] = 1
-                args[k:, 7] = 1
-                args[k:, 8] = 1
-                kw["use_pallas"] = pallas_full_ok(bucket, R, G)
-                with m._device_ctx():
-                    res = fn(codes_dev, codes_rc_dev, args, rtab_dev,
-                             **kw)
-                futures.append((off, k, res))
-                off += k
-            m.stats.vec_invocs += n
-            m.stats.full_invocs += n
-            cells = int(wl64.sum()) * L
-            m.stats.vec_cells += cells
-            m.stats.full_cells += cells
+            futures, win, G, stats_flow = _fused_dispatch(
+                m, fh, read_tab, L, R, (fh.owner & 1) == 1)
         m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
         return dict(B=B, L=L, wlen=wlen, fh=fh, win=win, futures=futures,
                     G=G, R=R, stats_flow=stats_flow,
@@ -643,3 +657,372 @@ def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
             if pend is None and off >= len(records):
                 break
     return gen()
+
+
+# ===================================================================
+# Paired-end fast path
+# ===================================================================
+
+class _PPParams(ctypes.Structure):
+    _fields_ = [("n_pairs", ctypes.c_int64), ("n_windows", ctypes.c_int64),
+                ("read_len", ctypes.c_int32),
+                ("window_len", ctypes.c_int32),
+                ("ops_words", ctypes.c_int32),
+                ("d_min", ctypes.c_int64 * 2),
+                ("d_max", ctypes.c_int64 * 2),
+                ("p1_min_matches", ctypes.c_int32),
+                ("p1_overlap", ctypes.c_int32),
+                ("p1_threshold", ctypes.c_double),
+                ("pair1_num_outputs", ctypes.c_int32),
+                ("pair1_threshold", ctypes.c_double),
+                ("foot_threshold", ctypes.c_double),
+                ("pair2_threshold", ctypes.c_double),
+                ("pair2_num_outputs", ctypes.c_int32),
+                ("strata", ctypes.c_int32),
+                ("max_alignments", ctypes.c_int32),
+                ("hp_enabled", ctypes.c_int32),
+                ("hp_min_matches", ctypes.c_int32),
+                ("hp_overlap", ctypes.c_int32),
+                ("hp_threshold", ctypes.c_double),
+                ("hp_num_tmp", ctypes.c_int32),
+                ("hp_full_threshold", ctypes.c_double),
+                ("hp_num_outputs", ctypes.c_int32),
+                ("compute_mqv", ctypes.c_int32),
+                ("alpha", ctypes.c_double), ("beta", ctypes.c_double),
+                ("match_score", ctypes.c_int32),
+                ("mismatch_score", ctypes.c_int32),
+                ("total_genome_size", ctypes.c_double),
+                ("ins_mean", ctypes.c_double),
+                ("ins_stddev", ctypes.c_double),
+                ("mode_sign_st0", ctypes.c_int32),
+                ("contig_lengths", ctypes.c_void_p),
+                ("contig_name_off", ctypes.c_void_p),
+                ("contig_names", ctypes.c_void_p),
+                ("name_off", ctypes.c_void_p), ("names", ctypes.c_void_p),
+                ("seq_fwd", ctypes.c_void_p), ("seq_rc", ctypes.c_void_p)]
+
+
+class _PPWin(ctypes.Structure):
+    _fields_ = [(f, ctypes.c_void_p) for f in
+                ("seg", "cn", "g_off", "g_off_norm", "gen_st", "w_len",
+                 "matches", "score_max", "vec", "packed", "ops_pk")]
+
+
+def fastpath_paired_supported(cfg: MapperConfig) -> bool:
+    """Gate: the native paired renderer covers the default LS paired SAM
+    flow (single option set, MQV on, no single-best/all-contigs)."""
+    if cfg.pair_mode == C.PAIR_NONE:
+        return False
+    if cfg.mode != C.MODE_LETTER_SPACE:
+        return False
+    if cfg.custom_paired_options or cfg.custom_unpaired_options:
+        return False
+    popts = cfg.paired_options()
+    if len(popts) != 1:
+        return False
+    ro = popts[0].read[0]
+    if ro.anchor_list.use_mp_region_counts:
+        return False
+    if cfg.gapless or not cfg.global_alignment:
+        return False
+    if not cfg.compute_mapping_qualities:
+        return False
+    if cfg.single_best_mapping or cfg.all_contigs:
+        return False
+    if cfg.extra_sam_fields or cfg.sam_r2 or cfg.sam_unaligned:
+        return False
+    if cfg.read_group_name is not None or cfg.shrimp_format:
+        return False
+    if not (cfg.search_forward and cfg.search_reverse):
+        return False
+    return True
+
+
+class FastPaired:
+    """Flat-array paired-end pipeline: filter1 + fused device launch
+    shared with the unpaired path, then ONE native call
+    (pairedpipe.cpp paired_finalize_render) for pair-up, paired
+    pass1/pass2, half-paired fallback, paired MQV and SAM text."""
+
+    def __init__(self, mapper) -> None:
+        self.fls = FastLS(mapper)
+        self.lib = self.fls.lib
+        self.m = mapper
+
+    # ---------------------------------------------------------- stage A
+    def stage_prepare(self, records: Sequence[SeqRecord],
+                      batch_cap: Optional[int] = None):
+        """Encode interleaved mate pairs + filter1 + fused dispatch.
+        Returns None when the batch shape needs the generic path."""
+        m = self.m
+        cfg = m.config
+        t0 = _time.perf_counter()
+        if not records or len(records) % 2:
+            return None
+        if cfg.trim_front or cfg.trim_end or cfg.trim_illumina:
+            return None
+        if any(r.qual is not None for r in records):
+            return None
+        L = len(records[0].seq)
+        if L == 0 or L > cfg.longest_read_len:
+            return None
+        try:
+            buf = "".join(r.seq for r in records).encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        B = len(records)
+        if len(buf) != B * L:
+            return None
+        raw = np.frombuffer(buf, np.uint8).reshape(B, L)
+        codes16 = C.CHAR_TO_INT[raw]
+        if (codes16 < 0).any():
+            return None
+        codes = codes16.astype(np.uint8)
+        rc = C.COMPLEMENT[codes[:, ::-1]]
+        seq_fwd = np.ascontiguousarray(_CLEAN_LUT[raw])
+        seq_rc = np.ascontiguousarray(_COMP_LUT[seq_fwd[:, ::-1]])
+        offs = np.empty(B + 1, np.int64)
+        offs[0] = 0
+        parts = []
+        for i, r in enumerate(records):
+            parts.append(r.name.encode())
+            offs[i + 1] = offs[i] + len(parts[-1])
+        nm_blob = np.frombuffer(b"".join(parts), np.uint8).copy() \
+            if parts else np.zeros(1, np.uint8)
+        wlen = int(abs_or_pct(cfg.window_len, L))
+        # per-leg strand flips (read_reverse, gmapper.c:175-186)
+        flip1, flip2 = C.PAIR_REVERSE[cfg.pair_mode]
+        input_strand = np.zeros(B, np.int8)
+        input_strand[0::2] = int(flip1)
+        input_strand[1::2] = int(flip2)
+        codes2 = np.empty((B, 2, L), np.uint8)
+        flipm = input_strand == 1
+        codes2[~flipm, 0] = codes[~flipm]
+        codes2[~flipm, 1] = rc[~flipm]
+        codes2[flipm, 0] = rc[flipm]
+        codes2[flipm, 1] = codes[flipm]
+        m.stats.add_stage("read prep", _time.perf_counter() - t0)
+        t1 = _time.perf_counter()
+        ro = m._paired_opts[0].read[0]
+        from .native.filter1_py import generate_candidates_native
+        fh = generate_candidates_native(
+            m.index, codes2, L, wlen, m.cutoff, ro.hit_list.match_mode,
+            ro.hit_list.threshold, cfg.scores.match,
+            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
+            min_kmer_pos=0,
+            use_region_counts=ro.anchor_list.use_region_counts,
+            region_bits=cfg.region_bits,
+            region_overlap=cfg.region_overlap,
+            collapse=ro.anchor_list.collapse, gapless=False,
+            search_strands=(True, True))
+        if fh is None:
+            return None
+        m.stats.add_stage("filter1", _time.perf_counter() - t1)
+        t2 = _time.perf_counter()
+        R = _round_up(L, 8)
+        Bcap = max(batch_cap or B, B)
+        read_tab = np.full((Bcap, R), 254, np.uint8)
+        read_tab[:B, :L] = codes        # raw forward rows for all legs
+        win = None
+        futures = []
+        G = 16
+        stats_flow = False
+        if fh.n:
+            rcf = (fh.owner & 1).astype(np.int8) != \
+                input_strand[(fh.owner >> 1).astype(np.int64)]
+            futures, win, G, stats_flow = _fused_dispatch(
+                m, fh, read_tab, L, R, rcf)
+        m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
+        return dict(B=B, L=L, wlen=wlen, fh=fh, win=win, futures=futures,
+                    G=G, R=R, stats_flow=stats_flow, codes=codes,
+                    names=nm_blob, name_off=offs, seq_fwd=seq_fwd,
+                    seq_rc=seq_rc, Bcap=Bcap, read_tab=read_tab,
+                    input_strand=input_strand,
+                    t_dispatch=_time.perf_counter() - t2)
+
+    # ---------------------------------------------------------- stage B
+    def stage_finish(self, ctx) -> Tuple[bytes, np.ndarray, np.ndarray]:
+        """Fetch device results, expand alignments for every window, and
+        run the whole paired brain in one native call."""
+        m = self.m
+        cfg = m.config
+        fls = self.fls
+        fh = ctx["fh"]
+        B, L = ctx["B"], ctx["L"]
+        n_pairs = B // 2
+        pair_nhits = np.zeros(n_pairs, np.int32)
+        read_nhits = np.zeros(B, np.int32)
+        m.stats.reads += B
+        if fh.n == 0:
+            return b"", pair_nhits, read_nhits
+        import jax
+        n = int(fh.n)
+        t0 = _time.perf_counter()
+        fetched = jax.device_get([res for _, _, res in ctx["futures"]])
+        scores = np.empty(n, np.int64)
+        if ctx["stats_flow"]:
+            stats_all = np.empty((n, 8), np.int16)
+            for (off, k, _), (vec, st) in zip(ctx["futures"], fetched):
+                scores[off:off + k] = vec[:k]
+                stats_all[off:off + k] = st[:k]
+        else:
+            W_all = fetched[0][2].shape[1]
+            packed = np.empty((n, 10), np.int32)
+            ops_pk = np.empty((n, W_all), np.uint8)
+            for (off, k, _), (vec, pk, opk) in zip(ctx["futures"],
+                                                   fetched):
+                scores[off:off + k] = vec[:k]
+                packed[off:off + k] = pk[:k]
+                ops_pk[off:off + k] = opk[:k]
+        dev_secs = _time.perf_counter() - t0 + ctx["t_dispatch"]
+        m.stats.vec_secs += dev_secs
+        m.stats.full_secs += dev_secs
+
+        t0 = _time.perf_counter()
+        win = ctx["win"]
+        if ctx["stats_flow"]:
+            ctx2 = dict(n_jobs=n,
+                        jobs=dict(ri=win["ri"],
+                                  w_len=np.ascontiguousarray(
+                                      fh.w_len, np.int32)),
+                        R=ctx["R"], G=ctx["G"], ctx=dict(L=L),
+                        read_tab=ctx["read_tab"],
+                        starts=win["starts"], rcmask=win["rcmask"],
+                        rx=win["rx"], ry=win["ry"], rl_=win["rl_"],
+                        rw_=win["rw_"], rev=win["rev"])
+            packed, ops_pk, W = fls._stats_to_packed(stats_all, ctx2)
+        else:
+            W = ops_pk.shape[1]
+        m.stats.add_stage("alignment expand", _time.perf_counter() - t0)
+
+        # ---- one native call: pair-up .. SAM text
+        t0 = _time.perf_counter()
+        popts = m._paired_opts[0]
+        ro = popts.read[0]
+        pairing = popts.pairing
+        hp = cfg.half_paired_unpaired_options(0)[0]
+        from types import SimpleNamespace
+        re1 = SimpleNamespace(window_len=ctx["wlen"], read_len=L)
+        re2 = SimpleNamespace(window_len=ctx["wlen"], read_len=L)
+        m._compute_mp_ranges(re1, re2, pairing)
+        cal = m.cal
+        sc = cfg.scores
+        owner = np.ascontiguousarray(fh.owner, np.int64)
+        seg = np.ascontiguousarray(
+            np.searchsorted(owner, np.arange(2 * B + 1)), np.int64)
+        arrs = dict(
+            seg=seg,
+            cn=np.ascontiguousarray(fh.cn, np.int32),
+            g_off=np.ascontiguousarray(fh.g_off, np.int64),
+            g_off_norm=np.ascontiguousarray(win["g_off_t"], np.int64),
+            gen_st=np.ascontiguousarray(win["rcmask"], np.int8),
+            w_len=np.ascontiguousarray(fh.w_len, np.int32),
+            matches=np.ascontiguousarray(fh.matches, np.int32),
+            score_max=np.ascontiguousarray(fh.score_max, np.int64),
+            vec=np.ascontiguousarray(scores, np.int64),
+            packed=np.ascontiguousarray(packed, np.int32),
+            ops_pk=np.ascontiguousarray(ops_pk, np.uint8))
+        p = _PPParams(
+            n_pairs, n, L, ctx["wlen"], W,
+            (ctypes.c_int64 * 2)(int(re1.delta_g_off_min[0]),
+                                 int(re1.delta_g_off_min[1])),
+            (ctypes.c_int64 * 2)(int(re1.delta_g_off_max[0]),
+                                 int(re1.delta_g_off_max[1])),
+            ro.pass1.min_matches,
+            int(abs_or_pct(ro.pass1.window_overlap, ctx["wlen"])),
+            float(ro.pass1.threshold),
+            pairing.pass1_num_outputs, float(pairing.pass1_threshold),
+            float(ro.pass2.threshold),
+            float(pairing.pass2_threshold), pairing.pass2_num_outputs,
+            int(pairing.strata), cfg.max_alignments,
+            int(cfg.half_paired), hp.pass1.min_matches,
+            int(abs_or_pct(hp.pass1.window_overlap, ctx["wlen"])),
+            float(hp.pass1.threshold), hp.pass1.num_outputs,
+            float(hp.pass2.threshold), hp.pass2.num_outputs,
+            int(cfg.compute_mapping_qualities), cal.alpha, cal.beta,
+            sc.match, sc.mismatch,
+            float(m.total_genome_size),
+            float(cfg.insert_size_mean), float(cfg.insert_size_stddev),
+            int(cfg.pair_mode in (C.PAIR_OPP_IN, C.PAIR_COL_FW)),
+            fls.contig_lengths32.ctypes.data,
+            fls.contig_name_off.ctypes.data,
+            fls.contig_names_blob.ctypes.data,
+            ctx["name_off"].ctypes.data, ctx["names"].ctypes.data,
+            ctx["seq_fwd"].ctypes.data, ctx["seq_rc"].ctypes.data)
+        wstruct = _PPWin(**{k: _vp(v) for k, v in arrs.items()})
+        cap = max(1 << 20, n_pairs * 4 * (L + 320))
+        while True:
+            out = np.empty(cap, np.uint8)
+            rv = int(self.lib.paired_finalize_render(
+                ctypes.byref(p), ctypes.byref(wstruct),
+                out.ctypes.data_as(ctypes.c_char_p), cap,
+                _vp(pair_nhits), _vp(read_nhits)))
+            if rv >= 0:
+                break
+            cap *= 4
+        m.stats.add_stage("paired select + render",
+                          _time.perf_counter() - t0)
+        m.stats.reads_mapped += int((pair_nhits > 0).sum()) * 2
+        m.stats.alignments += 2 * int(pair_nhits.sum()) \
+            + int(read_nhits.sum())
+        return bytes(out[:rv]), pair_nhits, read_nhits
+
+
+def map_paired_sam_stream(mapper, records: Sequence[SeqRecord],
+                          batch_size: int = 8192,
+                          lanes: Optional[int] = None
+                          ) -> Optional[Iterator[bytes]]:
+    """Pipelined LS paired mapping straight to SAM bytes; None when the
+    config needs the generic path.  records are interleaved mate pairs;
+    output order == input order (multi-lane like the unpaired stream)."""
+    if not fastpath_paired_supported(mapper.config):
+        return None
+    fast = FastPaired(mapper)
+    if fast.lib is None:
+        return None
+    if batch_size % 2:
+        batch_size += 1
+    first = fast.stage_prepare(records[:batch_size],
+                               batch_cap=batch_size)
+    if first is None and records:
+        return None
+
+    from .io import sam as _sam
+
+    def slow_tail(off: int) -> bytes:
+        batch = records[off:off + batch_size]
+        lines = []
+        for pe in mapper.map_paired(batch):
+            p_out, u_out = mapper.select_output(pe)
+            lines.extend(_sam.render_pair_entry(
+                pe, mapper.index, mapper.config, p_out, u_out))
+        return ("\n".join(lines) + "\n").encode() if lines else b""
+
+    if lanes is None:
+        import os as _os
+        lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
+
+    def work(off: int, pre) -> bytes:
+        a = pre if pre is not None else fast.stage_prepare(
+            records[off:off + batch_size], batch_cap=batch_size)
+        if a is None:
+            return slow_tail(off)
+        return fast.stage_finish(a)[0]
+
+    def gen_mt():
+        from concurrent.futures import ThreadPoolExecutor
+        offs = list(range(0, len(records), batch_size))
+        with ThreadPoolExecutor(max(lanes, 1)) as ex:
+            futs = {}
+            ahead = max(lanes, 1) + 2
+            sub = 0
+            for i in range(len(offs)):
+                while sub < len(offs) and sub - i < ahead:
+                    futs[sub] = ex.submit(work, offs[sub],
+                                          first if sub == 0 else None)
+                    sub += 1
+                yield futs.pop(i).result()
+    if records:
+        mapper._dev_codes()
+        mapper._dev_codes_rc()
+    return gen_mt()

@@ -27,8 +27,10 @@ _CACHE_DIR = os.environ.get(
 
 def _build() -> Optional[str]:
     srcs = [os.path.join(_SRC_DIR, "filter1.cpp"),
-            os.path.join(_SRC_DIR, "hostpipe.cpp")]
+            os.path.join(_SRC_DIR, "hostpipe.cpp"),
+            os.path.join(_SRC_DIR, "pairedpipe.cpp")]
     h = hashlib.sha256()
+    h.update(b"g++ -O3 -march=native -ffp-contract=off")  # flags
     for src in srcs:
         with open(src, "rb") as f:
             h.update(f.read())
@@ -38,8 +40,11 @@ def _build() -> Optional[str]:
     if os.path.exists(so):
         return so
     tmp = so + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-std=c++17"] + srcs + ["-o", tmp]
+    # -ffp-contract=off: no FMA contraction, so double arithmetic
+    # rounds exactly like Python/numpy (the MQV math compares
+    # posterior ratios against 1.0 at ulp precision)
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-std=c++17"] + srcs + ["-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
         os.replace(tmp, so)
@@ -69,4 +74,5 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _LIB.pass1_select.restype = ctypes.c_int64
         _LIB.finalize_render.restype = ctypes.c_int64
         _LIB.sw_full_tb_host.restype = ctypes.c_int64
+        _LIB.paired_finalize_render.restype = ctypes.c_int64
     return _LIB
