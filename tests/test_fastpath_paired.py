@@ -1,0 +1,106 @@
+"""The flat-array paired fast path (fastpath.FastPaired +
+native/pairedpipe.cpp) must produce byte-identical SAM to the generic
+PairedMapper pipeline (and hence to gmapper -p, covered transitively by
+test_paired's oracle runs)."""
+import random
+
+import pytest
+
+from shrimp_tpu import constants as C
+from shrimp_tpu.config import MapperConfig
+from shrimp_tpu.core import encode
+from shrimp_tpu.fastpath import map_paired_sam_stream
+from shrimp_tpu.index.build import build_index
+from shrimp_tpu.index.seeds import default_seeds
+from shrimp_tpu.io import sam
+from shrimp_tpu.io.fasta import SeqRecord
+from shrimp_tpu.native import get_lib
+from shrimp_tpu.paired import PairedMapper
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native library unavailable")
+
+_COMP = str.maketrans("ACGT", "TGCA")
+
+
+def _rc(s):
+    return s.translate(_COMP)[::-1]
+
+
+def make_pairs(seed: int, n_pairs: int, mode: str, glen: int = 30000):
+    rng = random.Random(seed)
+    g = "".join(rng.choice("ACGT") for _ in range(glen))
+    recs = []
+    for i in range(n_pairs):
+        L = 36
+        isz = rng.randrange(120, 280)
+        p = rng.randrange(0, glen - isz - L)
+        a = list(g[p:p + L])
+        b = list(g[p + isz:p + isz + L])
+        for s in (a, b):
+            for _ in range(rng.randrange(0, 4)):
+                s[rng.randrange(L)] = rng.choice("ACGT")
+            if rng.random() < 0.06:
+                q = rng.randrange(2, L - 2)
+                del s[q]
+                s.append(rng.choice("ACGT"))
+        a, b = "".join(a), "".join(b)
+        if mode == "opp-in":
+            r1, r2 = a, _rc(b)
+        elif mode == "opp-out":
+            r1, r2 = _rc(a), b
+        else:
+            r1, r2 = a, b
+        if rng.random() < 0.2:   # scattered mate -> half-paired cases
+            q = rng.randrange(0, glen - L)
+            r2 = g[q:q + L]
+            if rng.random() < .5:
+                r2 = _rc(r2)
+        recs.append(SeqRecord(f"p{i}/1", r1))
+        recs.append(SeqRecord(f"p{i}/2", r2))
+    return g, recs
+
+
+def _generic_sam(m, recs):
+    lines = []
+    for pe in m.map_paired(recs):
+        p_out, u_out = m.select_output(pe)
+        lines.extend(sam.render_pair_entry(pe, m.index, m.config,
+                                           p_out, u_out))
+    return ("\n".join(lines) + "\n").encode() if lines else b""
+
+
+@pytest.mark.parametrize("mode,seed", [("opp-in", 1), ("opp-out", 2),
+                                       ("col-fw", 3), ("col-bw", 4)])
+def test_paired_fastpath_matches_generic(mode, seed):
+    g, recs = make_pairs(seed, 60, mode)
+    idx = build_index([("chrP", encode.encode_ls(g))], default_seeds())
+    cfg = MapperConfig(pair_mode=mode)
+    generic = _generic_sam(PairedMapper(idx, cfg), recs)
+    m2 = PairedMapper(idx, cfg)
+    gen = map_paired_sam_stream(m2, recs, batch_size=64, lanes=1)
+    assert gen is not None, "paired fast path unexpectedly unsupported"
+    fast = b"".join(gen)
+    assert fast == generic
+
+
+def test_paired_fastpath_multilane_order():
+    g, recs = make_pairs(9, 80, "opp-in")
+    idx = build_index([("chrP", encode.encode_ls(g))], default_seeds())
+    cfg = MapperConfig(pair_mode="opp-in")
+    generic = _generic_sam(PairedMapper(idx, cfg), recs)
+    m2 = PairedMapper(idx, cfg)
+    fast = b"".join(map_paired_sam_stream(m2, recs, batch_size=32,
+                                          lanes=4))
+    assert fast == generic
+
+
+def test_paired_fastpath_gates_mp_region_configs():
+    # half_paired=False turns on the mate-pair region filter
+    # (paired_options mp_rc=1), which only the generic path implements;
+    # the fast path must decline so the CLI falls back
+    g, recs = make_pairs(5, 10, "opp-in")
+    idx = build_index([("chrP", encode.encode_ls(g))], default_seeds())
+    cfg = MapperConfig(pair_mode="opp-in", half_paired=False)
+    m2 = PairedMapper(idx, cfg)
+    assert map_paired_sam_stream(m2, recs, batch_size=64) is None
