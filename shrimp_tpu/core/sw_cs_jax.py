@@ -254,7 +254,17 @@ def sw_full_cs_tpu(genome_ls, glen, qr, rlen, ax, ay, alen, awid,
     bp_nw = jnp.transpose(bp_nw, (1, 0, 2, 3))
     bp_n = jnp.transpose(bp_n, (1, 0, 2, 3))
     bp_w = jnp.transpose(bp_w, (1, 0, 2, 3))
+    return _cs_traceback(db, qr, best, bi_, bj_, bk_, bfrm,
+                         bp_nw, bp_n, bp_w, thresh)
 
+
+def _cs_traceback(db, qr, best, bi_, bj_, bk_, bfrm, bp_nw, bp_n, bp_w,
+                  thresh):
+    """Shared on-device traceback over the 3x4-layer backpointer
+    planes; gather-bound (R+G steps), negligible next to the DP."""
+    B, _, R = qr.shape
+    G = db.shape[1]
+    zero = jnp.zeros(B, jnp.int32)
     score = jnp.where(best >= thresh.astype(jnp.int32), best, 0)
 
     # ---- on-device traceback
@@ -335,6 +345,35 @@ def lorder_arr(lorder, per):
     return jnp.asarray(np.repeat(lorder, per).astype(np.int32))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
+    "b_gap_ext", "local_alignment", "indel_taboo_len", "interpret"))
+def sw_full_cs_tpu_pallas(genome_ls, glen, qr, rlen, ax, ay, alen, awid,
+                          revcmpl, xover_rows, gx_col, thresh,
+                          *, match: int, mismatch: int, a_gap_open: int,
+                          a_gap_ext: int, b_gap_open: int,
+                          b_gap_ext: int, local_alignment: bool = False,
+                          indel_taboo_len: int = 0,
+                          interpret: bool = False):
+    """sw_full_cs_tpu with the DP on the Mosaic 4-layer kernel
+    (sw_cs_full_pallas) instead of the lax.scan formulation; the shared
+    traceback and packing are identical."""
+    from .sw_cs_full_pallas import sw_full_cs_dp_pallas
+    best, bi_, bj_, bk_, bfrm, bp = sw_full_cs_dp_pallas(
+        genome_ls, glen, qr, rlen, ax, ay, alen, awid, revcmpl,
+        xover_rows, gx_col, match=match, mismatch=mismatch,
+        a_gap_open=a_gap_open, a_gap_ext=a_gap_ext,
+        b_gap_open=b_gap_open, b_gap_ext=b_gap_ext,
+        local_alignment=local_alignment,
+        indel_taboo_len=indel_taboo_len, interpret=interpret)
+    bp_nw = (bp & 31).astype(jnp.uint8)
+    bp_n = ((bp >> 5) & 31).astype(jnp.uint8)
+    bp_w = ((bp >> 10) & 31).astype(jnp.uint8)
+    return _cs_traceback(genome_ls.astype(jnp.int32),
+                         qr.astype(jnp.int32), best, bi_, bj_, bk_,
+                         bfrm, bp_nw, bp_n, bp_w, thresh)
+
+
 def sw_full_cs_dispatch(genome_ls, glen, colours, rlen, initbp,
                         ax, ay, alen, awid, revcmpl, xover_rows, thresh,
                         *, match, mismatch, a_gap_open, a_gap_ext,
@@ -346,11 +385,15 @@ def sw_full_cs_dispatch(genome_ls, glen, colours, rlen, initbp,
     high-latency device link the serial launch+fetch per chunk was the
     dominant cost of colour-space pass2."""
     from .sw_cs_batch import cs_layers_batch
+    from .sw_cs_full_pallas import pallas_cs_full_ok
+    B, G = genome_ls.shape
     R = colours.shape[1]
     qr = cs_layers_batch(np.asarray(colours, np.uint8),
                          np.asarray(initbp, np.int64))
+    base = (sw_full_cs_tpu_pallas if pallas_cs_full_ok(B, R, G)
+            else sw_full_cs_tpu)
     kern = functools.partial(
-        sw_full_cs_tpu, match=match, mismatch=mismatch,
+        base, match=match, mismatch=mismatch,
         a_gap_open=a_gap_open, a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
         b_gap_ext=b_gap_ext, local_alignment=bool(local_alignment),
         indel_taboo_len=int(indel_taboo_len))
