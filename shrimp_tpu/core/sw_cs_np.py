@@ -521,3 +521,95 @@ def post_sw(colours: np.ndarray, initbp: int, qual: Optional[str],
     return post_sw_finish(initbp, dbalign, qralign, cols_col, base_call,
                           float(total[0]), post[0], pr_del_open,
                           pr_del_extend, pr_ins_open, pr_ins_extend)
+
+
+# ------------------------------------------------- batched gapless post
+
+_UPPER_LUT = np.arange(256, dtype=np.uint8)
+for _c in range(ord("a"), ord("z") + 1):
+    _UPPER_LUT[_c] = _c - 32
+_C2I_LUT = np.full(256, C.BASE_N, np.int64)
+for _i, _ch in enumerate("ACGT"):
+    _C2I_LUT[ord(_ch)] = _i
+_I2C_LUT = np.frombuffer(b"ACGT", np.uint8)
+_I2C_LOW = np.frombuffer(b"acgt", np.uint8)
+
+
+def extract_columns_batch_gapless(colours: np.ndarray, read_start,
+                                  ncols, dbalign_codes: np.ndarray,
+                                  qralign_codes: np.ndarray,
+                                  pr_xover: float):
+    """extract_columns for a batch of GAPLESS, quality-less alignments
+    (columns map 1:1 to read positions read_start..read_start+n-1).
+
+    colours [B, R] int; read_start/ncols [B]; dbalign_codes /
+    qralign_codes [B, Lmax] letter codes (BASE_N for N).  Returns
+    (cols_let, cols_col, cols_err, base_call) shaped [B, Lmax] plus the
+    valid mask.
+    """
+    B, Lmax = dbalign_codes.shape
+    R = colours.shape[1]
+    jj = np.arange(Lmax)[None, :]
+    valid = jj < ncols[:, None]
+    pos = np.clip(read_start[:, None] + jj, 0, R - 1)
+    col = np.take_along_axis(colours.astype(np.int64), pos, axis=1)
+    # start_run: XOR of the colours before read_start; N anywhere in the
+    # prefix forces the (0, .75) first-column branch
+    ridx = np.arange(R)[None, :]
+    pre = ridx < read_start[:, None]
+    pre_n = ((colours == C.BASE_N) & pre).any(axis=1)
+    xr = np.bitwise_xor.reduce(
+        np.where(pre, colours.astype(np.int64), 0), axis=1)
+    cols_col = col.copy()
+    cols_col[:, 0] ^= np.where(pre_n, 0, xr)
+    n_first = pre_n[:, None] & (jj == 0)
+    is_n = (col == C.BASE_N) | n_first
+    cols_col = np.where(is_n, 0, cols_col)
+    cols_err = np.where(is_n, 0.75, pr_xover)
+    cols_let = dbalign_codes.astype(np.int64)
+    base_call = qralign_codes.astype(np.int64)
+    return cols_let, cols_col, cols_err, base_call, valid
+
+
+def post_sw_finish_batch_gapless(initbp, dbalign_codes, cols_col,
+                                 base_call, ncols, total: np.ndarray,
+                                 post: np.ndarray) -> List[PostSWResult]:
+    """post_sw_finish for a batch of gapless alignments (no indel
+    posterior factors; fix_base_calls walks columns 1:1)."""
+    B, Lmax = dbalign_codes.shape
+    jj = np.arange(Lmax)[None, :]
+    valid = jj < ncols[:, None]
+    maxpost = np.argmax(post[:, :Lmax, :4], axis=2)       # first max
+    prev = np.concatenate([initbp[:, None], maxpost[:, :-1]], axis=1)
+    xov = (prev ^ maxpost) != cols_col
+    dbl = dbalign_codes.astype(np.int64)
+    match = (dbl == maxpost) & valid
+    mism = (dbl != maxpost) & valid
+    matches = match.sum(axis=1)
+    mismatches = mism.sum(axis=1)
+    crossovers = (xov & valid).sum(axis=1)
+    chars = np.where(xov, _I2C_LOW[maxpost], _I2C_LUT[maxpost])
+    # base qualities from the pre-post calls
+    pr = np.take_along_axis(post[:, :Lmax], np.clip(base_call, 0, 3
+                                                    )[:, :, None],
+                            axis=2)[:, :, 0]
+    pr_err = 1.0 - pr
+    with np.errstate(divide="ignore"):
+        tmp = np.where(pr_err > .99999999, 0,
+                       np.where(pr_err < 1e-25, 250,
+                                (-10.0 * np.log(np.maximum(pr_err, 1e-300))
+                                 / math.log(10.0)).astype(np.int64)))
+    bad = (base_call == C.BASE_N) | (base_call > 3)
+    tmp = np.where(bad, 0, tmp)
+    quals = (33 + np.minimum(tmp, 40)).astype(np.uint8)
+    res = np.exp(-total)
+    out = []
+    for b in range(B):
+        n = int(ncols[b])
+        out.append(PostSWResult(
+            posterior=float(res[b]),
+            qralign=bytes(chars[b, :n]).decode(),
+            matches=int(matches[b]), mismatches=int(mismatches[b]),
+            crossovers=int(crossovers[b]),
+            qual=bytes(quals[b, :n]).decode()))
+    return out

@@ -1209,11 +1209,29 @@ class Mapper:
 
     def _post_sw_cs_batch(self, post_jobs) -> None:
         """Batched post-SW: per-hit column extraction, one forward-backward
-        over the padded batch, per-hit finishing."""
+        over the padded batch, per-hit finishing.  Gapless quality-less
+        alignments (the vast majority) run through fully vectorized
+        column extraction and finishing; gapped or quality-carrying
+        hits take the faithful per-hit path."""
         from .core import sw_cs_np
         from .core.sw_cs_batch import post_sw_forward_backward_batch
         cfg = self.config
         cal = self.cal
+        fast_jobs = []
+        slow_jobs = []
+        for e, h in post_jobs:
+            q = (e.qual if e.qual is not None and not cfg.ignore_qvs
+                 else None)
+            if q is None and "-" not in h.dbalign \
+                    and "-" not in h.qralign:
+                fast_jobs.append((e, h))
+            else:
+                slow_jobs.append((e, h))
+        if fast_jobs:
+            self._post_sw_cs_batch_gapless(fast_jobs)
+        post_jobs = slow_jobs
+        if not post_jobs:
+            return
         cols = []
         for e, h in post_jobs:
             qual = (e.qual if e.qual is not None and not cfg.ignore_qvs
@@ -1241,6 +1259,54 @@ class Mapper:
                 int(ib[b]), h.dbalign, h.qralign, cols[b][1], cols[b][3],
                 float(total[b]), post[b], cal.pr_del_open,
                 cal.pr_del_extend, cal.pr_ins_open, cal.pr_ins_extend)
+            h.posterior = r.posterior
+            h.qralign = r.qralign
+            h.matches = r.matches
+            h.mismatches = r.mismatches
+            h.crossovers = r.crossovers
+            h.qual_str = r.qual
+            ps = int(round(cal.alpha * math.log2(h.posterior)
+                           + h.rmapped * (2 * cal.alpha + cal.beta)))
+            h.posterior_score = max(ps, 0)
+            h.score_full = h.posterior_score
+            h.pct_score_full = (1000 * 100 * h.posterior_score
+                                ) // h.score_max
+
+    def _post_sw_cs_batch_gapless(self, post_jobs) -> None:
+        """Vectorized post-SW for gapless, quality-less hits: batched
+        column extraction, one forward-backward, batched base-call
+        rewrite — bit-identical to the per-hit path (same f64 math in
+        the same order)."""
+        from .core import sw_cs_np
+        from .core.sw_cs_batch import post_sw_forward_backward_batch
+        cal = self.cal
+        B = len(post_jobs)
+        ncols = np.array([h.rmapped for _, h in post_jobs], np.int64)
+        Lmax = int(ncols.max())
+        Rmax = max(e.read_len for e, _ in post_jobs)
+        colours = np.full((B, Rmax), C.BASE_N, np.uint8)
+        rs = np.empty(B, np.int64)
+        ib = np.empty(B, np.int64)
+        db_codes = np.full((B, Lmax), C.BASE_N, np.int64)
+        qr_codes = np.full((B, Lmax), C.BASE_N, np.int64)
+        for b, (e, h) in enumerate(post_jobs):
+            colours[b, :e.read_len] = e.codes[h.st]
+            rs[b] = h.read_start
+            ib[b] = e.initbp[h.st]
+            n = int(ncols[b])
+            dbb = np.frombuffer(h.dbalign.encode(), np.uint8)
+            qrb = np.frombuffer(h.qralign.encode(), np.uint8)
+            db_codes[b, :n] = sw_cs_np._C2I_LUT[
+                sw_cs_np._UPPER_LUT[dbb]]
+            qr_codes[b, :n] = sw_cs_np._C2I_LUT[
+                sw_cs_np._UPPER_LUT[qrb]]
+        cl, cc, ce, bc, _ = sw_cs_np.extract_columns_batch_gapless(
+            colours, rs, ncols, db_codes, qr_codes, cal.pr_xover)
+        total, post = post_sw_forward_backward_batch(
+            cl, cc, ce, ncols, ib, cal.pr_mismatch)
+        res = sw_cs_np.post_sw_finish_batch_gapless(
+            ib, db_codes, cc, bc, ncols, total, post)
+        for (e, h), r in zip(post_jobs, res):
             h.posterior = r.posterior
             h.qralign = r.qralign
             h.matches = r.matches
