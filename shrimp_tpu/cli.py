@@ -314,6 +314,75 @@ def load_or_build_index(genome_args: List[str], seeds_spec: Optional[str],
     return build_index(contigs, seeds, mode=mode, hashed=hashed)
 
 
+def print_settings(cfg, idx, out) -> None:
+    """Effective-settings dump at startup (print_settings,
+    gmapper.c:1350-1497): seeds, thresholds, scores with their derived
+    probabilities — the reference prints this for reproducibility."""
+    cal = cfg.calibration
+    print("Settings:", file=out)
+    seeds = idx.seeds
+    label = "    Spaced Seeds (weight/span)"
+    for i, si in enumerate(seeds):
+        s = si.seed
+        mask = "".join("1" if k in set(s.offsets) else "0"
+                       for k in range(s.span))
+        print(f"{label if i == 0 else ' ' * len(label)}"
+              f"             {mask} ({s.weight}/{s.span})", file=out)
+    mode_name = ("COLOUR SPACE" if cfg.mode == C.MODE_COLOUR_SPACE
+                 else "LETTER SPACE")
+    rows = [
+        ("Mode", mode_name),
+        ("Window length", f"{cfg.window_len:.2f}%"
+         if cfg.window_len >= 0 else str(-cfg.window_len)),
+        ("Window overlap length", f"{cfg.window_overlap:.2f}%"
+         if cfg.window_overlap >= 0 else str(-cfg.window_overlap)),
+        ("Seed matches per window", str(cfg.match_mode)),
+        ("Anchor width", str(cfg.anchor_width)),
+        ("Indel taboo len", str(cfg.indel_taboo_len)),
+        ("Gapless mode", "yes" if cfg.gapless else "no"),
+        ("Global alignment", "yes" if cfg.global_alignment else "no"),
+        ("Region filter", "yes" if cfg.use_regions else "no"),
+        ("Region size", str(1 << cfg.region_bits)),
+        ("Region overlap", str(cfg.region_overlap)),
+        ("Ignore QVs", "yes" if cfg.ignore_qvs else "no"),
+        ("Compute mapping qualities",
+         "yes" if cfg.compute_mapping_qualities else "no"),
+        ("All contigs", "yes" if cfg.all_contigs else "no"),
+        ("Single best mapping",
+         "yes" if cfg.single_best_mapping else "no"),
+        ("Half paired", "yes" if cfg.half_paired else "no"),
+        ("Number of outputs", str(cfg.num_outputs)),
+        ("Window gen. threshold", f"{cfg.window_gen_threshold:.2f}%"),
+        ("S-W vect. threshold", f"{cfg.sw_vect_threshold:.2f}%"),
+        ("S-W full threshold", f"{cfg.sw_full_threshold:.2f}%"),
+    ]
+    if cfg.pair_mode != C.PAIR_NONE:
+        rows += [("Pair mode", cfg.pair_mode),
+                 ("Insert size", f"{cfg.min_insert_size},"
+                                 f"{cfg.max_insert_size}"),
+                 ("Insert size dist", f"{cfg.insert_size_mean:.0f},"
+                                      f"{cfg.insert_size_stddev:.0f}")]
+    for k, v in rows:
+        print(f"    {k}:{' ' * max(1, 40 - len(k) - 5)}{v}", file=out)
+    sc = cfg.scores
+    print(f"\n    SW Match Score:                         {sc.match}",
+          file=out)
+    print(f"    SW Mismatch Score [Prob]:               {sc.mismatch}"
+          f"\t[{cal.pr_mismatch:.1e}]", file=out)
+    print(f"    SW Del Open Score [Prob]:               {sc.b_gap_open}"
+          f"\t[{cal.pr_del_open:.1e}]", file=out)
+    print(f"    SW Ins Open Score [Prob]:               {sc.a_gap_open}"
+          f"\t[{cal.pr_ins_open:.1e}]", file=out)
+    print(f"    SW Del Extend Score [Prob]:             {sc.b_gap_extend}"
+          f"\t[{cal.pr_del_extend:.1e}]", file=out)
+    print(f"    SW Ins Extend Score [Prob]:             {sc.a_gap_extend}"
+          f"\t[{cal.pr_ins_extend:.1e}]", file=out)
+    if cfg.mode == C.MODE_COLOUR_SPACE:
+        print(f"    SW Crossover Score:                     "
+              f"{sc.crossover}", file=out)
+    print("", file=out)
+
+
 def print_index_histogram(idx, list_cutoff: int, out=None) -> None:
     """-Y: per-seed list-length stats + 100-bucket histogram
     (print_genomemap_stats, genome.c:834-902)."""
@@ -420,6 +489,7 @@ def cmd_map(args) -> int:
 
     paired = cfg.pair_mode != C.PAIR_NONE
     mapper = PairedMapper(idx, cfg) if paired else Mapper(idx, cfg)
+    print_settings(cfg, idx, sys.stderr)
     if args.index_histogram:
         print_index_histogram(idx, mapper.cutoff)
     ins_hist = (InsertHistogram(cfg.min_insert_size, cfg.max_insert_size)
