@@ -641,25 +641,18 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
     }
 
     // ---- paired MQV (compute_paired_mqv, output.c:811-942)
-    std::vector<double> up_z0[2];
     double up_z1[2] = {0.0, 0.0};
     double up_z4[2] = {1.0, 1.0};     // pr_top_random_at_location
     std::vector<double> ft_z2[2];     // per unique foot
     std::vector<int32_t> ft_rows[2];
-    std::vector<double> ft_mqv_corr;  // scratch
     double z3 = 0.0, ins_denom = 0.0;
     double pr_top[3] = {1.0, 1.0, 1.0};
     double pr2_pre = 1.0;             // Z4 value for paired feet
-    int foot_mqv[2] = {0, 0};
     std::vector<int> pr_mqv[2];       // mqv per unique foot
-    (void)foot_mqv;
-    (void)ft_mqv_corr;
 
     if (p->compute_mqv) {
-      for (int nip = 0; nip < 2; nip++) {
+      for (int nip = 0; nip < 2; nip++)
         for (int32_t t : hp_out[nip]) up_z1[nip] += S.post[t];
-        for (int32_t t : hp_out[nip]) up_z0[nip].push_back(S.post[t]);
-      }
       for (auto& c : pairs) ins_denom += pp_pr_insert(p, (double)c.isize);
       // unique feet per leg in first-appearance order
       for (auto& c : pairs) {
