@@ -321,7 +321,8 @@ def post_sw_forward_backward_batch(cols_let: np.ndarray,
                                    cols_err: np.ndarray,
                                    ncols: np.ndarray,
                                    initbp: np.ndarray,
-                                   pr_snp: float
+                                   pr_snp: float,
+                                   allow_native: bool = True
                                    ) -> Tuple[np.ndarray, np.ndarray]:
     """Batched 16-state scaled forward-backward (sw-post.c:271-374).
 
@@ -329,7 +330,17 @@ def post_sw_forward_backward_batch(cols_let: np.ndarray,
     cols_col: [B, L] colour emission; cols_err: [B, L] colour error rate
     ncols:    [B] valid column counts; initbp: [B]
     Returns (total_score [B], posterior [B, L, 4]).
+
+    When the native library is available the work runs in
+    native/cspost.cpp, which mirrors the reference's exact scalar op
+    order (libm log/exp, sequential sums) — the numpy fallback below
+    differs from it by ~1 ulp through numpy's SIMD transcendentals.
     """
+    if allow_native:
+        res = _post_sw_fb_native(cols_let, cols_col, cols_err, ncols,
+                                 initbp, pr_snp)
+        if res is not None:
+            return res
     B, L = cols_col.shape
     j16 = np.arange(16)
     right = j16 & 3                      # [16]
@@ -397,6 +408,34 @@ def post_sw_forward_backward_batch(cols_let: np.ndarray,
 def math_log1p_neg(p: float) -> float:
     import math
     return math.log(1 - p)
+
+
+def _post_sw_fb_native(cols_let, cols_col, cols_err, ncols, initbp,
+                       pr_snp: float):
+    """cs_post_fb_batch (native/cspost.cpp); None when unavailable."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    import ctypes
+    B, L = cols_col.shape
+    cl = np.ascontiguousarray(cols_let, np.int64)
+    cc = np.ascontiguousarray(cols_col, np.int64)
+    ce = np.ascontiguousarray(cols_err, np.float64)
+    nc = np.ascontiguousarray(ncols, np.int64)
+    ib = np.ascontiguousarray(initbp, np.int64)
+    total = np.zeros(B, np.float64)
+    post = np.zeros((B, L, 4), np.float64)
+    rv = lib.cs_post_fb_batch(
+        ctypes.c_int64(B), ctypes.c_int64(L),
+        ctypes.c_void_p(cl.ctypes.data), ctypes.c_void_p(cc.ctypes.data),
+        ctypes.c_void_p(ce.ctypes.data), ctypes.c_void_p(nc.ctypes.data),
+        ctypes.c_void_p(ib.ctypes.data), ctypes.c_double(pr_snp),
+        ctypes.c_void_p(total.ctypes.data),
+        ctypes.c_void_p(post.ctypes.data), ctypes.c_int32(0))
+    if rv != 0:
+        return None
+    return total, post
 
 
 _NEXT_PLANE = np.array([0, _DIR_N, _DIR_NW, _DIR_NW, _DIR_W, _DIR_N,
