@@ -599,8 +599,11 @@ def cmd_map(args) -> int:
                                fastpath_supported,
                                map_paired_sam_stream,
                                map_unpaired_sam_stream)
+        from .fastpath_cs import (fastpath_cs_supported,
+                                  map_unpaired_cs_sam_stream)
         use_fast = (fastpath_paired_supported(cfg) if paired
-                    else fastpath_supported(cfg))
+                    else (fastpath_supported(cfg)
+                          or fastpath_cs_supported(cfg)))
     win_size = max(8 * B, 32768) if use_fast else B
     out_b = getattr(out, "buffer", None)
 
@@ -608,8 +611,12 @@ def cmd_map(args) -> int:
         nonlocal total_lines
         if not win:
             return
-        gen = (map_paired_sam_stream(mapper, win, batch_size=B) if paired
-               else map_unpaired_sam_stream(mapper, win, batch_size=B))
+        if paired:
+            gen = map_paired_sam_stream(mapper, win, batch_size=B)
+        elif cfg.mode == C.MODE_COLOUR_SPACE:
+            gen = map_unpaired_cs_sam_stream(mapper, win, batch_size=B)
+        else:
+            gen = map_unpaired_sam_stream(mapper, win, batch_size=B)
         if gen is None:
             for off in range(0, len(win), B):
                 flush(win[off:off + B])

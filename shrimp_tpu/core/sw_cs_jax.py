@@ -444,3 +444,85 @@ def sw_full_cs_finish(state, fetched=None):
 def sw_full_cs_batch_jax(*args, **kw):
     """Synchronous wrapper (dispatch + finish) kept for tests."""
     return sw_full_cs_finish(sw_full_cs_dispatch(*args, **kw))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "xover", "match", "mismatch", "a_gap_open", "a_gap_ext",
+    "b_gap_open", "b_gap_ext", "local_alignment", "indel_taboo_len",
+    "use_pallas", "use_vec_pallas", "interpret"))
+def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
+                              args, rtab, qr_tab,
+                              *, G: int, xover: int, match: int,
+                              mismatch: int, a_gap_open: int,
+                              a_gap_ext: int, b_gap_open: int,
+                              b_gap_ext: int,
+                              local_alignment: bool = False,
+                              indel_taboo_len: int = 0,
+                              use_pallas: bool = False,
+                              use_vec_pallas: bool = False,
+                              interpret: bool = False):
+    """Fused colour-space filter2 + speculative filter3 against the
+    DEVICE-RESIDENT genome planes: one launch per chunk runs the CS
+    vector SW on every candidate window AND the 4-layer full SW with
+    on-device traceback (the fast-path analogue of the letter-space
+    sw_vec_full_*_from_index, see fastpath._fused_dispatch).
+
+    args: [B, 12] int32 rows
+      0 gstart (absolute, strand-normalized), 1 glen, 2 owner (read
+      row), 3 eff_rc, 4 rlen, 5 rx, 6 ry, 7 rl, 8 rw (widened anchor
+      rect), 9 rev tie-break, 10 thresh (full-SW zero-out), 11 initbp.
+    rtab: [n_reads, R] colour rows (input strand); qr_tab:
+    [n_reads, 4, R] letter-layer translations (cs_layers_batch).
+    `xover` is the uniform crossover penalty (quality-less reads; the
+    quality-carrying path uses the generic mapper pipeline).
+
+    Returns (vec_scores [B], packed [B, 12] int16, steps_rev int8).
+    """
+    from . import sw_jax
+    from .. import constants as C
+    from .sw_pallas import TILE, sw_vector_batch_pallas
+    B = args.shape[0]
+    R = rtab.shape[1]
+    gstart, glen = args[:, 0], args[:, 1]
+    owner = jnp.clip(args[:, 2], 0, rtab.shape[0] - 1)
+    eff_rc = args[:, 3]
+    rlen = args[:, 4]
+    rx, ry, rl, rw = args[:, 5], args[:, 6], args[:, 7], args[:, 8]
+    rev = args[:, 9] != 0
+    thresh = args[:, 10]
+    initbp = args[:, 11]
+
+    jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+    pos = jnp.clip(gstart[:, None] + jidx, 0, cs_codes.shape[0] - 1)
+    rcb = (eff_rc != 0)[:, None]
+    gwin_cs = jnp.where(rcb, cs_codes_rc[pos], cs_codes[pos])
+    lswin = jnp.where(rcb, ls_codes_rc[pos], ls_codes[pos])
+    cmat = jnp.asarray(C.COLOUR_MAT.reshape(-1))
+    g_row0 = cmat[lswin.astype(jnp.int32) * 16 + initbp[:, None]]
+    rwin = rtab[owner]
+    vec_kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
+                  a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
+                  b_gap_ext=b_gap_ext)
+    if use_vec_pallas and B % TILE == 0:
+        vec = sw_vector_batch_pallas.__wrapped__(
+            gwin_cs, glen, rwin, rlen, g_row0, cs_mode=True, **vec_kw)
+    else:
+        vec = sw_jax.sw_vector_batch.__wrapped__(
+            gwin_cs, glen, rwin, rlen, g_row0, cs_mode=True, **vec_kw)
+
+    qr = qr_tab[owner]                       # [B, 4, R]
+    xover_rows = jnp.full((B, R), xover, jnp.int32)
+    gx_col = jnp.full((B,), xover, jnp.int32)
+    full = (sw_full_cs_tpu_pallas.__wrapped__ if use_pallas
+            else sw_full_cs_tpu.__wrapped__)
+    full_kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
+                   a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
+                   b_gap_ext=b_gap_ext, local_alignment=local_alignment,
+                   indel_taboo_len=indel_taboo_len)
+    if use_pallas:
+        full_kw["interpret"] = interpret
+    packed, steps_rev = full(
+        lswin.astype(jnp.uint8), glen, qr, rlen, rx, ry,
+        jnp.maximum(rl, 1), jnp.maximum(rw, 1), rev, xover_rows, gx_col,
+        thresh, **full_kw)
+    return vec, packed, steps_rev

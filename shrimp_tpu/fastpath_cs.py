@@ -1,0 +1,465 @@
+"""Flat-array fast path for colour-space unpaired mapping to SAM.
+
+The colour-space analogue of fastpath.py: the whole post-filter1 flow
+stays in flat arrays plus native calls —
+
+    filter1 (native) -> fused CS vector SW + speculative 4-layer full
+    SW with on-device traceback (one launch per chunk, device-resident
+    genome planes) -> pass1_select (native, hostpipe.cpp) ->
+    cs_finalize_render (native, cspipe.cpp: post-SW forward-backward,
+    threshold/dedup/sort, MQV, SAM text).
+
+Output is byte-identical to the generic path (mapper._pass2_cs +
+io/sam.py), which is golden-tested against gmapper-cs.  Falls back
+(returns None) whenever the configuration or batch shape needs a
+feature only the generic path implements (quality values, trims,
+custom option sets, mixed read lengths).
+"""
+from __future__ import annotations
+
+import ctypes
+import time as _time
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import constants as C
+from .config import MapperConfig, abs_or_pct
+from .fastpath import FastLS, _vp
+from .io.fasta import SeqRecord
+from .mapper import _round_up
+
+CS_FUSED_BATCH = 2048
+
+
+def fastpath_cs_supported(cfg: MapperConfig) -> bool:
+    """Gate: the native CS renderer covers the default CS unpaired SAM
+    flow (single option set, global alignment, MQV on)."""
+    return (cfg.mode == C.MODE_COLOUR_SPACE
+            and cfg.pair_mode == C.PAIR_NONE
+            and len(cfg.unpaired_options()) == 1
+            and not cfg.gapless
+            and cfg.global_alignment
+            and cfg.compute_mapping_qualities
+            and not cfg.all_contigs
+            and not cfg.extra_sam_fields
+            and not cfg.sam_r2
+            and cfg.read_group_name is None
+            and not cfg.sam_unaligned
+            and not cfg.shrimp_format
+            and cfg.search_forward and cfg.search_reverse)
+
+
+class _CSFRParams(ctypes.Structure):
+    _fields_ = [("n_jobs", ctypes.c_int64), ("n_reads", ctypes.c_int64),
+                ("read_len", ctypes.c_int32),
+                ("steps_words", ctypes.c_int32),
+                ("read_seq_len", ctypes.c_int32),
+                ("sw_full_threshold", ctypes.c_double),
+                ("num_outputs", ctypes.c_int32),
+                ("strata", ctypes.c_int32),
+                ("max_alignments", ctypes.c_int32),
+                ("single_best", ctypes.c_int32),
+                ("compute_mqv", ctypes.c_int32),
+                ("alpha", ctypes.c_double), ("beta", ctypes.c_double),
+                ("pr_xover", ctypes.c_double), ("pr_snp", ctypes.c_double),
+                ("pr_del_open", ctypes.c_double),
+                ("pr_del_extend", ctypes.c_double),
+                ("pr_ins_open", ctypes.c_double),
+                ("pr_ins_extend", ctypes.c_double),
+                ("genome_len", ctypes.c_int64),
+                ("genome_fwd", ctypes.c_void_p),
+                ("genome_rc", ctypes.c_void_p),
+                ("contig_lengths", ctypes.c_void_p),
+                ("contig_name_off", ctypes.c_void_p),
+                ("contig_names", ctypes.c_void_p),
+                ("name_off", ctypes.c_void_p), ("names", ctypes.c_void_p),
+                ("colours", ctypes.c_void_p), ("qr_tab", ctypes.c_void_p),
+                ("initbp", ctypes.c_void_p), ("readseq", ctypes.c_void_p)]
+
+
+class _CSFRJobs(ctypes.Structure):
+    _fields_ = [(f, ctypes.c_void_p) for f in
+                ("ri", "cn", "gen_st", "g_off", "start_abs", "score_max",
+                 "packed", "steps_rev")]
+
+
+def _revcomp_cs_batch(codes: np.ndarray, initbp: np.ndarray) -> np.ndarray:
+    """Vectorized encode.revcomp_cs (util.c:580-616) over [B, R] rows."""
+    B, R = codes.shape
+    cur = initbp.astype(np.int64).copy()
+    for jc in range(R):
+        c = codes[:, jc].astype(np.int64)
+        even = cur % 2 == 0
+        nxt = np.where(even, (4 + cur + c) % 4, (4 + cur - c) % 4)
+        cur = np.where((cur != C.BASE_N) & (c <= 3), nxt, C.BASE_N)
+    out = np.empty_like(codes)
+    out[:, 1:] = codes[:, :0:-1]
+    comp_init = C.COMPLEMENT[initbp]
+    first = np.where(cur <= 3,
+                     C.COLOUR_MAT[np.clip(cur, 0, 15), comp_init],
+                     C.BASE_N)
+    out[:, 0] = first
+    return out
+
+
+class FastCS:
+    """Per-Mapper colour-space fast-path state."""
+
+    def __init__(self, mapper) -> None:
+        self.fls = FastLS(mapper)
+        self.lib = self.fls.lib
+        self.m = mapper
+
+    # ---------------------------------------------------------- stage A
+    def stage_prepare(self, records: Sequence[SeqRecord],
+                      batch_cap: Optional[int] = None):
+        """Encode CS batch + filter1 + fused async device dispatch.
+        Returns None when the batch shape is unsupported."""
+        m = self.m
+        cfg = m.config
+        t0 = _time.perf_counter()
+        if not records:
+            return None
+        if cfg.trim_front or cfg.trim_end:
+            return None
+        if cfg.custom_unpaired_options or cfg.custom_paired_options:
+            return None
+        if any(r.qual is not None for r in records):
+            return None  # qv-derived crossover scores: generic path
+        Lseq = len(records[0].seq)
+        R = Lseq - 1
+        if R <= 0 or R > cfg.longest_read_len:
+            return None
+        try:
+            buf = "".join(r.seq for r in records).encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        B = len(records)
+        if len(buf) != B * Lseq:
+            return None
+        raw = np.frombuffer(buf, np.uint8).reshape(B, Lseq)
+        init16 = C.CHAR_TO_INT[raw[:, 0]]
+        if ((init16 < 0) | (init16 > 3)).any():
+            return None
+        codes16 = C.CHAR_TO_INT[raw[:, 1:]]
+        if (codes16 < 0).any():
+            return None
+        initbp = init16.astype(np.int64)
+        codes0 = codes16.astype(np.uint8)
+        codes1 = _revcomp_cs_batch(codes0, initbp)
+        nm_parts = [r.name.encode() for r in records]
+        offs = np.zeros(B + 1, np.int64)
+        np.cumsum([len(x) for x in nm_parts], out=offs[1:])
+        nm_blob = (np.frombuffer(b"".join(nm_parts), np.uint8).copy()
+                   if nm_parts else np.zeros(1, np.uint8))
+        wlen = int(abs_or_pct(cfg.window_len, R))
+        m.stats.add_stage("read prep", _time.perf_counter() - t0)
+
+        t1 = _time.perf_counter()
+        opts = m._unpaired_opts[0]
+        codes2 = np.empty((B, 2, R), np.uint8)
+        codes2[:, 0] = codes0
+        codes2[:, 1] = codes1
+        from .native.filter1_py import generate_candidates_native
+        fh = generate_candidates_native(
+            m.index, codes2, R, wlen, m.cutoff, opts.hit_list.match_mode,
+            opts.hit_list.threshold, cfg.scores.match,
+            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
+            min_kmer_pos=1,
+            use_region_counts=opts.anchor_list.use_region_counts,
+            region_bits=cfg.region_bits,
+            region_overlap=cfg.region_overlap,
+            collapse=opts.anchor_list.collapse, gapless=False,
+            search_strands=(True, True))
+        if fh is None:
+            return None
+        m.stats.add_stage("filter1", _time.perf_counter() - t1)
+
+        t2 = _time.perf_counter()
+        idx = m.index
+        Bcap = max(batch_cap or B, B)
+        from .core.sw_cs_batch import cs_layers_batch
+        qr_tab = cs_layers_batch(codes0, initbp)      # [B, 4, R]
+        win = None
+        futures = []
+        G = 32
+        use_pallas = False
+        if fh.n:
+            futures, win, G, use_pallas = self._fused_dispatch_cs(
+                fh, codes0, qr_tab, initbp, R, Bcap)
+        m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
+        return dict(B=B, R=R, wlen=wlen, fh=fh, win=win, futures=futures,
+                    G=G, codes0=codes0, qr_tab=qr_tab,
+                    initbp=initbp.astype(np.int32), raw=raw,
+                    names=nm_blob, name_off=offs, Bcap=Bcap,
+                    t_dispatch=_time.perf_counter() - t2)
+
+    def _fused_dispatch_cs(self, fh, codes0, qr_tab, initbp, R, Bcap):
+        """Normalize window geometry (reverse_hit, mapping.c:254-263) and
+        launch fused CS vec+full chunks against the device planes."""
+        import jax
+
+        from .core.sw_cs_full_pallas import pallas_cs_full_ok
+        from .core.sw_cs_jax import sw_vec_cs_full_from_index
+        from .core.sw_pallas import pallas_available
+        m = self.m
+        cfg = m.config
+        sc = cfg.scores
+        idx = m.index
+        aw = cfg.anchor_width
+        planes = m._dev_cs_planes()   # cs, cs_rc, ls, ls_rc (padded)
+        n = fh.n
+        coff = idx.contig_offsets[fh.cn].astype(np.int64)
+        clen = idx.contig_lengths[fh.cn].astype(np.int64)
+        wl64 = fh.w_len.astype(np.int64)
+        rcf = (fh.owner & 1) == 1     # unpaired CS: input_strand == 0
+        g_off_t = np.where(rcf, clen - fh.g_off - wl64, fh.g_off)
+        ax_t = np.where(rcf, -fh.ax + (wl64 - 1) - (fh.alen - 1)
+                        - (fh.awid - 1), fh.ax)
+        ay_t = np.where(rcf, -fh.ay + (R - 1) - (fh.alen - 1)
+                        + (fh.awid - 1), fh.ay)
+        thr = cfg.sw_full_threshold
+        smax = fh.score_max.astype(np.int64)
+        if thr < 0:
+            thresh = np.full(n, int(-thr), np.int64)
+        else:
+            thresh = (smax.astype(np.float64) * (thr / 100.0)
+                      ).astype(np.int64)
+        win = dict(starts=coff + g_off_t, g_off_t=g_off_t, rcmask=rcf)
+        G = _round_up(max(int(fh.w_len.max()), 16), 32)
+        owner_ri = (fh.owner >> 1).astype(np.int64)
+        ri32 = owner_ri.astype(np.int32)
+
+        args_all = np.zeros((n, 12), np.int32)
+        args_all[:, 0] = win["starts"]
+        args_all[:, 1] = fh.w_len
+        args_all[:, 2] = ri32
+        args_all[:, 3] = rcf
+        args_all[:, 4] = R
+        args_all[:, 5] = ax_t - aw // 2
+        args_all[:, 6] = ay_t + aw // 2
+        args_all[:, 7] = fh.alen
+        args_all[:, 8] = np.asarray(fh.awid) + aw
+        args_all[:, 9] = rcf & cfg.rev_tiebreak
+        args_all[:, 10] = thresh
+        args_all[:, 11] = initbp[owner_ri]
+
+        use_pallas = pallas_cs_full_ok(CS_FUSED_BATCH, R, G)
+        use_vec_pallas = pallas_available()
+        import os as _os
+        interpret = _os.environ.get("SHRIMP_TPU_PALLAS_INTERPRET") == "1"
+        kw = dict(G=G, xover=sc.crossover, match=sc.match,
+                  mismatch=sc.mismatch, a_gap_open=sc.a_gap_open,
+                  a_gap_ext=sc.a_gap_extend, b_gap_open=sc.b_gap_open,
+                  b_gap_ext=sc.b_gap_extend,
+                  local_alignment=not cfg.global_alignment,
+                  indel_taboo_len=cfg.indel_taboo_len,
+                  use_pallas=use_pallas, use_vec_pallas=use_vec_pallas,
+                  interpret=interpret and use_pallas)
+        futures = []
+        with m._device_ctx():
+            rows = _round_up(max(Bcap, 1), 1024)
+            rtab_pad = np.full((rows, R), C.BASE_N, np.uint8)
+            rtab_pad[:codes0.shape[0]] = codes0
+            qr_pad = np.full((rows, 4, R), C.BASE_N, np.uint8)
+            qr_pad[:qr_tab.shape[0]] = qr_tab
+            rtab_dev = jax.device_put(rtab_pad, m.device)
+            qr_dev = jax.device_put(qr_pad, m.device)
+            for off in range(0, n, CS_FUSED_BATCH):
+                end = min(off + CS_FUSED_BATCH, n)
+                k = end - off
+                chunk = np.zeros((CS_FUSED_BATCH, 12), np.int32)
+                chunk[:k] = args_all[off:end]
+                chunk[k:, 1] = 1   # pad rows: 1-cell windows
+                chunk[k:, 4] = 1
+                chunk[k:, 7] = 1
+                chunk[k:, 8] = 1
+                chunk[k:, 10] = 1  # threshold 1 zeroes pad scores
+                res = sw_vec_cs_full_from_index(
+                    *planes, chunk, rtab_dev, qr_dev, **kw)
+                futures.append((off, k, res))
+        cells = int(wl64.sum()) * R
+        m.stats.vec_invocs += n
+        m.stats.full_invocs += n
+        m.stats.vec_cells += cells
+        m.stats.full_cells += cells * 4
+        return futures, win, G, use_pallas
+
+    # ---------------------------------------------------------- stage B
+    def stage_finish(self, ctx) -> Tuple[bytes, np.ndarray]:
+        """Fetch fused device results, native pass1 selection, then one
+        native call for post-SW + finalize + SAM text."""
+        import jax
+
+        from .fastpath import _P1In, _P1Out, _P1Params
+        m = self.m
+        cfg = m.config
+        fls = self.fls
+        fh = ctx["fh"]
+        B, R, wlen = ctx["B"], ctx["R"], ctx["wlen"]
+        nhits = np.zeros(B, np.int32)
+        m.stats.reads += B
+        if fh.n == 0:
+            return b"", nhits
+        n = int(fh.n)
+        t0 = _time.perf_counter()
+        fetched = jax.device_get([res for _, _, res in ctx["futures"]])
+        scores = np.empty(n, np.int64)
+        W = fetched[0][2].shape[1]
+        packed_all = np.empty((n, 12), np.int16)
+        steps_all = np.empty((n, W), np.int8)
+        for (off, k, _), (vec, pk, st) in zip(ctx["futures"], fetched):
+            scores[off:off + k] = vec[:k]
+            packed_all[off:off + k] = pk[:k]
+            steps_all[off:off + k] = st[:k]
+        dev_secs = _time.perf_counter() - t0 + ctx["t_dispatch"]
+        m.stats.vec_secs += dev_secs
+        m.stats.full_secs += dev_secs
+
+        # ---- native pass1 selection on the vector scores
+        t0 = _time.perf_counter()
+        opts = m._unpaired_opts[0].pass1
+        cap = max(n, 1)
+        sel = {k: np.empty(cap, dt) for k, dt in
+               (("ri", np.int32), ("gen_st", np.int8), ("cn", np.int32),
+                ("g_off", np.int64), ("w_len", np.int32),
+                ("score_max", np.int64), ("ax", np.int64),
+                ("ay", np.int64), ("alen", np.int64), ("awid", np.int64),
+                ("score_vector", np.int64), ("src", np.int64))}
+        seg = np.zeros(B + 1, np.int64)
+        p1 = _P1Params(
+            n, 2 * B, R, wlen,
+            int(abs_or_pct(opts.window_overlap, wlen)),
+            float(opts.threshold), opts.min_matches, opts.num_outputs,
+            1, fls.contig_lengths32.ctypes.data)
+        arrs = dict(owner=np.ascontiguousarray(fh.owner, np.int64),
+                    cn=np.ascontiguousarray(fh.cn, np.int32),
+                    g_off=np.ascontiguousarray(fh.g_off, np.int64),
+                    w_len=np.ascontiguousarray(fh.w_len, np.int32),
+                    matches=np.ascontiguousarray(fh.matches, np.int32),
+                    score_max=np.ascontiguousarray(fh.score_max, np.int64),
+                    ax=np.ascontiguousarray(fh.ax, np.int64),
+                    ay=np.ascontiguousarray(fh.ay, np.int64),
+                    alen=np.ascontiguousarray(fh.alen, np.int64),
+                    awid=np.ascontiguousarray(fh.awid, np.int64),
+                    scores=scores)
+        p1in = _P1In(**{k: _vp(v) for k, v in arrs.items()})
+        p1out = _P1Out(cap, *[_vp(sel[k]) for k in
+                              ("ri", "gen_st", "cn", "g_off", "w_len",
+                               "score_max", "ax", "ay", "alen",
+                               "awid", "score_vector")],
+                       _vp(seg), _vp(sel["src"]))
+        n_sel = int(self.lib.pass1_select(ctypes.byref(p1),
+                                          ctypes.byref(p1in),
+                                          ctypes.byref(p1out)))
+        assert n_sel >= 0
+        m.stats.add_stage("pass1 select", _time.perf_counter() - t0)
+        if n_sel == 0:
+            return b"", nhits
+
+        # CS pass2 runs the full SW on every selected hit (no vector
+        # gate, hit_run_full_sw mapping.c:375-379): keep all rows
+        rows = sel["src"][:n_sel]
+        t1 = _time.perf_counter()
+        idx = m.index
+        cal = m.cal
+        job_arrs = dict(
+            ri=np.ascontiguousarray(sel["ri"][:n_sel]),
+            cn=np.ascontiguousarray(sel["cn"][:n_sel]),
+            gen_st=np.ascontiguousarray(sel["gen_st"][:n_sel]),
+            g_off=np.ascontiguousarray(sel["g_off"][:n_sel]),
+            start_abs=np.ascontiguousarray(ctx["win"]["starts"][rows]),
+            score_max=np.ascontiguousarray(sel["score_max"][:n_sel]),
+            packed=np.ascontiguousarray(packed_all[rows]),
+            steps_rev=np.ascontiguousarray(steps_all[rows]))
+        raw = ctx["raw"]
+        fr = _CSFRParams(
+            n_sel, B, R, W, raw.shape[1],
+            float(cfg.sw_full_threshold), cfg.num_outputs,
+            int(cfg.strata), cfg.max_alignments,
+            int(cfg.single_best_mapping),
+            int(cfg.compute_mapping_qualities),
+            cal.alpha, cal.beta, cal.pr_xover, cal.pr_mismatch,
+            cal.pr_del_open, cal.pr_del_extend, cal.pr_ins_open,
+            cal.pr_ins_extend,
+            idx.total_len,
+            idx.codes.ctypes.data, idx.codes_rc.ctypes.data,
+            fls.contig_lengths32.ctypes.data,
+            fls.contig_name_off.ctypes.data,
+            fls.contig_names_blob.ctypes.data,
+            ctx["name_off"].ctypes.data, ctx["names"].ctypes.data,
+            ctx["codes0"].ctypes.data, ctx["qr_tab"].ctypes.data,
+            ctx["initbp"].ctypes.data, raw.ctypes.data)
+        frj = _CSFRJobs(**{k: _vp(v) for k, v in job_arrs.items()})
+        cap_b = n_sel * (3 * R + 256) + 4096
+        while True:
+            buf = np.empty(cap_b, np.uint8)
+            nb = self.lib.cs_finalize_render(
+                ctypes.byref(fr), ctypes.byref(frj), _vp(buf),
+                ctypes.c_int64(cap_b), _vp(nhits))
+            if nb >= 0:
+                break
+            if nb == -2:
+                raise RuntimeError("cs fastpath unsupported config")
+            cap_b *= 4
+        m.stats.reads_mapped += int((nhits > 0).sum())
+        m.stats.alignments += int(nhits.sum())
+        m.stats.add_stage("cs finalize + render",
+                          _time.perf_counter() - t1)
+        return buf[:nb].tobytes(), nhits
+
+
+def map_unpaired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
+                               batch_size: int = 8192,
+                               lanes: Optional[int] = None
+                               ) -> Optional[Iterator[bytes]]:
+    """Pipelined CS unpaired mapping straight to SAM bytes; None when
+    the config or batch shape needs the generic path.  Multi-lane like
+    fastpath.map_unpaired_sam_stream."""
+    if not fastpath_cs_supported(mapper.config):
+        return None
+    fast = FastCS(mapper)
+    if fast.lib is None:
+        return None
+    first = fast.stage_prepare(records[:batch_size], batch_cap=batch_size)
+    if first is None and len(records):
+        return None
+
+    def slow_tail(off: int) -> bytes:
+        from .io.sam import render_unpaired
+        lines = []
+        for re_, hits in mapper.map_unpaired(
+                list(records[off:off + batch_size])):
+            for h in hits:
+                lines.append(render_unpaired(re_, h, mapper.index,
+                                             mapper.config))
+        return ("\n".join(lines) + "\n").encode() if lines else b""
+
+    if lanes is None:
+        import os as _os
+        lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
+    if records:
+        mapper._dev_cs_planes()
+
+    def work(off: int, pre) -> bytes:
+        a = pre if pre is not None else fast.stage_prepare(
+            records[off:off + batch_size], batch_cap=batch_size)
+        if a is None:
+            return slow_tail(off)
+        return fast.stage_finish(a)[0]
+
+    def gen_mt():
+        from concurrent.futures import ThreadPoolExecutor
+        offs = list(range(0, len(records), batch_size))
+        with ThreadPoolExecutor(max(lanes, 1)) as ex:
+            futs = {}
+            ahead = max(lanes, 1) + 2
+            sub = 0
+            for i in range(len(offs)):
+                while sub < len(offs) and sub - i < ahead:
+                    futs[sub] = ex.submit(work, offs[sub],
+                                          first if sub == 0 else None)
+                    sub += 1
+                yield futs.pop(i).result()
+    return gen_mt()

@@ -18,18 +18,20 @@
 #include <vector>
 
 namespace {
-
 inline int left16(int j) { return (j >> 2) & 3; }
 inline int right16(int j) { return j & 3; }
+} // namespace
 
 // One alignment's forward-backward.  cols_let: -1 = no letter emission
 // (read-only insertion column).  Outputs total (forward score) and
-// post[n][4] posteriors.
-void fb_one(const int64_t *cols_let, const int64_t *cols_col,
-            const double *cols_err, int64_t n, int init_bp,
-            double la_match, double la_mis, double pr_snp,
-            double *fw, double *bw, double *pri, double *fwscale,
-            double *bwscale, double *total_out, double *post_out) {
+// post[n][4] posteriors.  Shared with cspipe.cpp (the colour-space
+// native finalize path); scratch buffers are caller-provided.
+extern "C" void cs_fb_one(
+    const int64_t *cols_let, const int64_t *cols_col,
+    const double *cols_err, int64_t n, int init_bp,
+    double la_match, double la_mis, double pr_snp,
+    double *fw, double *bw, double *pri, double *fwscale,
+    double *bwscale, double *total_out, double *post_out) {
   (void)pr_snp;
   // node priors (nodePrior, sw-post.c:113-139): letter term then colour
   // term, each val -= log(...) in sequence
@@ -148,8 +150,6 @@ void fb_one(const int64_t *cols_let, const int64_t *cols_col,
   }
 }
 
-} // namespace
-
 extern "C" int64_t cs_post_fb_batch(
     int64_t B, int64_t L, const int64_t *cols_let, const int64_t *cols_col,
     const double *cols_err, const int64_t *ncols, const int64_t *initbp,
@@ -181,10 +181,10 @@ extern "C" int64_t cs_post_fb_batch(
         fwscale.resize(n);
         bwscale.resize(n);
       }
-      fb_one(cols_let + b * L, cols_col + b * L, cols_err + b * L, n,
-             (int)initbp[b], la_match, la_mis, pr_snp, fw.data(), bw.data(),
-             pri.data(), fwscale.data(), bwscale.data(), &total_out[b],
-             post_out + b * L * 4);
+      cs_fb_one(cols_let + b * L, cols_col + b * L, cols_err + b * L, n,
+                (int)initbp[b], la_match, la_mis, pr_snp, fw.data(),
+                bw.data(), pri.data(), fwscale.data(), bwscale.data(),
+                &total_out[b], post_out + b * L * 4);
     }
   };
   if (nthreads == 1) {
