@@ -110,10 +110,11 @@ struct Scratch {
     std::vector<uint32_t> region_map;
     uint32_t region_gen = 0;
     std::vector<int32_t> cache;              // diagonal cache
-    // heap for k-way merge
-    struct HeapElem { int64_t key; int32_t stream; int64_t idx; int64_t end;
-                      const uint32_t* list; int32_t y; int32_t span; };
-    std::vector<HeapElem> heap;
+    // packed (position << 20 | stream) keys for the sort-based merge
+    std::vector<uint64_t> pos_keys;
+    struct ListRef { int64_t lo, hi; uint32_t sbase;
+                     const uint32_t* plist; };
+    std::vector<ListRef> lists;
 };
 
 static inline uint32_t kmer_key(const Filter1Params* p, const SeedSpec& S,
@@ -143,28 +144,6 @@ static inline uint32_t kmer_key(const Filter1Params* p, const SeedSpec& S,
     return key & ((1u << 24) - 1);
 }
 
-static void heap_sift_down(std::vector<Scratch::HeapElem>& h, size_t node) {
-    size_t n = h.size();
-    while (true) {
-        size_t l = 2 * node + 1, r = 2 * node + 2, m = node;
-        // tie-break on stream id to mirror the numpy lexsort((stream, x))
-        if (l < n && (h[l].key < h[m].key ||
-                      (h[l].key == h[m].key && h[l].stream < h[m].stream)))
-            m = l;
-        if (r < n && (h[r].key < h[m].key ||
-                      (h[r].key == h[m].key && h[r].stream < h[m].stream)))
-            m = r;
-        if (m == node) break;
-        std::swap(h[m], h[node]);
-        node = m;
-    }
-}
-
-static void heap_build(std::vector<Scratch::HeapElem>& h) {
-    for (int64_t i = (int64_t)h.size() / 2 - 1; i >= 0; i--)
-        heap_sift_down(h, (size_t)i);
-}
-
 int64_t filter1_batch(
     const Filter1Params* p,
     const SeedSpec* seeds,
@@ -176,6 +155,9 @@ int64_t filter1_batch(
     static thread_local Scratch sc;
     int64_t out_n = 0;
     const int L = p->read_len;
+    if ((int64_t)p->n_seeds * L >= (1 << 20))
+        return -2;   // stream id would overflow the packed key (caller
+                     // falls back to the numpy pipeline)
     const int64_t region_mask = ((int64_t)1 << p->region_bits) - 1;
     const int64_t n_regions = (p->genome_total_len >> p->region_bits) + 2;
     if (p->use_region_counts
@@ -201,23 +183,55 @@ int64_t filter1_batch(
                 sc.keys[(size_t)sn * max_kmers + i] = kmer_key(p, S, rc, i);
         }
 
-        // ---- region marks (read_get_region_counts, mapping.c:459-542)
+        // ---- single CSR walk: region marks (read_get_region_counts,
+        // mapping.c:459-542) fused with (position, stream) collection;
+        // the k-way heap merge of the reference (mapping.c:912-989) is
+        // replaced by one sort of packed (pos << 20 | stream) keys,
+        // which yields the identical (x, stream) visit order with far
+        // better cache behavior on long posting lists
         if (p->use_region_counts) {
             sc.region_gen++;
             if (sc.region_gen >= (1u << 29)) {   // wrap: clear and restart
                 std::fill(sc.region_map.begin(), sc.region_map.end(), 0u);
                 sc.region_gen = 1;
             }
-            const uint32_t gen_tag = sc.region_gen << 2;
-            for (int sn = 0; sn < p->n_seeds; sn++) {
-                const SeedSpec& S = seeds[sn];
-                for (int i = p->min_kmer_pos; i + S.span <= L; i++) {
-                    uint32_t key = sc.keys[(size_t)sn * max_kmers + i];
-                    int64_t lo = S.csr_offsets[key];
-                    int64_t hi = S.csr_offsets[key + 1];
-                    if (hi - lo > p->cutoff) continue;
+        }
+        const uint32_t gen_tag = sc.region_gen << 2;
+        sc.pos_keys.clear();
+        // prefetch every kmer's CSR offset row before the walk (the
+        // reference's _mm_prefetch in the index walk, mapping.c:501-505)
+        for (int sn = 0; sn < p->n_seeds; sn++) {
+            const SeedSpec& S = seeds[sn];
+            for (int i = p->min_kmer_pos; i + S.span <= L; i++)
+                __builtin_prefetch(
+                    &S.csr_offsets[sc.keys[(size_t)sn * max_kmers + i]]);
+        }
+        // gather list bounds (one pass), prefetching each list's head
+        sc.lists.clear();
+        for (int sn = 0; sn < p->n_seeds; sn++) {
+            const SeedSpec& S = seeds[sn];
+            for (int i = p->min_kmer_pos; i + S.span <= L; i++) {
+                uint32_t key = sc.keys[(size_t)sn * max_kmers + i];
+                int64_t lo = S.csr_offsets[key];
+                int64_t hi = S.csr_offsets[key + 1];
+                if (hi - lo > p->cutoff || lo >= hi) continue;
+                __builtin_prefetch(&S.csr_positions[lo]);
+                sc.lists.push_back({lo, hi, (uint32_t)(sn * L + i),
+                                    S.csr_positions});
+            }
+        }
+        for (size_t li = 0; li < sc.lists.size(); li++) {
+            if (li + 1 < sc.lists.size())
+                __builtin_prefetch(
+                    &sc.lists[li + 1].plist[sc.lists[li + 1].lo]);
+            const Scratch::ListRef& LR = sc.lists[li];
+            const int64_t lo = LR.lo, hi = LR.hi;
+            const uint32_t* plist = LR.plist;
+            {
+                const uint64_t sbase = LR.sbase;
+                if (p->use_region_counts) {
                     for (int64_t k = lo; k < hi; k++) {
-                        int64_t pos = (int64_t)S.csr_positions[k];
+                        int64_t pos = (int64_t)plist[k];
                         int64_t r = pos >> p->region_bits;
                         uint32_t v = sc.region_map[(size_t)r];
                         uint32_t m = ((v >> 2) == sc.region_gen)
@@ -230,51 +244,26 @@ int64_t filter1_batch(
                                 ? ((v2 & 3) < 2 ? (v2 & 3) + 1 : 2) : 1;
                             sc.region_map[(size_t)(r - 1)] = gen_tag | m2;
                         }
+                        sc.pos_keys.push_back(((uint64_t)pos << 20)
+                                              | sbase);
                     }
+                } else {
+                    for (int64_t k = lo; k < hi; k++)
+                        sc.pos_keys.push_back(
+                            ((uint64_t)plist[k] << 20) | sbase);
                 }
             }
         }
-
-        // ---- anchor stream via k-way heap merge (mapping.c:861-1006)
-        sc.heap.clear();
-        for (int sn = 0; sn < p->n_seeds; sn++) {
-            const SeedSpec& S = seeds[sn];
-            for (int i = p->min_kmer_pos; i + S.span <= L; i++) {
-                uint32_t key = sc.keys[(size_t)sn * max_kmers + i];
-                int64_t lo = S.csr_offsets[key];
-                int64_t hi = S.csr_offsets[key + 1];
-                if (lo >= hi || hi - lo > p->cutoff) continue;
-                Scratch::HeapElem e;
-                e.list = S.csr_positions;
-                e.idx = lo;
-                e.end = hi;
-                e.key = (int64_t)S.csr_positions[lo];
-                e.stream = sn * L + i;
-                e.y = i;
-                e.span = S.span;
-                sc.heap.push_back(e);
-            }
-        }
-        heap_build(sc.heap);
+        std::sort(sc.pos_keys.begin(), sc.pos_keys.end());
 
         sc.collapsed.clear();
         sc.cache.assign((size_t)L, -1);
         const uint32_t want_gen = sc.region_gen;
-        while (!sc.heap.empty()) {
-            Scratch::HeapElem& top = sc.heap[0];
-            int64_t x = top.key;
-            int32_t y = top.y;
-            int32_t span = top.span;
-            // advance
-            top.idx++;
-            if (top.idx < top.end) {
-                top.key = (int64_t)top.list[top.idx];
-                heap_sift_down(sc.heap, 0);
-            } else {
-                sc.heap[0] = sc.heap.back();
-                sc.heap.pop_back();
-                if (!sc.heap.empty()) heap_sift_down(sc.heap, 0);
-            }
+        for (uint64_t pk : sc.pos_keys) {
+            int64_t x = (int64_t)(pk >> 20);
+            int32_t stream = (int32_t)(pk & ((1u << 20) - 1));
+            int32_t y = stream % L;
+            int32_t span = seeds[stream / L].span;
 
             // region filter
             if (p->use_region_counts) {

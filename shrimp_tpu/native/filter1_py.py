@@ -151,6 +151,8 @@ def generate_candidates_native(index, codes: np.ndarray, read_len: int,
                 ctypes.c_void_p(seg.ctypes.data))
             if n >= 0:
                 break
+            if n == -2:       # unsupported shape: numpy fallback
+                return None
             cap *= 4
         return (n, owner, cn, g_off, w_len, swg, matches, score_max, ax,
                 ay, alen, awid, seg)
@@ -172,6 +174,8 @@ def generate_candidates_native(index, codes: np.ndarray, read_len: int,
         with ThreadPoolExecutor(len(ranges)) as ex:
             parts = list(ex.map(lambda r: run_range(*r), ranges))
 
+    if any(p is None for p in parts):
+        return None
     total = sum(p[0] for p in parts)
     if total == 0:
         return _empty_flat(n_owners)
