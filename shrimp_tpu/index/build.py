@@ -260,10 +260,39 @@ def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
             keys = np.zeros(0, np.uint32)
             pos = np.zeros(0, np.uint32)
         n_mapidx = (4 ** C.HASH_TABLE_POWER if hashed else seed.n_mapidx)
-        counts = np.bincount(keys, minlength=n_mapidx)
-        csr_offsets = np.zeros(n_mapidx + 1, dtype=np.int64)
-        np.cumsum(counts, out=csr_offsets[1:])
-        order = np.argsort(keys, kind="stable")
+        csr_offsets, sorted_pos = _csr_sort(keys, pos, n_mapidx)
         gi.seeds.append(SeedIndex(seed=seed, offsets=csr_offsets,
-                                  positions=pos[order]))
+                                  positions=sorted_pos))
     return gi
+
+
+def _csr_sort(keys: np.ndarray, pos: np.ndarray, n_mapidx: int):
+    """(keys, positions) -> CSR (offsets, sorted positions), per-key
+    lists ascending in genome order.  Native parallel counting sort
+    (native/csrsort.cpp) when available — O(n + K) and multithreaded vs
+    numpy's single-threaded stable mergesort."""
+    native = None
+    try:
+        from ..native import get_lib
+        native = get_lib()
+    except Exception:
+        native = None
+    if native is not None and len(keys):
+        import ctypes
+        k32 = np.ascontiguousarray(keys, np.uint32)
+        p32 = np.ascontiguousarray(pos, np.uint32)
+        offsets = np.zeros(n_mapidx + 1, np.int64)
+        out_pos = np.empty(len(keys), np.uint32)
+        rv = native.csr_counting_sort(
+            ctypes.c_void_p(k32.ctypes.data),
+            ctypes.c_void_p(p32.ctypes.data),
+            ctypes.c_int64(len(keys)), ctypes.c_int64(n_mapidx),
+            ctypes.c_void_p(offsets.ctypes.data),
+            ctypes.c_void_p(out_pos.ctypes.data), ctypes.c_int32(0))
+        if rv == 0:
+            return offsets, out_pos
+    counts = np.bincount(keys, minlength=n_mapidx)
+    csr_offsets = np.zeros(n_mapidx + 1, dtype=np.int64)
+    np.cumsum(counts, out=csr_offsets[1:])
+    order = np.argsort(keys, kind="stable")
+    return csr_offsets, pos[order]

@@ -30,7 +30,8 @@ def _build() -> Optional[str]:
             os.path.join(_SRC_DIR, "hostpipe.cpp"),
             os.path.join(_SRC_DIR, "pairedpipe.cpp"),
             os.path.join(_SRC_DIR, "cspost.cpp"),
-            os.path.join(_SRC_DIR, "cspipe.cpp")]
+            os.path.join(_SRC_DIR, "cspipe.cpp"),
+            os.path.join(_SRC_DIR, "csrsort.cpp")]
     h = hashlib.sha256()
     h.update(b"g++ -O3 -march=native -ffp-contract=off")  # flags
     for src in srcs:
@@ -79,4 +80,5 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _LIB.paired_finalize_render.restype = ctypes.c_int64
         _LIB.cs_post_fb_batch.restype = ctypes.c_int64
         _LIB.cs_finalize_render.restype = ctypes.c_int64
+        _LIB.csr_counting_sort.restype = ctypes.c_int64
     return _LIB
