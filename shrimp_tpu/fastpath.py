@@ -721,7 +721,8 @@ def fastpath_paired_supported(cfg: MapperConfig) -> bool:
     if len(popts) != 1:
         return False
     ro = popts[0].read[0]
-    if ro.anchor_list.use_mp_region_counts:
+    if (ro.anchor_list.use_mp_region_counts
+            and not ro.anchor_list.use_region_counts):
         return False
     if cfg.gapless or not cfg.global_alignment:
         return False
@@ -804,6 +805,23 @@ class FastPaired:
         m.stats.add_stage("read prep", _time.perf_counter() - t0)
         t1 = _time.perf_counter()
         ro = m._paired_opts[0].read[0]
+        mp_kw = {}
+        if ro.anchor_list.use_mp_region_counts:
+            # mate-pair region filter deltas (readpair_compute_mp_ranges,
+            # mapping.c:2317-2442); all pairs share them at equal lengths
+            from types import SimpleNamespace
+            re1 = SimpleNamespace(window_len=wlen, read_len=L)
+            re2 = SimpleNamespace(window_len=wlen, read_len=L)
+            m._compute_mp_ranges(re1, re2, m._paired_opts[0].pairing)
+            drmin = np.empty(2 * B, np.int64)
+            drmax = np.empty(2 * B, np.int64)
+            for st in (0, 1):
+                drmin[st::4] = re1.delta_region_min[st]
+                drmax[st::4] = re1.delta_region_max[st]
+                drmin[2 + st::4] = re2.delta_region_min[st]
+                drmax[2 + st::4] = re2.delta_region_max[st]
+            mp_kw = dict(mp_mode=ro.anchor_list.use_mp_region_counts,
+                         mp_drmin=drmin, mp_drmax=drmax)
         from .native.filter1_py import generate_candidates_native
         fh = generate_candidates_native(
             m.index, codes2, L, wlen, m.cutoff, ro.hit_list.match_mode,
@@ -814,7 +832,7 @@ class FastPaired:
             region_bits=cfg.region_bits,
             region_overlap=cfg.region_overlap,
             collapse=ro.anchor_list.collapse, gapless=False,
-            search_strands=(True, True))
+            search_strands=(True, True), **mp_kw)
         if fh is None:
             return None
         m.stats.add_stage("filter1", _time.perf_counter() - t1)

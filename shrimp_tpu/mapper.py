@@ -1507,7 +1507,27 @@ class Mapper:
         mp_mode = opts.anchor_list.use_mp_region_counts
         if (mp_mode and opts.anchor_list.use_region_counts
                 and all(e.mate_pair is not None for e in sub)):
-            # mate-pair region filter: python pipeline only
+            # mate-pair region filter: native when the batch is
+            # interleaved same-length pairs, else python pipeline
+            if (len(sub) % 2 == 0
+                    and all(sub[i].mate_pair is sub[i ^ 1]
+                            for i in range(len(sub)))):
+                drmin = np.empty(2 * len(sub), np.int64)
+                drmax = np.empty(2 * len(sub), np.int64)
+                for k, e in enumerate(sub):
+                    for st in (0, 1):
+                        drmin[2 * k + st] = e.delta_region_min[st]
+                        drmax[2 * k + st] = e.delta_region_max[st]
+                try:
+                    from .native.filter1_py import \
+                        generate_candidates_native
+                    fh = generate_candidates_native(
+                        *args, mp_mode=mp_mode, mp_drmin=drmin,
+                        mp_drmax=drmax, **kw)
+                except Exception:
+                    fh = None
+                if fh is not None:
+                    return fh
             kw.update(self._mp_context(sub, mp_mode))
             return bp.generate_candidates(*args, **kw)
         try:

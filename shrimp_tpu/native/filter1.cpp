@@ -52,6 +52,14 @@ struct Filter1Params {
     int32_t n_contigs;
     const uint32_t* contig_offsets;
     const uint32_t* contig_lengths;
+    // mate-pair region filter (read_get_mp_region_counts,
+    // mapping.c:545-608): owners come in interleaved-pair groups of 4
+    // (leg1 st0, leg1 st1, leg2 st0, leg2 st1); mp_drmin/mp_drmax are
+    // per-owner region delta ranges (already sliced to this call's
+    // owner range). mp_mode 0 disables.
+    int32_t mp_mode;
+    const int64_t* mp_drmin;
+    const int64_t* mp_drmax;
 };
 
 // output buffers, caller-allocated with capacity `cap`; return count or -1
@@ -115,7 +123,24 @@ struct Scratch {
     struct ListRef { int64_t lo, hi; uint32_t sbase;
                      const uint32_t* plist; };
     std::vector<ListRef> lists;
+    // mate-pair group state (4 owners of an interleaved read pair)
+    std::vector<uint64_t> mp_pos_keys[4];
+    std::vector<int64_t> mp_marks;
+    std::vector<int64_t> mp_m1[4], mp_m2[4];
+    std::vector<uint8_t> heavy;
 };
+
+// sorted-range existence query: any element in [lo, hi]?
+static inline bool any_in(const std::vector<int64_t>& v, int64_t lo,
+                          int64_t hi) {
+    auto it = std::lower_bound(v.begin(), v.end(), lo);
+    return it != v.end() && *it <= hi;
+}
+
+static inline bool contains(const std::vector<int64_t>& v, int64_t x) {
+    auto it = std::lower_bound(v.begin(), v.end(), x);
+    return it != v.end() && *it == x;
+}
 
 static inline uint32_t kmer_key(const Filter1Params* p, const SeedSpec& S,
                                 const uint8_t* rc, int i) {
@@ -165,39 +190,30 @@ int64_t filter1_batch(
         sc.region_map.assign((size_t)n_regions, 0u);
         sc.region_gen = 0;
     }
+    if (p->mp_mode && ((n_owners % 4) || !p->use_region_counts))
+        return -2;   // mp filter needs interleaved pair groups + regions
     // per-owner kmer key cache: [seed][kmer index]
     int max_kmers = L;
     sc.keys.resize((size_t)p->n_seeds * max_kmers);
 
-    for (int64_t ow = 0; ow < n_owners; ow++) {
-        seg_start[ow] = out_n;
-        int st = (int)(ow & 1);
-        if ((st == 0 && !p->search_fw) || (st == 1 && !p->search_rv))
-            continue;
-        const uint8_t* rc = codes + ow * L;
-
-        // ---- kmer keys once per (seed, position)
+    // ---- single CSR walk: region marks (read_get_region_counts,
+    // mapping.c:459-542) fused with (position, stream) collection; the
+    // k-way heap merge of the reference (mapping.c:912-989) is replaced
+    // by one sort of packed (pos << 20 | stream) keys, which yields the
+    // identical (x, stream) visit order with far better cache behavior
+    // on long posting lists. With marks_out set (mate-pair groups),
+    // region touches go to a sortable vector instead of the
+    // generation-tagged map.
+    auto collect_owner = [&](const uint8_t* rc,
+                             std::vector<uint64_t>& pos_out,
+                             std::vector<int64_t>* marks_out) {
         for (int sn = 0; sn < p->n_seeds; sn++) {
             const SeedSpec& S = seeds[sn];
             for (int i = p->min_kmer_pos; i + S.span <= L; i++)
                 sc.keys[(size_t)sn * max_kmers + i] = kmer_key(p, S, rc, i);
         }
-
-        // ---- single CSR walk: region marks (read_get_region_counts,
-        // mapping.c:459-542) fused with (position, stream) collection;
-        // the k-way heap merge of the reference (mapping.c:912-989) is
-        // replaced by one sort of packed (pos << 20 | stream) keys,
-        // which yields the identical (x, stream) visit order with far
-        // better cache behavior on long posting lists
-        if (p->use_region_counts) {
-            sc.region_gen++;
-            if (sc.region_gen >= (1u << 29)) {   // wrap: clear and restart
-                std::fill(sc.region_map.begin(), sc.region_map.end(), 0u);
-                sc.region_gen = 1;
-            }
-        }
         const uint32_t gen_tag = sc.region_gen << 2;
-        sc.pos_keys.clear();
+        pos_out.clear();
         // prefetch every kmer's CSR offset row before the walk (the
         // reference's _mm_prefetch in the index walk, mapping.c:501-505)
         for (int sn = 0; sn < p->n_seeds; sn++) {
@@ -206,7 +222,6 @@ int64_t filter1_batch(
                 __builtin_prefetch(
                     &S.csr_offsets[sc.keys[(size_t)sn * max_kmers + i]]);
         }
-        // gather list bounds (one pass), prefetching each list's head
         sc.lists.clear();
         for (int sn = 0; sn < p->n_seeds; sn++) {
             const SeedSpec& S = seeds[sn];
@@ -227,34 +242,117 @@ int64_t filter1_batch(
             const Scratch::ListRef& LR = sc.lists[li];
             const int64_t lo = LR.lo, hi = LR.hi;
             const uint32_t* plist = LR.plist;
-            {
-                const uint64_t sbase = LR.sbase;
-                if (p->use_region_counts) {
-                    for (int64_t k = lo; k < hi; k++) {
-                        int64_t pos = (int64_t)plist[k];
-                        int64_t r = pos >> p->region_bits;
-                        uint32_t v = sc.region_map[(size_t)r];
-                        uint32_t m = ((v >> 2) == sc.region_gen)
-                            ? ((v & 3) < 2 ? (v & 3) + 1 : 2) : 1;
-                        sc.region_map[(size_t)r] = gen_tag | m;
-                        if ((pos & region_mask) < p->region_overlap
-                            && r > 0) {
-                            uint32_t v2 = sc.region_map[(size_t)(r - 1)];
-                            uint32_t m2 = ((v2 >> 2) == sc.region_gen)
-                                ? ((v2 & 3) < 2 ? (v2 & 3) + 1 : 2) : 1;
-                            sc.region_map[(size_t)(r - 1)] = gen_tag | m2;
-                        }
-                        sc.pos_keys.push_back(((uint64_t)pos << 20)
-                                              | sbase);
+            const uint64_t sbase = LR.sbase;
+            if (marks_out) {
+                for (int64_t k = lo; k < hi; k++) {
+                    int64_t pos = (int64_t)plist[k];
+                    int64_t r = pos >> p->region_bits;
+                    marks_out->push_back(r);
+                    if ((pos & region_mask) < p->region_overlap && r > 0)
+                        marks_out->push_back(r - 1);
+                    pos_out.push_back(((uint64_t)pos << 20) | sbase);
+                }
+            } else if (p->use_region_counts) {
+                for (int64_t k = lo; k < hi; k++) {
+                    int64_t pos = (int64_t)plist[k];
+                    int64_t r = pos >> p->region_bits;
+                    uint32_t v = sc.region_map[(size_t)r];
+                    uint32_t m = ((v >> 2) == sc.region_gen)
+                        ? ((v & 3) < 2 ? (v & 3) + 1 : 2) : 1;
+                    sc.region_map[(size_t)r] = gen_tag | m;
+                    if ((pos & region_mask) < p->region_overlap
+                        && r > 0) {
+                        uint32_t v2 = sc.region_map[(size_t)(r - 1)];
+                        uint32_t m2 = ((v2 >> 2) == sc.region_gen)
+                            ? ((v2 & 3) < 2 ? (v2 & 3) + 1 : 2) : 1;
+                        sc.region_map[(size_t)(r - 1)] = gen_tag | m2;
                     }
-                } else {
-                    for (int64_t k = lo; k < hi; k++)
-                        sc.pos_keys.push_back(
-                            ((uint64_t)plist[k] << 20) | sbase);
+                    pos_out.push_back(((uint64_t)pos << 20) | sbase);
+                }
+            } else {
+                for (int64_t k = lo; k < hi; k++)
+                    pos_out.push_back(((uint64_t)plist[k] << 20) | sbase);
+            }
+        }
+        std::sort(pos_out.begin(), pos_out.end());
+    };
+
+    for (int64_t ow = 0; ow < n_owners; ow++) {
+        seg_start[ow] = out_n;
+        int st = (int)(ow & 1);
+        const uint8_t* rc = codes + ow * L;
+        const int q = (int)(ow & 3);
+        // mate owner of (read i, st) is (i^1, 1-st): 0<->3, 1<->2
+        // within the 4-owner group
+        const int mate_q = 3 - q;
+        if (p->mp_mode && q == 0) {
+            // phase A for the group: collect all four owners' positions
+            // and region marks, then sort marks into >=1 / >=2 id sets
+            // (read_get_mp_region_counts, mapping.c:545-608)
+            for (int g = 0; g < 4; g++) {
+                sc.mp_marks.clear();
+                collect_owner(codes + (ow + g) * L, sc.mp_pos_keys[g],
+                              &sc.mp_marks);
+                std::sort(sc.mp_marks.begin(), sc.mp_marks.end());
+                sc.mp_m1[g].clear();
+                sc.mp_m2[g].clear();
+                size_t i2 = 0;
+                while (i2 < sc.mp_marks.size()) {
+                    size_t j2 = i2;
+                    while (j2 + 1 < sc.mp_marks.size()
+                           && sc.mp_marks[j2 + 1] == sc.mp_marks[i2])
+                        j2++;
+                    sc.mp_m1[g].push_back(sc.mp_marks[i2]);
+                    if (j2 > i2)
+                        sc.mp_m2[g].push_back(sc.mp_marks[i2]);
+                    i2 = j2 + 1;
                 }
             }
         }
-        std::sort(sc.pos_keys.begin(), sc.pos_keys.end());
+        if ((st == 0 && !p->search_fw) || (st == 1 && !p->search_rv))
+            continue;
+        const std::vector<int64_t>* own_m2 = nullptr;
+        const std::vector<int64_t>* mate_m1 = nullptr;
+        const std::vector<int64_t>* mate_m2 = nullptr;
+        int64_t drmin = 0, drmax = 0;
+        if (p->mp_mode) {
+            own_m2 = &sc.mp_m2[q];
+            mate_m1 = &sc.mp_m1[mate_q];
+            mate_m2 = &sc.mp_m2[mate_q];
+            drmin = p->mp_drmin[ow];
+            drmax = p->mp_drmax[ow];
+            sc.pos_keys.swap(sc.mp_pos_keys[q]);
+        } else {
+            if (p->use_region_counts) {
+                sc.region_gen++;
+                if (sc.region_gen >= (1u << 29)) {  // wrap: clear, restart
+                    std::fill(sc.region_map.begin(), sc.region_map.end(),
+                              0u);
+                    sc.region_gen = 1;
+                }
+            }
+            collect_owner(rc, sc.pos_keys, nullptr);
+        }
+
+        // per-anchor-region mate support: modes combine the read's own
+        // >=2 marks with the mate window's marks (advance_index_in_
+        // genomemap, mapping.c:695-745)
+        auto mp_pass = [&](int64_t rq) -> bool {
+            bool main2 = contains(*own_m2, rq);
+            int64_t lo_q = rq + drmin < 0 ? 0 : rq + drmin;
+            int64_t hi_q = rq + drmax > n_regions - 1 ? n_regions - 1
+                                                      : rq + drmax;
+            bool mp2 = any_in(*mate_m2, lo_q, hi_q);
+            if (p->mp_mode == 1) return main2 && mp2;
+            if (p->mp_mode == 2) return main2 || mp2;
+            return any_in(*mate_m1, lo_q, hi_q) && (main2 || mp2);
+        };
+        auto mp2_near = [&](int64_t rq) -> bool {
+            int64_t lo_q = rq + drmin < 0 ? 0 : rq + drmin;
+            int64_t hi_q = rq + drmax > n_regions - 1 ? n_regions - 1
+                                                      : rq + drmax;
+            return any_in(*mate_m2, lo_q, hi_q);
+        };
 
         sc.collapsed.clear();
         sc.cache.assign((size_t)L, -1);
@@ -266,7 +364,13 @@ int64_t filter1_batch(
             int32_t span = seeds[stream / L].span;
 
             // region filter
-            if (p->use_region_counts) {
+            if (p->mp_mode) {
+                int64_t r = x >> p->region_bits;
+                bool ok = mp_pass(r);
+                if (!ok && (x & region_mask) < p->region_overlap && r > 0)
+                    ok = mp_pass(r - 1);
+                if (!ok) continue;
+            } else if (p->use_region_counts) {
                 int64_t r = x >> p->region_bits;
                 uint32_t v = sc.region_map[(size_t)r];
                 bool ok = (v >> 2) == want_gen && (v & 3) >= 2;
@@ -305,6 +409,23 @@ int64_t filter1_batch(
             }
         }
 
+        // per-anchor mate support for match mode 3 (heavy_mp,
+        // mapping.c:1083-1094): the mate's opposite strand has a
+        // >=2-touch region within the anchor region's delta range
+        sc.heavy.clear();
+        if (p->match_mode == 3 && p->mp_mode) {
+            sc.heavy.resize(sc.collapsed.size(), 0);
+            for (size_t hh = 0; hh < sc.collapsed.size(); hh++) {
+                int64_t hx = sc.collapsed[hh].x;
+                int64_t hr = hx >> p->region_bits;
+                bool hv = mp2_near(hr);
+                if (!hv && (hx & region_mask) < p->region_overlap
+                    && hr > 0)
+                    hv = mp2_near(hr - 1);
+                sc.heavy[hh] = hv ? 1 : 0;
+            }
+        }
+
         // ---- window generation (read_get_hit_list, mapping.c:1025-1229)
         const std::vector<Anchor>& A = sc.collapsed;
         int64_t n = (int64_t)A.size();
@@ -322,7 +443,10 @@ int64_t filter1_batch(
                                                    : 0;
             int64_t max_idx = i;
             int64_t max_score = (int64_t)ai.length * p->match_score;
-            if (!p->gapless && p->match_mode == 2 && ai.weight == 1)
+            const bool hv = !sc.heavy.empty() && sc.heavy[(size_t)i];
+            if (!p->gapless && ai.weight == 1
+                && (p->match_mode == 2
+                    || (p->match_mode == 3 && !hv)))
                 max_score = -1;
             if (!p->gapless) {
                 for (int64_t j = i - 1;
@@ -350,6 +474,9 @@ int64_t filter1_batch(
                     ? -p->threshold
                     : (double)cap * (p->threshold / 100.0);
                 keep = (double)max_score >= thr;
+                // heavy anchors get a window with no threshold check
+                // (mapping.c:1160-1163)
+                if (p->match_mode == 3 && hv) keep = true;
             }
             if (!keep) continue;
 

@@ -50,6 +50,9 @@ class _Params(ctypes.Structure):
         ("n_contigs", ctypes.c_int32),
         ("contig_offsets", ctypes.c_void_p),
         ("contig_lengths", ctypes.c_void_p),
+        ("mp_mode", ctypes.c_int32),
+        ("mp_drmin", ctypes.c_void_p),
+        ("mp_drmax", ctypes.c_void_p),
     ]
 
 
@@ -89,12 +92,21 @@ def generate_candidates_native(index, codes: np.ndarray, read_len: int,
                                collapse: bool = True,
                                gapless: bool = False,
                                search_strands=(True, True),
+                               mp_mode: int = 0,
+                               mp_drmin=None,
+                               mp_drmax=None,
                                ) -> Optional[FlatHits]:
     lib = get_lib()
     if lib is None:
         return None
     N = codes.shape[0]
     n_owners = N * 2
+    if mp_mode and (N % 2 or not use_region_counts):
+        return None
+    mp_drmin = (np.ascontiguousarray(mp_drmin, np.int64)
+                if mp_mode else None)
+    mp_drmax = (np.ascontiguousarray(mp_drmax, np.int64)
+                if mp_mode else None)
     flat_codes = np.ascontiguousarray(codes.reshape(n_owners, read_len),
                                       dtype=np.uint8)
 
@@ -111,19 +123,23 @@ def generate_candidates_native(index, codes: np.ndarray, read_len: int,
 
     c_off = np.ascontiguousarray(index.contig_offsets, dtype=np.uint32)
     c_len = np.ascontiguousarray(index.contig_lengths, dtype=np.uint32)
-    params = _Params(
-        len(index.seeds), read_len, window_len, cutoff, match_mode,
-        float(threshold), match_score, b_gap_open, b_gap_extend,
-        min_kmer_pos, int(use_region_counts), region_bits, region_overlap,
-        int(collapse), int(gapless), int(search_strands[0]),
-        int(search_strands[1]), int(index.hashed),
-        max(si.seed.span for si in index.seeds), index.total_len,
-        index.n_contigs, c_off.ctypes.data, c_len.ctypes.data)
 
     def run_range(o_lo: int, o_hi: int):
         """One filter1_batch call over owner rows [o_lo, o_hi); owners in
         the result are call-local (add o_lo to globalize)."""
         n_own = o_hi - o_lo
+        params = _Params(
+            len(index.seeds), read_len, window_len, cutoff, match_mode,
+            float(threshold), match_score, b_gap_open, b_gap_extend,
+            min_kmer_pos, int(use_region_counts), region_bits,
+            region_overlap, int(collapse), int(gapless),
+            int(search_strands[0]), int(search_strands[1]),
+            int(index.hashed),
+            max(si.seed.span for si in index.seeds), index.total_len,
+            index.n_contigs, c_off.ctypes.data, c_len.ctypes.data,
+            int(mp_mode),
+            mp_drmin.ctypes.data + 8 * o_lo if mp_mode else None,
+            mp_drmax.ctypes.data + 8 * o_lo if mp_mode else None)
         cap = max(4 * n_own * 32, 1 << 16)
         while True:
             owner = np.empty(cap, np.int64)
@@ -169,6 +185,8 @@ def generate_candidates_native(index, codes: np.ndarray, read_len: int,
     else:
         from concurrent.futures import ThreadPoolExecutor
         per = (N + nthreads - 1) // nthreads
+        if mp_mode and per % 2:
+            per += 1   # mp groups span two reads: split on pair bounds
         ranges = [(2 * i * per, 2 * min((i + 1) * per, N))
                   for i in range(nthreads) if i * per < N]
         with ThreadPoolExecutor(len(ranges)) as ex:

@@ -95,12 +95,20 @@ def test_paired_fastpath_multilane_order():
     assert fast == generic
 
 
-def test_paired_fastpath_gates_mp_region_configs():
-    # half_paired=False turns on the mate-pair region filter
-    # (paired_options mp_rc=1), which only the generic path implements;
-    # the fast path must decline so the CLI falls back
-    g, recs = make_pairs(5, 10, "opp-in")
+@pytest.mark.parametrize("kw,seed", [
+    (dict(half_paired=False), 5),              # mp_rc=1, hit mode 2
+    (dict(match_mode=3), 6),                   # mp_rc=2, hit mode 3
+    (dict(match_mode=3, half_paired=False), 7),  # mp_rc=3
+])
+def test_paired_fastpath_mp_region_configs(kw, seed):
+    # The mate-pair region filter configs (paired_options mp_rc=1/2/3)
+    # run through the native filter1 mp path; output must match the
+    # generic pipeline exactly
+    g, recs = make_pairs(seed, 60, "opp-in")
     idx = build_index([("chrP", encode.encode_ls(g))], default_seeds())
-    cfg = MapperConfig(pair_mode="opp-in", half_paired=False)
+    cfg = MapperConfig(pair_mode="opp-in", **kw)
+    generic = _generic_sam(PairedMapper(idx, cfg), recs)
     m2 = PairedMapper(idx, cfg)
-    assert map_paired_sam_stream(m2, recs, batch_size=64) is None
+    gen = map_paired_sam_stream(m2, recs, batch_size=64, lanes=1)
+    assert gen is not None, "mp fast path unexpectedly unsupported"
+    assert b"".join(gen) == generic

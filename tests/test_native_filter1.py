@@ -52,3 +52,43 @@ def test_native_matches_numpy(hashed):
         np.testing.assert_array_equal(
             np.asarray(getattr(got, f), np.int64),
             np.asarray(getattr(want, f), np.int64), err_msg=f)
+
+
+@pytest.mark.skipif(not native_available(), reason="native build failed")
+@pytest.mark.parametrize("mp_mode,match_mode", [(1, 2), (2, 3), (3, 3)])
+def test_native_mp_matches_numpy(mp_mode, match_mode):
+    """Native mate-pair region filter (interleaved pair groups) vs the
+    numpy pipeline with explicit mate-mark arrays."""
+    rng = np.random.default_rng(400 + mp_mode)
+    idx, codes, rl = _dataset(rng, n_reads=120)   # 60 interleaved pairs
+    n_reg = (idx.total_len >> 11) + 2
+    drmin = np.empty(240, np.int64)
+    drmax = np.empty(240, np.int64)
+    drmin[0::2], drmax[0::2] = 0, 3      # strand 0
+    drmin[1::2], drmax[1::2] = -3, 0     # strand 1
+    args = (idx, codes, rl, int(1.4 * rl), idx.auto_list_cutoff(),
+            match_mode, 55.0, 10, -33, -3)
+    # numpy path: mate marks rebased per owner (Mapper._mp_context)
+    ids1, ids2 = bp.region_mark_keys(idx, codes, rl,
+                                     idx.auto_list_cutoff())
+    m1_chunks, m2_chunks = [], []
+    for k in range(codes.shape[0]):
+        for st in (0, 1):
+            o = 2 * k + st
+            om = 2 * (k ^ 1) + (1 - st)
+            for ids, chunks in ((ids1, m1_chunks), (ids2, m2_chunks)):
+                s = slice(np.searchsorted(ids, om * n_reg),
+                          np.searchsorted(ids, (om + 1) * n_reg))
+                chunks.append(o * n_reg + (ids[s] - om * n_reg))
+    want = bp.generate_candidates(
+        *args, mp_mode=mp_mode, mp_mate_m1=np.concatenate(m1_chunks),
+        mp_mate_m2=np.concatenate(m2_chunks), mp_drmin=drmin,
+        mp_drmax=drmax)
+    got = generate_candidates_native(
+        *args, mp_mode=mp_mode, mp_drmin=drmin, mp_drmax=drmax)
+    assert got is not None
+    assert got.n == want.n, f"hit count {got.n} vs {want.n}"
+    for f in FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f), np.int64),
+            np.asarray(getattr(want, f), np.int64), err_msg=f)
