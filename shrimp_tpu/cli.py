@@ -592,7 +592,7 @@ def cmd_map(args) -> int:
     # bytes, pipelined across batches. Falls back per-window when a
     # batch shape is unsupported.
     use_fast = False
-    if (not cfg.shrimp_format and not fastq
+    if (not cfg.shrimp_format
             and un_f is None and al_f is None
             and (not paired or ins_hist is None)):
         from .fastpath import (fastpath_paired_supported,
@@ -601,9 +601,14 @@ def cmd_map(args) -> int:
                                map_unpaired_sam_stream)
         from .fastpath_cs import (fastpath_cs_supported,
                                   map_unpaired_cs_sam_stream)
-        use_fast = (fastpath_paired_supported(cfg) if paired
-                    else (fastpath_supported(cfg)
-                          or fastpath_cs_supported(cfg)))
+        if paired:
+            # the paired renderer emits QUAL '*' only
+            use_fast = not fastq and fastpath_paired_supported(cfg)
+        elif cfg.mode == C.MODE_COLOUR_SPACE:
+            # CS quals change scoring (crossover/qualities): generic
+            use_fast = not fastq and fastpath_cs_supported(cfg)
+        else:
+            use_fast = fastpath_supported(cfg)
     win_size = max(8 * B, 32768) if use_fast else B
     out_b = getattr(out, "buffer", None)
 

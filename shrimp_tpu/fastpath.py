@@ -93,7 +93,9 @@ class _FRParams(ctypes.Structure):
                 ("contig_name_off", ctypes.c_void_p),
                 ("contig_names", ctypes.c_void_p),
                 ("name_off", ctypes.c_void_p), ("names", ctypes.c_void_p),
-                ("seq_fwd", ctypes.c_void_p), ("seq_rc", ctypes.c_void_p)]
+                ("seq_fwd", ctypes.c_void_p), ("seq_rc", ctypes.c_void_p),
+                ("qual_fwd", ctypes.c_void_p),
+                ("qual_rc", ctypes.c_void_p)]
 
 
 class _FRJobs(ctypes.Structure):
@@ -261,8 +263,7 @@ class FastLS:
             return None  # raw-string trims: generic prepare_read path
         if cfg.custom_unpaired_options or cfg.custom_paired_options:
             return None  # multi-round option sets: handle_read loop path
-        if any(r.qual is not None for r in records):
-            return None  # C renderer emits QUAL '*'; quals need sam.py
+        has_qual = any(r.qual is not None for r in records)
         L = len(records[0].seq)
         if L == 0 or L > cfg.longest_read_len:
             return None
@@ -274,6 +275,44 @@ class FastLS:
         if len(buf) != B * L:
             return None
         raw = np.frombuffer(buf, np.uint8).reshape(B, L)
+        qual_fwd = qual_rc = None
+        if has_qual:
+            try:
+                qbuf = "".join(r.qual for r in records).encode("ascii")
+            except (UnicodeEncodeError, TypeError):
+                return None
+            if len(qbuf) != B * L:
+                return None   # mixed/missing quals: generic path
+            qarr = np.frombuffer(qbuf, np.uint8).reshape(B, L)
+            qv = qarr.astype(np.int32) - cfg.qual_delta
+            if not cfg.ignore_qvs and not cfg.no_qv_check:
+                # PHRED offset sanity check (gmapper.c:464-473)
+                bad = (qv < -10) | (qv > 50)
+                if bad.any():
+                    q0 = int(qv[bad][0])
+                    raise ValueError(
+                        "The qv-offset might be set incorrectly! "
+                        "Currently qvs are interpreted as PHRED+"
+                        f"{cfg.qual_delta} and a qv of {q0} was "
+                        "observed.")
+            if not cfg.ignore_qvs and cfg.min_avg_qv >= 0:
+                # average-qv read drop (gmapper.c:455-462; C int division)
+                s = qv.sum(axis=1, dtype=np.int64)
+                avg = np.where(s < 0, -((-s) // L), s // L)
+                keep = avg >= cfg.min_avg_qv
+                if not keep.all():
+                    records = [r for r, k in zip(records, keep) if k]
+                    if not records:
+                        return dict(B=0)
+                    raw = np.ascontiguousarray(raw[keep])
+                    qarr = np.ascontiguousarray(qarr[keep])
+                    B = len(records)
+            if cfg.qual_delta != 33:
+                # rescale to PHRED+33 (output.c:562-568)
+                qarr = (qarr.astype(np.int32) - cfg.qual_delta + 33
+                        ).astype(np.uint8)
+            qual_fwd = np.ascontiguousarray(qarr)
+            qual_rc = np.ascontiguousarray(qarr[:, ::-1])
         codes16 = C.CHAR_TO_INT[raw]
         if (codes16 < 0).any():
             return None
@@ -340,6 +379,7 @@ class FastLS:
                     G=G, R=R, stats_flow=stats_flow,
                     codes=codes, names=nm_blob, name_off=offs,
                     seq_fwd=seq_fwd, seq_rc=seq_rc,
+                    qual_fwd=qual_fwd, qual_rc=qual_rc,
                     Bcap=Bcap, read_tab=read_tab,
                     t_dispatch=_time.perf_counter() - t2)
 
@@ -428,8 +468,11 @@ class FastLS:
         speculative full-SW results, then native finalize/render."""
         m = self.m
         cfg = m.config
+        B = ctx["B"]
+        if B == 0:     # whole batch dropped by the avg-qv gate
+            return b"", np.zeros(0, np.int32)
         fh = ctx["fh"]
-        B, L, wlen = ctx["B"], ctx["L"], ctx["wlen"]
+        L, wlen = ctx["L"], ctx["wlen"]
         nhits = np.zeros(B, np.int32)
         if fh.n == 0:
             m.stats.reads += B
@@ -544,11 +587,15 @@ class FastLS:
             self.contig_name_off.ctypes.data,
             self.contig_names_blob.ctypes.data,
             ctx["name_off"].ctypes.data, ctx["names"].ctypes.data,
-            ctx["seq_fwd"].ctypes.data, ctx["seq_rc"].ctypes.data)
+            ctx["seq_fwd"].ctypes.data, ctx["seq_rc"].ctypes.data,
+            ctx["qual_fwd"].ctypes.data
+            if ctx.get("qual_fwd") is not None else None,
+            ctx["qual_rc"].ctypes.data
+            if ctx.get("qual_rc") is not None else None)
         frj = _FRJobs(_vp(jobs["ri"]), _vp(jobs["cn"]),
                       _vp(jobs["gen_st"]), _vp(jobs["g_off"]),
                       _vp(jobs["score_max"]), _vp(packed), _vp(ops_pk))
-        cap = n_jobs * (L + 192) + 4096
+        cap = n_jobs * (2 * L + 224) + 4096
         while True:
             buf = np.empty(cap, np.uint8)
             nb = self.lib.finalize_render(ctypes.byref(fr),
@@ -592,12 +639,13 @@ def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
         """Generic-path fallback for a batch the flat encoder rejects
         (mixed lengths / non-ACGT): identical output, slower."""
         from .io.sam import render_unpaired
+        batch = list(records[off:off + batch_size])
+        fq = any(r.qual is not None for r in batch)
         lines = []
-        for re_, hits in mapper.map_unpaired(list(records[off:off
-                                                          + batch_size])):
+        for re_, hits in mapper.map_unpaired(batch):
             for h in hits:
                 lines.append(render_unpaired(re_, h, mapper.index,
-                                             mapper.config))
+                                             mapper.config, fastq=fq))
         return ("\n".join(lines) + "\n").encode() if lines else b""
 
     if lanes is None:

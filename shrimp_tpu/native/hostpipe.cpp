@@ -218,6 +218,8 @@ struct FRParams {
   const char* names;
   const uint8_t* seq_fwd;          // [n_reads, read_len] cleaned chars
   const uint8_t* seq_rc;           // [n_reads, read_len] revcomp-cleaned
+  const uint8_t* qual_fwd;         // [n_reads, read_len] PHRED+33 or null
+  const uint8_t* qual_rc;          // reversed rows of qual_fwd
 };
 
 struct FRJobs {
@@ -439,8 +441,16 @@ int64_t finalize_render(const FRParams* p, const FRJobs* j,
                             + (int64_t)ri * R;
         memcpy(w, sq, R);
         w += R;
-        memcpy(w, "\t*", 2);
-        w += 2;
+        *w++ = '\t';
+        if (p->qual_fwd) {
+          // fastq QUAL column, strand-oriented (output.c:562-568)
+          const uint8_t* qq = (rev ? p->qual_rc : p->qual_fwd)
+                              + (int64_t)ri * R;
+          memcpy(w, qq, R);
+          w += R;
+        } else {
+          *w++ = '*';
+        }
         w += sprintf(w, "\tAS:i:%d", s.score_full);
         // Z0/Z1 tnlog fields (output.c:691-709, util.h:296-300)
         w += sprintf(w, "\tZ0:i:%d\tZ1:i:%d",

@@ -125,3 +125,34 @@ def test_fastpath_matches_reference(tmp_path):
     got = _fast_sam(Mapper(idx, cfg), [SeqRecord(n, s) for n, s in reads])
     got_lines = got.decode().rstrip("\n").split("\n") if got else []
     assert got_lines == want
+
+
+def test_fastpath_fastq_quals(tmp_path):
+    """fastq reads with quality strings keep the fast path and emit the
+    QUAL column exactly like the generic renderer."""
+    idx, reads, _, _ = _build(tmp_path, n_reads=150)
+    rng = np.random.default_rng(8)
+    recs = []
+    for n, s in reads:
+        q = "".join(chr(64 + int(rng.integers(2, 41)))
+                    for _ in range(len(s)))
+        recs.append(SeqRecord(n, s, q))
+    cfg = MapperConfig()
+    from shrimp_tpu.io.sam import render_unpaired as _ru
+    lines = []
+    for re_, hits in Mapper(idx, cfg).map_unpaired(recs):
+        for h in hits:
+            lines.append(_ru(re_, h, idx, cfg, fastq=True))
+    want = ("\n".join(lines) + "\n").encode() if lines else b""
+    got = _fast_sam(Mapper(idx, cfg), recs, batch_size=64)
+    assert got == want
+    # QUAL column (field 11) carries the quality string, not '*'
+    assert got.split(b"\n")[0].split(b"\t")[10] != b"*"
+
+
+def test_fastpath_fastq_qv_offset_error(tmp_path):
+    idx, reads, _, _ = _build(tmp_path, n_reads=4)
+    recs = [SeqRecord(n, s, chr(120) * len(s)) for n, s in reads]
+    cfg = MapperConfig()
+    with pytest.raises(ValueError, match="qv-offset"):
+        _fast_sam(Mapper(idx, cfg), recs)
