@@ -245,8 +245,14 @@ def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
             if n <= 0:
                 continue
             keys = (sliding_mapidx_hash(cseq, seed, max_span) if hashed
-                    else sliding_mapidx(cseq, seed))
-            # exclude windows containing N/X (genome.c:1145-1147)
+                    else _sliding_keys(cseq, seed))
+            # exclude windows containing N/X (genome.c:1145-1147);
+            # N-free contigs (the common case) skip the window scan
+            if not (cseq == C.BASE_N).any():
+                all_keys.append(keys)
+                all_pos.append((np.arange(n, dtype=np.uint32)
+                                + np.uint32(o)))
+                continue
             isn = (cseq == C.BASE_N).astype(np.int32)
             cum = np.concatenate([[0], np.cumsum(isn)])
             bad = (cum[seed.span:] - cum[:-seed.span]) > 0
@@ -264,6 +270,29 @@ def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
         gi.seeds.append(SeedIndex(seed=seed, offsets=csr_offsets,
                                   positions=sorted_pos))
     return gi
+
+
+def _sliding_keys(cseq: np.ndarray, seed: Seed) -> np.ndarray:
+    """sliding_mapidx via the threaded native kernel when available."""
+    n = len(cseq) - seed.span + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.uint32)
+    try:
+        from ..native import get_lib
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is None or n < (1 << 16):
+        return sliding_mapidx(cseq, seed)
+    import ctypes
+    cc = np.ascontiguousarray(cseq, np.uint8)
+    offs = np.ascontiguousarray(seed.offsets, np.int32)
+    out = np.empty(n, np.uint32)
+    lib.spaced_keys(ctypes.c_void_p(cc.ctypes.data), ctypes.c_int64(n),
+                    ctypes.c_void_p(offs.ctypes.data),
+                    ctypes.c_int32(len(offs)),
+                    ctypes.c_void_p(out.ctypes.data), ctypes.c_int32(0))
+    return out
 
 
 def _csr_sort(keys: np.ndarray, pos: np.ndarray, n_mapidx: int):

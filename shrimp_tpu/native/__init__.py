@@ -81,4 +81,5 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _LIB.cs_post_fb_batch.restype = ctypes.c_int64
         _LIB.cs_finalize_render.restype = ctypes.c_int64
         _LIB.csr_counting_sort.restype = ctypes.c_int64
+        _LIB.spaced_keys.restype = ctypes.c_int64
     return _LIB

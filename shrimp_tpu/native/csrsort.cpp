@@ -112,3 +112,31 @@ extern "C" int64_t csr_counting_sort(
   }
   return 0;
 }
+
+// Threaded spaced-seed key computation: out[i] = OR_j (codes[i+off_j]&3)
+// << 2j (sliding_mapidx, index/seeds.py) — the unhashed kmer_to_mapidx
+// (gmapper.h:323-338) over every window start.
+extern "C" int64_t spaced_keys(const uint8_t* codes, int64_t n,
+                               const int32_t* offsets, int32_t n_off,
+                               uint32_t* out, int32_t nthreads) {
+  if (n <= 0) return 0;
+  if (nthreads <= 0) {
+    nthreads = (int32_t)std::thread::hardware_concurrency();
+    if (nthreads <= 0) nthreads = 1;
+  }
+  if (nthreads > n) nthreads = (int32_t)n;
+  const int64_t per = (n + nthreads - 1) / nthreads;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < nthreads; t++)
+    ts.emplace_back([&, t]() {
+      const int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+      for (int64_t i = lo; i < hi; i++) {
+        uint32_t m = 0;
+        for (int32_t j = 0; j < n_off; j++)
+          m |= (uint32_t)(codes[i + offsets[j]] & 3) << (2 * j);
+        out[i] = m;
+      }
+    });
+  for (auto& th : ts) th.join();
+  return 0;
+}
