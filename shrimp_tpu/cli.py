@@ -602,8 +602,7 @@ def cmd_map(args) -> int:
         from .fastpath_cs import (fastpath_cs_supported,
                                   map_unpaired_cs_sam_stream)
         if paired:
-            # the paired renderer emits QUAL '*' only
-            use_fast = not fastq and fastpath_paired_supported(cfg)
+            use_fast = fastpath_paired_supported(cfg)
         elif cfg.mode == C.MODE_COLOUR_SPACE:
             # CS quals change scoring (crossover/qualities): generic
             use_fast = not fastq and fastpath_cs_supported(cfg)

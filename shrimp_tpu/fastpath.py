@@ -747,7 +747,10 @@ class _PPParams(ctypes.Structure):
                 ("contig_name_off", ctypes.c_void_p),
                 ("contig_names", ctypes.c_void_p),
                 ("name_off", ctypes.c_void_p), ("names", ctypes.c_void_p),
-                ("seq_fwd", ctypes.c_void_p), ("seq_rc", ctypes.c_void_p)]
+                ("seq_fwd", ctypes.c_void_p), ("seq_rc", ctypes.c_void_p),
+                ("qual_fwd", ctypes.c_void_p),
+                ("qual_rc", ctypes.c_void_p),
+                ("qual_raw", ctypes.c_void_p)]
 
 
 class _PPWin(ctypes.Structure):
@@ -810,8 +813,8 @@ class FastPaired:
             return None
         if cfg.trim_front or cfg.trim_end or cfg.trim_illumina:
             return None
-        if any(r.qual is not None for r in records):
-            return None
+        qual_raw = None
+        has_qual = any(r.qual is not None for r in records)
         L = len(records[0].seq)
         if L == 0 or L > cfg.longest_read_len:
             return None
@@ -823,6 +826,36 @@ class FastPaired:
         if len(buf) != B * L:
             return None
         raw = np.frombuffer(buf, np.uint8).reshape(B, L)
+        qual_fwd = qual_rc = None
+        if has_qual:
+            try:
+                qbuf = "".join(r.qual for r in records).encode("ascii")
+            except (UnicodeEncodeError, TypeError):
+                return None
+            if len(qbuf) != B * L:
+                return None
+            qarr = np.frombuffer(qbuf, np.uint8).reshape(B, L)
+            qv = qarr.astype(np.int32) - cfg.qual_delta
+            if not cfg.ignore_qvs and not cfg.no_qv_check:
+                bad = (qv < -10) | (qv > 50)
+                if bad.any():
+                    q0 = int(qv[bad][0])
+                    raise ValueError(
+                        "The qv-offset might be set incorrectly! "
+                        "Currently qvs are interpreted as PHRED+"
+                        f"{cfg.qual_delta} and a qv of {q0} was "
+                        "observed.")
+            if not cfg.ignore_qvs and cfg.min_avg_qv >= 0:
+                s = qv.sum(axis=1, dtype=np.int64)
+                avg = np.where(s < 0, -((-s) // L), s // L)
+                if (avg < cfg.min_avg_qv).any():
+                    return None   # pair drops: generic path handles
+            qual_raw = np.ascontiguousarray(qarr)
+            if cfg.qual_delta != 33:
+                qarr = (qarr.astype(np.int32) - cfg.qual_delta + 33
+                        ).astype(np.uint8)
+            qual_fwd = np.ascontiguousarray(qarr)
+            qual_rc = np.ascontiguousarray(qarr[:, ::-1])
         codes16 = C.CHAR_TO_INT[raw]
         if (codes16 < 0).any():
             return None
@@ -904,6 +937,8 @@ class FastPaired:
                     names=nm_blob, name_off=offs, seq_fwd=seq_fwd,
                     seq_rc=seq_rc, Bcap=Bcap, read_tab=read_tab,
                     input_strand=input_strand,
+                    qual_fwd=qual_fwd, qual_rc=qual_rc,
+                    qual_raw=qual_raw,
                     t_dispatch=_time.perf_counter() - t2)
 
     # ---------------------------------------------------------- stage B
@@ -1014,7 +1049,13 @@ class FastPaired:
             fls.contig_name_off.ctypes.data,
             fls.contig_names_blob.ctypes.data,
             ctx["name_off"].ctypes.data, ctx["names"].ctypes.data,
-            ctx["seq_fwd"].ctypes.data, ctx["seq_rc"].ctypes.data)
+            ctx["seq_fwd"].ctypes.data, ctx["seq_rc"].ctypes.data,
+            ctx["qual_fwd"].ctypes.data
+            if ctx.get("qual_fwd") is not None else None,
+            ctx["qual_rc"].ctypes.data
+            if ctx.get("qual_rc") is not None else None,
+            ctx["qual_raw"].ctypes.data
+            if ctx.get("qual_raw") is not None else None)
         wstruct = _PPWin(**{k: _vp(v) for k, v in arrs.items()})
         cap = max(1 << 20, n_pairs * 4 * (L + 320))
         while True:
@@ -1057,11 +1098,12 @@ def map_paired_sam_stream(mapper, records: Sequence[SeqRecord],
 
     def slow_tail(off: int) -> bytes:
         batch = records[off:off + batch_size]
+        fq = any(r.qual is not None for r in batch)
         lines = []
         for pe in mapper.map_paired(batch):
             p_out, u_out = mapper.select_output(pe)
             lines.extend(_sam.render_pair_entry(
-                pe, mapper.index, mapper.config, p_out, u_out))
+                pe, mapper.index, mapper.config, p_out, u_out, fastq=fq))
         return ("\n".join(lines) + "\n").encode() if lines else b""
 
     if lanes is None:

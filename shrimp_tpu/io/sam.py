@@ -176,7 +176,9 @@ def render_hit(re: ReadEntry, rh: Optional[Hit], rh_mp: Optional[Hit],
                else "*")
         qual = "*"
         if fastq and cfg.mode == C.MODE_LETTER_SPACE and re.qual:
-            qual = _requal(re.qual, cfg.qual_delta)
+            # unmapped records carry the RAW quality string — no
+            # PHRED+33 rescale (strcpy, output.c:419-421)
+            qual = re.qual
         fields = [qname, str(flags(False)), "*", "0", "0", "*", mrnm,
                   str(mpos), "0", seq, qual]
         line = "\t".join(fields)

@@ -72,6 +72,10 @@ struct PPParams {
   const char* names;
   const uint8_t* seq_fwd;      // [2B, R]
   const uint8_t* seq_rc;
+  const uint8_t* qual_fwd;     // [2B, R] PHRED+33, or null -> '*'
+  const uint8_t* qual_rc;      // reversed rows
+  const uint8_t* qual_raw;     // [2B, R] original offset (unmapped recs
+                               // print quals unrescaled, output.c:419)
 };
 
 struct PPWin {
@@ -730,7 +734,7 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
                          double z5or6, bool z56_is_6) -> bool {
       int64_t ri = 2 * pi + nip;
       int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
-      if (end - wp < 640 + 10 * (int64_t)R + 2 * nl) return false;
+      if (end - wp < 640 + 11 * (int64_t)R + 2 * nl) return false;
       const char* nm = p->names + p->name_off[ri];
       int64_t ri_mp = 2 * pi + (1 - nip);
       const char* nm_mp = p->names + p->name_off[ri_mp];
@@ -821,8 +825,14 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
       const uint8_t* sq = (rev ? p->seq_rc : p->seq_fwd) + ri * R;
       memcpy(wp, sq, R);
       wp += R;
-      memcpy(wp, "\t*", 2);
-      wp += 2;
+      *wp++ = '\t';
+      if (p->qual_fwd) {
+        const uint8_t* qq = (rev ? p->qual_rc : p->qual_fwd) + ri * R;
+        memcpy(wp, qq, R);
+        wp += R;
+      } else {
+        *wp++ = '*';
+      }
       wp += sprintf(wp, "\tAS:i:%d", S.sf[t]);
       if (p->compute_mqv) {
         if (paired) {
@@ -846,7 +856,7 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
     auto emit_unmapped = [&](int nip, int32_t mate_t) -> bool {
       int64_t ri = 2 * pi + nip;
       int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
-      if (end - wp < 256 + 2 * (int64_t)R + 2 * nl) return false;
+      if (end - wp < 256 + 3 * (int64_t)R + 2 * nl) return false;
       const char* nm = p->names + p->name_off[ri];
       int64_t ri_mp = 2 * pi + (1 - nip);
       const char* nm_mp = p->names + p->name_off[ri_mp];
@@ -868,8 +878,15 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
       wp += sprintf(wp, "\t%lld\t0\t", (long long)gm.gs1);
       memcpy(wp, p->seq_fwd + ri * R, R);
       wp += R;
-      memcpy(wp, "\t*\n", 3);
-      wp += 3;
+      *wp++ = '\t';
+      if (p->qual_raw) {
+        // unmapped record: RAW forward quals, no rescale (output.c:419)
+        memcpy(wp, p->qual_raw + ri * R, R);
+        wp += R;
+      } else {
+        *wp++ = '*';
+      }
+      *wp++ = '\n';
       return true;
     };
 

@@ -112,3 +112,31 @@ def test_paired_fastpath_mp_region_configs(kw, seed):
     gen = map_paired_sam_stream(m2, recs, batch_size=64, lanes=1)
     assert gen is not None, "mp fast path unexpectedly unsupported"
     assert b"".join(gen) == generic
+
+
+def test_paired_fastpath_fastq_quals():
+    """fastq pairs keep the fast path; QUAL columns match the generic
+    renderer (incl. unmapped-mate records)."""
+    import numpy as np
+    g, recs = make_pairs(12, 60, "opp-in")
+    rng = np.random.default_rng(3)
+    recs = [SeqRecord(r.name, r.seq,
+                      "".join(chr(64 + int(rng.integers(12, 41)))
+                              for _ in range(len(r.seq))))
+            for r in recs]
+    idx = build_index([("chrP", encode.encode_ls(g))], default_seeds())
+    cfg = MapperConfig(pair_mode="opp-in")
+
+    def gen_sam(m):
+        lines = []
+        for pe in m.map_paired(recs):
+            p_out, u_out = m.select_output(pe)
+            lines.extend(sam.render_pair_entry(pe, m.index, m.config,
+                                               p_out, u_out, fastq=True))
+        return ("\n".join(lines) + "\n").encode() if lines else b""
+
+    want = gen_sam(PairedMapper(idx, cfg))
+    m2 = PairedMapper(idx, cfg)
+    gen = map_paired_sam_stream(m2, recs, batch_size=64, lanes=1)
+    assert gen is not None
+    assert b"".join(gen) == want
