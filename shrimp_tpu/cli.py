@@ -604,8 +604,7 @@ def cmd_map(args) -> int:
         if paired:
             use_fast = fastpath_paired_supported(cfg)
         elif cfg.mode == C.MODE_COLOUR_SPACE:
-            # CS quals change scoring (crossover/qualities): generic
-            use_fast = not fastq and fastpath_cs_supported(cfg)
+            use_fast = fastpath_cs_supported(cfg)
         else:
             use_fast = fastpath_supported(cfg)
     win_size = max(8 * B, 32768) if use_fast else B

@@ -451,7 +451,7 @@ def sw_full_cs_batch_jax(*args, **kw):
     "b_gap_open", "b_gap_ext", "local_alignment", "indel_taboo_len",
     "use_pallas", "use_vec_pallas", "interpret"))
 def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
-                              args, rtab, qr_tab,
+                              args, rtab, qr_tab, xover_tab,
                               *, G: int, xover: int, match: int,
                               mismatch: int, a_gap_open: int,
                               a_gap_ext: int, b_gap_open: int,
@@ -472,9 +472,11 @@ def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
       row), 3 eff_rc, 4 rlen, 5 rx, 6 ry, 7 rl, 8 rw (widened anchor
       rect), 9 rev tie-break, 10 thresh (full-SW zero-out), 11 initbp.
     rtab: [n_reads, R] colour rows (input strand); qr_tab:
-    [n_reads, 4, R] letter-layer translations (cs_layers_batch).
-    `xover` is the uniform crossover penalty (quality-less reads; the
-    quality-carrying path uses the generic mapper pipeline).
+    [n_reads, 4, R] letter-layer translations (cs_layers_batch);
+    xover_tab: [n_reads, R] per-position crossover penalties
+    (quality-derived, gmapper.c:532-543; uniform `xover` rows for
+    quality-less reads). `xover` also serves as the row -1 global
+    crossover (sw-full-cs.c:269-271).
 
     Returns (vec_scores [B], packed [B, 12] int16, steps_rev int8).
     """
@@ -511,7 +513,7 @@ def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
             gwin_cs, glen, rwin, rlen, g_row0, cs_mode=True, **vec_kw)
 
     qr = qr_tab[owner]                       # [B, 4, R]
-    xover_rows = jnp.full((B, R), xover, jnp.int32)
+    xover_rows = xover_tab[owner].astype(jnp.int32)
     gx_col = jnp.full((B,), xover, jnp.int32)
     full = (sw_full_cs_tpu_pallas.__wrapped__ if use_pallas
             else sw_full_cs_tpu.__wrapped__)

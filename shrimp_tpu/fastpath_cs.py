@@ -47,6 +47,7 @@ def fastpath_cs_supported(cfg: MapperConfig) -> bool:
             and cfg.read_group_name is None
             and not cfg.sam_unaligned
             and not cfg.shrimp_format
+            and not cfg.bfast
             and cfg.search_forward and cfg.search_reverse)
 
 
@@ -75,13 +76,28 @@ class _CSFRParams(ctypes.Structure):
                 ("contig_names", ctypes.c_void_p),
                 ("name_off", ctypes.c_void_p), ("names", ctypes.c_void_p),
                 ("colours", ctypes.c_void_p), ("qr_tab", ctypes.c_void_p),
-                ("initbp", ctypes.c_void_p), ("readseq", ctypes.c_void_p)]
+                ("initbp", ctypes.c_void_p), ("readseq", ctypes.c_void_p),
+                ("fastq", ctypes.c_int32), ("use_read_qvs", ctypes.c_int32),
+                ("qual_delta", ctypes.c_int32),
+                ("use_sanger_qvs", ctypes.c_int32),
+                ("quals", ctypes.c_void_p), ("cq", ctypes.c_void_p),
+                ("cq_len", ctypes.c_int32)]
 
 
 class _CSFRJobs(ctypes.Structure):
     _fields_ = [(f, ctypes.c_void_p) for f in
                 ("ri", "cn", "gen_st", "g_off", "start_abs", "score_max",
                  "packed", "steps_rev")]
+
+
+def _pr_err_from_qv_py(qv: int) -> float:
+    """util.h:284-293 (scalar libm math, exact vs the reference)."""
+    import math
+    if qv <= 0:
+        return .99999999
+    if qv >= 250:
+        return 1e-25
+    return math.pow(10.0, -qv / 10.0)
 
 
 def _revcomp_cs_batch(codes: np.ndarray, initbp: np.ndarray) -> np.ndarray:
@@ -125,8 +141,7 @@ class FastCS:
             return None
         if cfg.custom_unpaired_options or cfg.custom_paired_options:
             return None
-        if any(r.qual is not None for r in records):
-            return None  # qv-derived crossover scores: generic path
+        has_qual = any(r.qual is not None for r in records)
         Lseq = len(records[0].seq)
         R = Lseq - 1
         if R <= 0 or R > cfg.longest_read_len:
@@ -139,6 +154,48 @@ class FastCS:
         if len(buf) != B * Lseq:
             return None
         raw = np.frombuffer(buf, np.uint8).reshape(B, Lseq)
+        quals = cq = None
+        if has_qual:
+            try:
+                qbuf = "".join(r.qual for r in records).encode("ascii")
+            except (UnicodeEncodeError, TypeError):
+                return None
+            # SOLiD fastq carries one qv per colour (R) or one per seq
+            # char incl. the primer (R+1); scoring always reads the
+            # first R (qual_vector_offset == 0, gmapper.h:79)
+            if len(qbuf) == B * R:
+                Lq = R
+            elif len(qbuf) == B * Lseq:
+                Lq = Lseq
+            else:
+                return None
+            cq = np.frombuffer(qbuf, np.uint8).reshape(B, Lq)
+            qv_full = cq.astype(np.int32) - cfg.qual_delta
+            if not cfg.ignore_qvs and not cfg.no_qv_check:
+                bad = (qv_full < -10) | (qv_full > 50)
+                if bad.any():
+                    q0 = int(qv_full[bad][0])
+                    raise ValueError(
+                        "The qv-offset might be set incorrectly! "
+                        "Currently qvs are interpreted as PHRED+"
+                        f"{cfg.qual_delta} and a qv of {q0} was "
+                        "observed.")
+            if not cfg.ignore_qvs and cfg.min_avg_qv >= 0:
+                # avg-qv read drop (gmapper.c:455-462; C int division;
+                # the sum spans the whole qual string, the divisor is
+                # the colour count)
+                s = qv_full.sum(axis=1, dtype=np.int64)
+                avg = np.where(s < 0, -((-s) // R), s // R)
+                keep = avg >= cfg.min_avg_qv
+                if not keep.all():
+                    records = [r for r, k in zip(records, keep) if k]
+                    if not records:
+                        return dict(B=0)
+                    raw = np.ascontiguousarray(raw[keep])
+                    cq = np.ascontiguousarray(cq[keep])
+                    B = len(records)
+            cq = np.ascontiguousarray(cq)
+            quals = np.ascontiguousarray(cq[:, :R])
         init16 = C.CHAR_TO_INT[raw[:, 0]]
         if ((init16 < 0) | (init16 > 3)).any():
             return None
@@ -148,6 +205,21 @@ class FastCS:
         initbp = init16.astype(np.int64)
         codes0 = codes16.astype(np.uint8)
         codes1 = _revcomp_cs_batch(codes0, initbp)
+        # per-position crossover scores from qvs (gmapper.c:532-543);
+        # a 256-entry LUT over raw qual chars built with libm math so
+        # the DP integers match the reference exactly
+        xover_tab = None
+        if quals is not None and not cfg.ignore_qvs:
+            import math as _math
+            cal = m.cal
+            lut = np.empty(256, np.int32)
+            for ch in range(256):
+                pe = _pr_err_from_qv_py(ch - cfg.qual_delta)
+                v = int(cal.alpha * _math.log2(pe / 3.0))
+                v = min(v, -1)
+                v = max(v, 2 * cfg.scores.crossover)
+                lut[ch] = v
+            xover_tab = lut[quals]
         nm_parts = [r.name.encode() for r in records]
         offs = np.zeros(B + 1, np.int64)
         np.cumsum([len(x) for x in nm_parts], out=offs[1:])
@@ -187,15 +259,17 @@ class FastCS:
         use_pallas = False
         if fh.n:
             futures, win, G, use_pallas = self._fused_dispatch_cs(
-                fh, codes0, qr_tab, initbp, R, Bcap)
+                fh, codes0, qr_tab, initbp, R, Bcap, xover_tab)
         m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
         return dict(B=B, R=R, wlen=wlen, fh=fh, win=win, futures=futures,
                     G=G, codes0=codes0, qr_tab=qr_tab,
-                    initbp=initbp.astype(np.int32), raw=raw,
+                    initbp=initbp.astype(np.int32), raw=raw, quals=quals,
+                    cq=cq,
                     names=nm_blob, name_off=offs, Bcap=Bcap,
                     t_dispatch=_time.perf_counter() - t2)
 
-    def _fused_dispatch_cs(self, fh, codes0, qr_tab, initbp, R, Bcap):
+    def _fused_dispatch_cs(self, fh, codes0, qr_tab, initbp, R, Bcap,
+                           xover_tab=None):
         """Normalize window geometry (reverse_hit, mapping.c:254-263) and
         launch fused CS vec+full chunks against the device planes."""
         import jax
@@ -264,8 +338,12 @@ class FastCS:
             rtab_pad[:codes0.shape[0]] = codes0
             qr_pad = np.full((rows, 4, R), C.BASE_N, np.uint8)
             qr_pad[:qr_tab.shape[0]] = qr_tab
+            xov_pad = np.full((rows, R), sc.crossover, np.int32)
+            if xover_tab is not None:
+                xov_pad[:xover_tab.shape[0]] = xover_tab
             rtab_dev = jax.device_put(rtab_pad, m.device)
             qr_dev = jax.device_put(qr_pad, m.device)
+            xov_dev = jax.device_put(xov_pad, m.device)
             for off in range(0, n, CS_FUSED_BATCH):
                 end = min(off + CS_FUSED_BATCH, n)
                 k = end - off
@@ -277,7 +355,7 @@ class FastCS:
                 chunk[k:, 8] = 1
                 chunk[k:, 10] = 1  # threshold 1 zeroes pad scores
                 res = sw_vec_cs_full_from_index(
-                    *planes, chunk, rtab_dev, qr_dev, **kw)
+                    *planes, chunk, rtab_dev, qr_dev, xov_dev, **kw)
                 futures.append((off, k, res))
         cells = int(wl64.sum()) * R
         m.stats.vec_invocs += n
@@ -296,8 +374,11 @@ class FastCS:
         m = self.m
         cfg = m.config
         fls = self.fls
+        B = ctx["B"]
+        if B == 0:     # whole batch dropped by the avg-qv gate
+            return b"", np.zeros(0, np.int32)
         fh = ctx["fh"]
-        B, R, wlen = ctx["B"], ctx["R"], ctx["wlen"]
+        R, wlen = ctx["R"], ctx["wlen"]
         nhits = np.zeros(B, np.int32)
         m.stats.reads += B
         if fh.n == 0:
@@ -390,7 +471,15 @@ class FastCS:
             fls.contig_names_blob.ctypes.data,
             ctx["name_off"].ctypes.data, ctx["names"].ctypes.data,
             ctx["codes0"].ctypes.data, ctx["qr_tab"].ctypes.data,
-            ctx["initbp"].ctypes.data, raw.ctypes.data)
+            ctx["initbp"].ctypes.data, raw.ctypes.data,
+            int(ctx.get("quals") is not None),
+            int(ctx.get("quals") is not None and not cfg.ignore_qvs),
+            cfg.qual_delta, 1,
+            ctx["quals"].ctypes.data
+            if ctx.get("quals") is not None else None,
+            ctx["cq"].ctypes.data
+            if ctx.get("cq") is not None else None,
+            ctx["cq"].shape[1] if ctx.get("cq") is not None else 0)
         frj = _CSFRJobs(**{k: _vp(v) for k, v in job_arrs.items()})
         cap_b = n_sel * (3 * R + 256) + 4096
         while True:
@@ -428,12 +517,13 @@ def map_unpaired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
 
     def slow_tail(off: int) -> bytes:
         from .io.sam import render_unpaired
+        batch = list(records[off:off + batch_size])
+        fq = any(r.qual is not None for r in batch)
         lines = []
-        for re_, hits in mapper.map_unpaired(
-                list(records[off:off + batch_size])):
+        for re_, hits in mapper.map_unpaired(batch):
             for h in hits:
                 lines.append(render_unpaired(re_, h, mapper.index,
-                                             mapper.config))
+                                             mapper.config, fastq=fq))
         return ("\n".join(lines) + "\n").encode() if lines else b""
 
     if lanes is None:

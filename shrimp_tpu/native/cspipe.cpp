@@ -58,6 +58,14 @@ struct CSFRParams {
   const uint8_t* qr_tab;       // [n_reads, 4, R] letter layers
   const int32_t* initbp;       // [n_reads]
   const uint8_t* readseq;      // [n_reads, read_seq_len] raw chars
+  // fastq extras (null quals -> quality-less flow)
+  int32_t fastq;               // emit QUAL column + CQ:Z
+  int32_t use_read_qvs;        // quals drive colour error rates
+  int32_t qual_delta;
+  int32_t use_sanger_qvs;
+  const uint8_t* quals;        // [n_reads, R] scoring quality chars
+  const uint8_t* cq;           // [n_reads, cq_len] raw chars for CQ:Z
+  int32_t cq_len;
 };
 
 struct CSFRJobs {
@@ -79,6 +87,13 @@ static inline int cs_qv_from_pr_corr(double pr_corr) {
   return (int)(-10.0 * log(pr_err) / log(10.0));
 }
 
+// util.h:284-293
+static inline double cs_pr_err_from_qv(int qv) {
+  if (qv <= 0) return .99999999;
+  if (qv >= 250) return 1e-25;
+  return pow(10.0, -qv / 10.0);
+}
+
 static const char LS_CHARS[17] = "ACGTUMRWSYKVHDBN";
 static const int CS_BASE_N = 15;
 
@@ -97,6 +112,7 @@ struct CSHit {
   // rendered strings (alignment order)
   std::vector<uint8_t> xx;       // qralign chars incl '-' and case
   std::vector<uint8_t> seq;      // called letters (upper, fwd order)
+  std::vector<uint8_t> qual;     // post-SW base qualities (fastq only)
   std::vector<int32_t> cig_n;    // CIGAR runs, fwd order
   std::vector<char> cig_c;
   int64_t k1[3], k2[3];
@@ -122,6 +138,7 @@ int64_t cs_finalize_render(const CSFRParams* p, const CSFRJobs* j,
   std::vector<int64_t> cols_let(maxcols), cols_col(maxcols);
   std::vector<double> cols_err(maxcols);
   std::vector<int32_t> col_db(maxcols);     // genome letter or -1
+  std::vector<int32_t> base_call(maxcols);  // pre-rescoring call code
   std::vector<int8_t> step_op(W + 1);
   std::vector<int32_t> step_col(W + 1);     // column index or -1
   std::vector<double> fb_fw(maxcols * 16), fb_bw(maxcols * 16),
@@ -154,11 +171,15 @@ int64_t cs_finalize_render(const CSFRParams* p, const CSFRJobs* j,
       const int8_t* steps = j->steps_rev + t * W;
 
       // ---- column extraction (load_local_vectors, sw-post.c:472-551)
+      const uint8_t* rqual =
+          (p->use_read_qvs && p->quals) ? p->quals + ri * R : nullptr;
       int start_run = 0;
+      int min_qv = 10000;
       for (int q = 0; q < rs; q++) {
         int c = rcol[q];
-        if (c == CS_BASE_N) { start_run = CS_BASE_N; break; }
+        if (c == CS_BASE_N) { start_run = CS_BASE_N; min_qv = 0; break; }
         start_run ^= c;
+        if (rqual && (int)rqual[q] < min_qv) min_qv = rqual[q];
       }
       int ncol = 0;
       {
@@ -177,13 +198,30 @@ int64_t cs_finalize_render(const CSFRParams* p, const CSFRJobs* j,
           if (op == 3) gl = genome[gbase + jj];
           cols_let[ncol] = (op == 3) ? (int64_t)gl : (int64_t)-1;
           col_db[ncol] = (op == 3) ? gl : -1;
+          // base_call: the pre-rescoring letter (N calls take the
+          // genome letter, sw-full-cs.c:1049)
+          {
+            int lay = (s >> 2) & 3;
+            int bc = qr[lay * R + ii];
+            if (op == 3 && bc == CS_BASE_N) bc = gl;
+            base_call[ncol] = bc;
+          }
           int c = rcol[ii];
           if ((ncol == 0 && start_run == CS_BASE_N) || c == CS_BASE_N) {
             cols_col[ncol] = 0;
             cols_err[ncol] = .75;
           } else {
             cols_col[ncol] = c ^ (ncol == 0 ? start_run : 0);
-            cols_err[ncol] = p->pr_xover;
+            if (rqual) {
+              int qch = rqual[ii];
+              if (ncol == 0 && min_qv < qch) qch = min_qv;
+              double err = cs_pr_err_from_qv(qch - p->qual_delta);
+              if (!p->use_sanger_qvs) err = err / (1 + err);
+              if (err > .75) err = .75;
+              cols_err[ncol] = err;
+            } else {
+              cols_err[ncol] = p->pr_xover;
+            }
           }
           step_col[nst++] = ncol;
           ncol++;
@@ -227,6 +265,20 @@ int64_t cs_finalize_render(const CSFRParams* p, const CSFRJobs* j,
             if (col_db[ci] == crt) matches++; else mismatches++;
           }
           prev = crt;
+        }
+      }
+
+      // ---- get_base_qualities (sw-post.c:591-609): from the
+      // pre-rescoring base calls' posteriors
+      if (p->fastq) {
+        h.qual.resize(ncol);
+        for (int k = 0; k < ncol; k++) {
+          int bc = base_call[k];
+          int tmp = 0;
+          if (bc != CS_BASE_N && bc <= 3)
+            tmp = cs_qv_from_pr_corr(fb_post[(int64_t)k * 4 + bc]);
+          if (tmp > 40) tmp = 40;
+          h.qual[k] = (uint8_t)(33 + tmp);
         }
       }
 
@@ -370,7 +422,8 @@ int64_t cs_finalize_render(const CSFRParams* p, const CSFRJobs* j,
         }
         int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
         int64_t need = 512 + nl + (int64_t)s.xx.size() + s.seq.size()
-                       + p->read_seq_len + 12 * (int64_t)s.cig_n.size();
+                       + s.qual.size() + (int64_t)p->read_seq_len
+                       + p->cq_len + 12 * (int64_t)s.cig_n.size();
         if (end - w < need) return -1;
         memcpy(w, p->names + p->name_off[ri], nl);
         w += nl;
@@ -402,13 +455,31 @@ int64_t cs_finalize_render(const CSFRParams* p, const CSFRJobs* j,
             *w++ = comp[code];
           }
         }
-        memcpy(w, "\t*", 2);
-        w += 2;
+        *w++ = '\t';
+        if (p->fastq && !s.qual.empty()) {
+          // post-SW base qualities, strand-oriented (output.c:613-622)
+          if (!rev) {
+            memcpy(w, s.qual.data(), s.qual.size());
+            w += s.qual.size();
+          } else {
+            for (size_t q = s.qual.size(); q-- > 0;)
+              *w++ = (char)s.qual[q];
+          }
+        } else {
+          *w++ = '*';
+        }
         w += sprintf(w, "\tAS:i:%d", s.score_full);
         w += sprintf(w, "\tZ0:i:%d\tZ1:i:%d",
                      (int)(1000.0 * -log(s.posterior)),
                      (int)(1000.0 * -log(z1)));
         w += sprintf(w, "\tNM:i:%d", s.mismatches + dele + ins);
+        if (p->fastq && p->cq) {
+          // CQ:Z raw colour quality string (output.c:688-690)
+          memcpy(w, "\tCQ:Z:", 6);
+          w += 6;
+          memcpy(w, p->cq + (int64_t)ri * p->cq_len, p->cq_len);
+          w += p->cq_len;
+        }
         // CS:Z raw read, CM:i crossovers, XX:Z rewritten qralign
         memcpy(w, "\tCS:Z:", 6);
         w += 6;

@@ -62,16 +62,48 @@ def test_cs_fastpath_multi_batch(tmp_path):
     assert _fast_sam(Mapper(idx, cfg), recs, batch_size=48) == want
 
 
-def test_cs_fastpath_qual_fallback(tmp_path):
-    """Reads with quality strings fall back to the generic path (the
-    renderer never sees them), still producing identical output."""
-    idx, reads = _build(tmp_path, n_reads=30)
+def _generic_sam_fastq(mapper, recs):
+    lines = []
+    for re_, hits in mapper.map_unpaired(recs):
+        for h in hits:
+            lines.append(render_unpaired(re_, h, mapper.index,
+                                         mapper.config, fastq=True))
+    return ("\n".join(lines) + "\n").encode() if lines else b""
+
+
+def test_cs_fastpath_fastq_quals(tmp_path):
+    """Quality-carrying CS reads keep the fast path: qv-derived
+    crossover scores, post-SW error rates, QUAL column and CQ:Z must
+    match the generic renderer byte for byte."""
+    import numpy as np
+    idx, reads = _build(tmp_path, n_reads=150, genome_len=30_000)
+    rng = np.random.default_rng(4)
     cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE)
-    recs = [SeqRecord(n, s, "I" * (len(s) - 1)) for n, s in reads]
+    recs = [SeqRecord(n, s,
+                      "".join(chr(33 + int(rng.integers(3, 41)))
+                              for _ in range(len(s) - 1)))
+            for n, s in reads]
+    want = _generic_sam_fastq(Mapper(idx, cfg), recs)
     gen = map_unpaired_cs_sam_stream(Mapper(idx, cfg), recs,
-                                     batch_size=16)
-    assert gen is None or b"".join(gen) == _generic_sam(
-        Mapper(idx, cfg), recs)
+                                     batch_size=64)
+    assert gen is not None
+    assert b"".join(gen) == want
+
+
+def test_cs_fastpath_fastq_ignore_qvs(tmp_path):
+    import numpy as np
+    idx, reads = _build(tmp_path, n_reads=60)
+    rng = np.random.default_rng(5)
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE, ignore_qvs=True)
+    recs = [SeqRecord(n, s,
+                      "".join(chr(33 + int(rng.integers(3, 41)))
+                              for _ in range(len(s) - 1)))
+            for n, s in reads]
+    want = _generic_sam_fastq(Mapper(idx, cfg), recs)
+    gen = map_unpaired_cs_sam_stream(Mapper(idx, cfg), recs,
+                                     batch_size=32)
+    assert gen is not None
+    assert b"".join(gen) == want
 
 
 def test_cs_fastpath_gate():
