@@ -95,7 +95,24 @@ class SamRec:
                     self.fields[i] = f"Z{zi}:i:{tnlog(self.z[zi])}"
 
     def line(self) -> str:
-        return "\t".join(self.fields)
+        # mapq < 4 renders as 0 (render.c:237); internal selection
+        # keeps the raw value like the reference heap
+        if not self.mapped:
+            return self.line_unaligned()
+        f = list(self.fields)
+        if f[4].isdigit() and int(f[4]) < 4:
+            f[4] = "0"
+        return "\t".join(f)
+
+    def line_unaligned(self) -> str:
+        """Unmapped records re-render with mate fields cleared and both
+        unmapped bits set (render_sam_unaligned_string, render.c:27-39);
+        only the CQ/CS/RG/R2 tags survive."""
+        tags = [t for t in self.fields[11:]
+                if t[:2] in ("CQ", "CS", "RG", "R2")]
+        f = [self.fields[0], str(self.flag | 0x4 | 0x8), "*", "0", "0",
+             "*", "*", "0", "0", self.fields[9], self.fields[10]]
+        return "\t".join(f + tags)
 
 
 def classify(rec: SamRec) -> int:
@@ -176,20 +193,26 @@ def merge_sam_files(reads_path: str, sam_paths: List[str], out: TextIO,
     emitted = set()
     for rec in read_seqs(reads_path):
         name = rec.name
-        # find matching sam qname: exact, else longest prefix
+        # find the matching SAM qname: exact, else the LONGEST proper
+        # prefix ending at a ':'/'/' boundary (pair qnames are the
+        # mates' common prefix with the separator stripped,
+        # output.c:372-385) — a bare startswith would collapse p11/1
+        # onto qname p1
         qn = None
         for groups in per_file:
             if name in groups:
                 qn = name
                 break
         if qn is None:
+            best = None
             for groups in per_file:
                 for cand in groups:
-                    if name.startswith(cand):
-                        qn = cand
-                        break
-                if qn:
-                    break
+                    if (name.startswith(cand)
+                            and len(cand) < len(name)
+                            and name[len(cand)] in ":/"
+                            and (best is None or len(cand) > len(best))):
+                        best = cand
+            qn = best
         if qn is None or qn in emitted:
             continue
         emitted.add(qn)
