@@ -101,3 +101,62 @@ def test_cs_unpaired_matches_reference(tmp_path):
         + "\n".join(got[:5]) + "\n--- want:\n" + "\n".join(want[:5]))
     for gl, wl in zip(got, want):
         assert gl == wl, f"\n got: {gl}\nwant: {wl}"
+
+
+@pytest.mark.skipif(oracle.ensure_gmapper() is None,
+                    reason="reference gmapper not available")
+def test_cs_paired_matches_reference(tmp_path):
+    """Colour-space paired-end (opp-in) golden test vs gmapper-cs."""
+    import os
+    rng = np.random.default_rng(135)
+    g = "".join(rng.choice(list("ACGT"), 50_000))
+    gpath = os.path.join(str(tmp_path), "genome.fa")
+    with open(gpath, "w") as f:
+        f.write(">chrD\n")
+        for i in range(0, len(g), 70):
+            f.write(g[i:i + 70] + "\n")
+    l2n = {c: i for i, c in enumerate("ACGT")}
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+    def tocs(s):
+        return "T" + str(l2n["T"] ^ l2n[s[0]]) + "".join(
+            str(l2n[s[i]] ^ l2n[s[i + 1]]) for i in range(len(s) - 1))
+
+    def rc(s):
+        return "".join(comp[c] for c in reversed(s))
+
+    reads = []
+    for i in range(60):
+        isz = int(rng.integers(100, 300))
+        p = int(rng.integers(0, len(g) - isz - 40))
+        a = list(g[p:p + 36])
+        b = list(g[p + isz - 36:p + isz])
+        for s in (a, b):
+            for _ in range(int(rng.integers(0, 2))):
+                s[int(rng.integers(36))] = str(
+                    rng.choice(list("ACGT")))
+        r1, r2 = "".join(a), rc("".join(b))
+        if i % 8 == 5:    # scattered mate -> half-paired
+            q = int(rng.integers(0, len(g) - 36))
+            r2 = g[q:q + 36]
+        reads.append((f"d{i}/1", tocs(r1)))
+        reads.append((f"d{i}/2", tocs(r2)))
+    rpath = os.path.join(str(tmp_path), "reads.fa")
+    with open(rpath, "w") as f:
+        for n, s in reads:
+            f.write(f">{n}\n{s}\n")
+    want = oracle.sam_body(oracle.run_gmapper(
+        ["-E", "-p", "opp-in", rpath, gpath], mode="cs"))
+    from shrimp_tpu.io.sam import render_pair_entry
+    from shrimp_tpu.paired import PairedMapper
+    idx = build_index([("chrD", encode.encode_ls(g))], default_seeds(),
+                      mode=C.MODE_COLOUR_SPACE)
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE, pair_mode="opp-in")
+    m = PairedMapper(idx, cfg)
+    got = []
+    for pe in m.map_paired([SeqRecord(n, s) for n, s in reads]):
+        p_out, u_out = m.select_output(pe)
+        got.extend(render_pair_entry(pe, idx, cfg, p_out, u_out))
+    assert got == want, (
+        f"{len(got)} vs {len(want)}\n" + "\n".join(got[:4])
+        + "\n---\n" + "\n".join(want[:4]))
