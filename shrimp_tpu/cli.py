@@ -733,6 +733,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_sdb.add_argument("--prefix", required=True)
     p_sdb.add_argument("--n-seeds", type=int, default=4)
     p_sdb.add_argument("--seed-weight", type=int, default=12)
+    p_sdb.add_argument("--max-contig-len", type=int, default=0,
+                       help="split contigs longer than this into "
+                            "overlapping name/OFFSET pieces (beyond the "
+                            "reference, which never splits contigs; "
+                            "merge rebases and dedups exactly)")
+    p_sdb.add_argument("--contig-overlap", type=int, default=2000,
+                       help="halo overlap between contig pieces")
 
     p_pdb = sub.add_parser(
         "project-db", help="pre-build a saved index per genome chunk "
@@ -808,7 +815,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.cmd == "split-db":
         from .tools.split import split_db
         split_db(args.genome, args.ram_size, args.prefix,
-                 n_seeds=args.n_seeds, weight=args.seed_weight)
+                 n_seeds=args.n_seeds, weight=args.seed_weight,
+                 max_contig_len=args.max_contig_len,
+                 contig_overlap=args.contig_overlap)
         return 0
     if args.cmd == "project-db":
         mode = C.MODE_COLOUR_SPACE if args.cs else C.MODE_LETTER_SPACE

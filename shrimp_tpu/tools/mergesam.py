@@ -115,6 +115,37 @@ class SamRec:
         return "\t".join(f + tags)
 
 
+_PIECE_RE = None
+
+
+def _piece_split(name: str):
+    """`contig/OFFSET` piece name -> (base, offset), else None (the
+    overlap-halo contig splitting of tools/split.py, which goes beyond
+    the reference's whole-contig-only sharding)."""
+    global _PIECE_RE
+    if _PIECE_RE is None:
+        import re
+        _PIECE_RE = re.compile(r"^(.*)/(\d+)$")
+    m = _PIECE_RE.match(name)
+    return (m.group(1), int(m.group(2))) if m else None
+
+
+def _rebase_piece_fields(rec: SamRec) -> None:
+    """Rebase a record mapped to a contig piece back to the whole
+    contig: RNAME/POS and RNEXT/PNEXT."""
+    ps = _piece_split(rec.fields[2]) if rec.fields[2] != "*" else None
+    if ps is not None:
+        rec.fields[2] = ps[0]
+        rec.fields[3] = str(int(rec.fields[3]) + ps[1])
+    if rec.fields[6] not in ("*", "="):
+        ps2 = _piece_split(rec.fields[6])
+        if ps2 is not None:
+            rec.fields[6] = ps2[0]
+            rec.fields[7] = str(int(rec.fields[7]) + ps2[1])
+            if rec.fields[6] == rec.fields[2]:
+                rec.fields[6] = "="
+
+
 def classify(rec: SamRec) -> int:
     if not rec.mapped:
         return UNMAPPED
@@ -168,8 +199,12 @@ def merge_sam_files(reads_path: str, sam_paths: List[str], out: TextIO,
             if h.startswith("@SQ") and fn == 0:
                 pass
         per_file.append(groups)
-    # genome length from ALL files' @SQ lines (mergesam.c:48-117)
-    seen_sq = set()
+    # genome length from ALL files' @SQ lines (mergesam.c:48-117);
+    # contig pieces `name/OFFSET` (overlap-halo splitting) collapse to
+    # their base contig with LN = max(offset + piece length)
+    base_len: Dict[str, int] = {}
+    sq_order: List[str] = []
+    any_pieces = False
     for path in sam_paths:
         with open(path) as f:
             for line in f:
@@ -182,11 +217,26 @@ def merge_sam_files(reads_path: str, sam_paths: List[str], out: TextIO,
                             name = t[3:]
                         elif t.startswith("LN:"):
                             ln = int(t[3:])
-                    if name is not None and name not in seen_sq:
-                        seen_sq.add(name)
-                        genome_length += ln or 0
+                    if name is None:
+                        continue
+                    ps = _piece_split(name)
+                    if ps is not None:
+                        any_pieces = True
+                        base, off = ps
+                    else:
+                        base, off = name, 0
+                    if base not in base_len:
+                        sq_order.append(base)
+                        base_len[base] = 0
+                    base_len[base] = max(base_len[base], off + (ln or 0))
+    genome_length = sum(base_len.values())
     for h in all_headers or []:
+        if any_pieces and h.startswith("@SQ"):
+            continue   # replaced by the collapsed lines below
         out.write(h + "\n")
+        if any_pieces and h.startswith("@HD"):
+            for base in sq_order:
+                out.write(f"@SQ\tSN:{base}\tLN:{base_len[base]}\n")
 
     # canonical read order from the reads file; paired data lists both
     # mates, merge emits one group per SAM qname (common prefix)
@@ -218,7 +268,8 @@ def merge_sam_files(reads_path: str, sam_paths: List[str], out: TextIO,
         emitted.add(qn)
         _merge_one_read(qn, per_file, out, genome_length, single_best,
                         strata, max_outputs, max_alignments, half_paired,
-                        mapping_qualities)
+                        mapping_qualities, insert_size_mean,
+                        insert_size_stddev)
     return 0
 
 
@@ -230,6 +281,7 @@ def _build_records(qn: str, per_file) -> List[List[SamRec]]:
         recs = [SamRec(fields=f, fileno=fn) for f in lines]
         for r in recs:
             r.parse_z()
+            _rebase_piece_fields(r)
         # link adjacent mates (first/second flags)
         i = 0
         while i < len(recs):
@@ -259,22 +311,65 @@ def _build_records(qn: str, per_file) -> List[List[SamRec]]:
 def _merge_one_read(qn: str, per_file, out: TextIO, genome_length: int,
                     single_best: bool, strata: bool, max_outputs: int,
                     max_alignments: int, half_paired: bool,
-                    mapping_qualities: bool) -> None:
+                    mapping_qualities: bool,
+                    insert_size_mean: float = 200.0,
+                    insert_size_stddev: float = 100.0) -> None:
     classes = _build_records(qn, per_file)
     n_files = len(per_file)
+
+    # --- overlap-halo dedup: alignments duplicated inside split-contig
+    # halos keep one copy; the removed copies' posterior mass is
+    # subtracted from the additive z statistics so recombined MQVs
+    # still match the whole-genome run exactly
+    dup_z0 = [0.0] * 5
+    dup_z2 = 0.0
+    dup_ins = 0.0
+    # per-class per-file additive z contributions, captured BEFORE
+    # dedup so a file whose only record was a duplicate still counts
+    file_z1 = [dict() for _ in range(5)]   # fileno -> z1
+    file_z3 = {}                           # fileno -> (z3, z6)
+
+    def _aln_key(r: SamRec):
+        key = (r.fields[1], r.fields[2], r.fields[3], r.fields[5])
+        if r.mate is not None:
+            key += (r.mate.fields[1], r.mate.fields[2], r.mate.fields[3],
+                    r.mate.fields[5])
+        return key
+
+    for cl in (PAIRED, FIRST_LEG, SECOND_LEG, UNPAIRED):
+        seen_keys = {}
+        kept = []
+        for r in classes[cl]:
+            if cl == PAIRED:
+                file_z3.setdefault(r.fileno, (r.z.get(3, 0.0),
+                                              r.z.get(6, 0.0)))
+            else:
+                file_z1[cl].setdefault(r.fileno, r.z.get(1, 0.0))
+            k = _aln_key(r)
+            if k in seen_keys:
+                if cl == PAIRED:
+                    dup_z2 += r.z.get(2, 0.0)
+                    from ..paired import normal_cdf
+                    isz = abs(int(r.fields[8]))
+                    pr = (normal_cdf(isz + 10, insert_size_mean,
+                                     insert_size_stddev)
+                          - normal_cdf(isz - 10, insert_size_mean,
+                                       insert_size_stddev))
+                    dup_ins += max(pr, 1e-200)
+                else:
+                    dup_z0[cl] += r.z.get(0, 0.0)
+            else:
+                seen_keys[k] = r
+                kept.append(r)
+        classes[cl] = kept
 
     # --- consolidate PAIRED (sam_reader.c:119-295)
     paired = classes[PAIRED]
     if paired and mapping_qualities:
-        z3_sum = 0.0
-        ins_denom = 0.0
+        z3_sum = sum(v[0] for v in file_z3.values()) - dup_z2
+        ins_denom = sum(v[1] for v in file_z3.values()) - dup_ins
         z4_min = 1.0
-        summed = set()
         for pa in paired:
-            if pa.fileno not in summed:
-                z3_sum += pa.z.get(3, 0.0)
-                ins_denom += pa.z.get(6, 0.0)
-                summed.add(pa.fileno)
             z4_min = min(z4_min, pa.z.get(4, 1.0))
         for pa in paired:
             pa.z[3] = z3_sum
@@ -286,16 +381,13 @@ def _merge_one_read(qn: str, per_file, out: TextIO, genome_length: int,
                 pa.mate.z[6] = ins_denom
 
     # --- consolidate legs / unpaired (sam_reader.c:297-400)
-    def consolidate_single(recs: List[SamRec], is_leg: bool):
+    def consolidate_single(cl: int, is_leg: bool):
+        recs = classes[cl]
         if not recs or not mapping_qualities:
             return
-        z1_sum = 0.0
-        summed = set()
+        z1_sum = sum(file_z1[cl].values()) - dup_z0[cl]
         max_pa = None
         for pa in recs:
-            if pa.fileno not in summed:
-                z1_sum += pa.z.get(1, 0.0)
-                summed.add(pa.fileno)
             if max_pa is None or max_pa.z.get(0, 0) < pa.z.get(0, 0):
                 max_pa = pa
         for pa in recs:
@@ -303,9 +395,9 @@ def _merge_one_read(qn: str, per_file, out: TextIO, genome_length: int,
             if is_leg:
                 pa.z[4] = max_pa.z.get(4, 1.0)
 
-    consolidate_single(classes[FIRST_LEG], True)
-    consolidate_single(classes[SECOND_LEG], True)
-    consolidate_single(classes[UNPAIRED], False)
+    consolidate_single(FIRST_LEG, True)
+    consolidate_single(SECOND_LEG, True)
+    consolidate_single(UNPAIRED, False)
 
     first_leg = classes[FIRST_LEG]
     second_leg = classes[SECOND_LEG]

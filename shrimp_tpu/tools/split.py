@@ -25,12 +25,45 @@ def index_ram_bytes(genome_len: int, n_seeds: int, weight: int) -> int:
             + 50_000_000)
 
 
+def split_contig_pieces(name: str, seq: str, piece_len: int,
+                        overlap: int) -> List[Tuple[str, str]]:
+    """Split one contig into overlapping pieces named `name/OFFSET`.
+
+    Goes BEYOND the reference, which never splits contigs and documents
+    the resulting lost mappings as a limitation (README:158-166,
+    TODO:3 "Split mapping mode"). Consecutive pieces overlap by
+    `overlap` bases, so any candidate window shorter than the overlap
+    lies fully inside at least one piece; `shrimp_tpu merge` rebases
+    `name/OFFSET` records back to `name` and deduplicates alignments
+    duplicated inside the halos (with exact z-statistic correction).
+    """
+    if len(seq) <= piece_len:
+        return [(name, seq)]
+    if overlap >= piece_len:
+        raise ValueError("overlap must be smaller than the piece length")
+    pieces = []
+    step = piece_len - overlap
+    off = 0
+    while True:
+        piece = seq[off:off + piece_len]
+        pieces.append((f"{name}/{off}", piece))
+        if off + piece_len >= len(seq):
+            break
+        off += step
+    return pieces
+
+
 def split_db(genome_files: List[str], ram_size_gb: float, prefix: str,
              n_seeds: int = 4, weight: int = 12,
+             max_contig_len: int = 0, contig_overlap: int = 2000,
              out=sys.stderr) -> List[str]:
     """Greedy in-order bin-packing of whole contigs into chunk fasta
     files sized so each chunk's index fits in `ram_size_gb`
-    (utils/split-db.py semantics)."""
+    (utils/split-db.py semantics).
+
+    With `max_contig_len` > 0, contigs longer than that are split into
+    `name/OFFSET` pieces overlapping by `contig_overlap` bases first
+    (see split_contig_pieces) — a capability the reference lacks."""
     budget = int(ram_size_gb * (1 << 30))
     fixed = index_ram_bytes(0, n_seeds, weight)
     chunk_paths: List[str] = []
@@ -42,23 +75,31 @@ def split_db(genome_files: List[str], ram_size_gb: float, prefix: str,
         chunk_paths.append(path)
         return open(path, "w")
 
-    for path in genome_files:
-        for rec in read_fasta(path):
-            cost = index_ram_bytes(len(rec.seq), n_seeds, weight) - fixed
-            if cur_f is None or (cur_len and
-                                 fixed + cur_len + cost > budget):
-                if cur_f:
-                    cur_f.close()
-                cur_f = open_chunk()
-                cur_len = 0
-            if fixed + cost > budget and cur_len == 0:
-                print(f"warning: contig {rec.name} alone exceeds the "
-                      f"RAM budget; emitting it as its own chunk",
-                      file=out)
-            cur_f.write(f">{rec.name}\n")
-            for i in range(0, len(rec.seq), 70):
-                cur_f.write(rec.seq[i:i + 70] + "\n")
-            cur_len += cost
+    def records():
+        for path in genome_files:
+            for rec in read_fasta(path):
+                if max_contig_len and len(rec.seq) > max_contig_len:
+                    yield from split_contig_pieces(
+                        rec.name, rec.seq, max_contig_len, contig_overlap)
+                else:
+                    yield rec.name, rec.seq
+
+    for name, seq in records():
+        cost = index_ram_bytes(len(seq), n_seeds, weight) - fixed
+        if cur_f is None or (cur_len and
+                             fixed + cur_len + cost > budget):
+            if cur_f:
+                cur_f.close()
+            cur_f = open_chunk()
+            cur_len = 0
+        if fixed + cost > budget and cur_len == 0:
+            print(f"warning: contig {name} alone exceeds the "
+                  f"RAM budget; emitting it as its own chunk",
+                  file=out)
+        cur_f.write(f">{name}\n")
+        for i in range(0, len(seq), 70):
+            cur_f.write(seq[i:i + 70] + "\n")
+        cur_len += cost
     if cur_f:
         cur_f.close()
     print(f"split into {len(chunk_paths)} chunk(s)", file=out)

@@ -153,3 +153,80 @@ def test_temp_sink(tmp_path):
     assert n == len(data)
     with open(dest, "rb") as f:
         assert f.read() == data
+
+
+def test_halo_split_merge_equals_whole(tmp_path):
+    """Contigs split into overlapping pieces (split_contig_pieces, a
+    capability the reference lacks: README:158-166, TODO:3) must map +
+    merge back to the whole-genome run: piece records rebase to whole-
+    contig coordinates and halo duplicates dedup with exact z1
+    correction."""
+    import io
+    import numpy as np
+    from shrimp_tpu.config import MapperConfig
+    from shrimp_tpu.core import encode
+    from shrimp_tpu.index.build import build_index
+    from shrimp_tpu.index.seeds import default_seeds
+    from shrimp_tpu.io.fasta import SeqRecord
+    from shrimp_tpu.io.sam import render_unpaired, sam_header
+    from shrimp_tpu.mapper import Mapper
+    from shrimp_tpu.tools.mergesam import merge_sam_files
+    from shrimp_tpu.tools.split import split_contig_pieces
+
+    rng = np.random.default_rng(55)
+    g = "".join(rng.choice(list("ACGT"), 60_000))
+    # a repeat that spans the piece boundary region
+    g = g[:34_000] + g[10_000:10_300] + g[34_300:]
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    reads = []
+    for k in range(60):
+        # bias reads toward the boundary/halo region of the 35k split
+        if k % 3 == 0:
+            p = int(rng.integers(29_500, 34_500))
+        else:
+            p = int(rng.integers(0, len(g) - 36))
+        r = g[p:p + 36]
+        if k % 2:
+            r = "".join(comp[c] for c in reversed(r))
+        reads.append(SeqRecord(f"h{k}", r))
+
+    cfg = MapperConfig()
+
+    def run(contigs):
+        idx = build_index(contigs, default_seeds())
+        m = Mapper(idx, cfg)
+        lines = sam_header(idx, "x", cfg)
+        for re_, hits in m.map_unpaired(reads):
+            for h in hits:
+                lines.append(render_unpaired(re_, h, idx, cfg))
+        return lines
+
+    whole = run([("chrH", encode.encode_ls(g))])
+    pieces = split_contig_pieces("chrH", g, 35_000, 6_000)
+    assert len(pieces) == 2 and pieces[0][0] == "chrH/0"
+    assert pieces[1][0] == "chrH/29000"
+    # one shard run per piece (pieces could also share chunks)
+    shard_paths = []
+    for i, (nm, seq) in enumerate(pieces):
+        lines = run([(nm, encode.encode_ls(seq))])
+        p = os.path.join(str(tmp_path), f"piece{i}.sam")
+        open(p, "w").write("\n".join(lines) + "\n")
+        shard_paths.append(p)
+    rpath = os.path.join(str(tmp_path), "reads.fa")
+    with open(rpath, "w") as f:
+        for r in reads:
+            f.write(f">{r.name}\n{r.seq}\n")
+    buf = io.StringIO()
+    merge_sam_files(rpath, shard_paths, buf)
+    out_lines = buf.getvalue().splitlines()
+    # collapsed @SQ header with the true contig length
+    assert any(l.startswith("@SQ\tSN:chrH\tLN:60000") for l in out_lines)
+    merged = sorted(l for l in out_lines
+                    if l and not l.startswith("@"))
+    want = sorted(l for l in whole if not l.startswith("@"))
+    assert len(merged) == len(want), (
+        f"{len(merged)} vs {len(want)}\n" + "\n".join(merged[:5])
+        + "\n---\n" + "\n".join(want[:5]))
+    from .test_merge import _assert_equivalent
+    for gl, wl in zip(merged, want):
+        _assert_equivalent(gl, wl)
