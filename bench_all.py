@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Full perf suite over the BASELINE.json workloads (one JSON line per
+workload). bench.py remains the driver's single-metric entry point;
+this script measures the wider matrix on demand:
+
+  ecoli-ls        36bp LS unpaired vs 4.6Mb (bench.py's metric)
+  ecoli-paired    2x36bp LS opp-in pairs
+  ecoli-cs        36bp colour-space unpaired
+  ecoli-ls-fastq  36bp LS unpaired with quality strings
+  chr21-ls        36bp LS unpaired vs 47Mb synthetic
+
+Usage: python bench_all.py [workload ...]   (default: all)
+Env: SHRIMP_TPU_BENCH_READS (default 100000), JAX_PLATFORMS=cpu to
+force the CPU backend.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = "/tmp/shrimp_bench_cache"
+N_READS = int(os.environ.get("SHRIMP_TPU_BENCH_READS", "100000"))
+READ_LEN = 36
+
+
+def _force_backend():
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _genome(name: str, length: int, seed: int) -> np.ndarray:
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"{name}.codes.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    rng = np.random.default_rng(seed)
+    codes = rng.integers(0, 4, length).astype(np.uint8)
+    np.save(path, codes)
+    return codes
+
+
+def _index(name: str, codes: np.ndarray, mode: str = "ls"):
+    from shrimp_tpu.index.build import GenomeIndex, build_index
+    from shrimp_tpu.index.seeds import default_seeds
+    sfx = "" if mode == "ls" else ".cs"
+    npz = os.path.join(CACHE, f"{name}{sfx}.idx.npz")
+    if os.path.exists(npz):
+        return GenomeIndex.load(npz)
+    idx = build_index([(name, codes)], default_seeds(mode=mode),
+                      mode=mode)
+    idx.save(npz)
+    if not os.path.exists(npz) and os.path.exists(npz + ".npz"):
+        os.rename(npz + ".npz", npz)
+    return idx
+
+
+_COMP = np.array([3, 2, 1, 0], np.uint8)
+
+
+def _ls_reads(codes, n, rng, quals=False):
+    from shrimp_tpu.core.encode import decode_ls
+    from shrimp_tpu.io.fasta import SeqRecord
+    out = []
+    for k in range(n):
+        p = int(rng.integers(0, len(codes) - READ_LEN))
+        r = codes[p:p + READ_LEN].copy()
+        for _ in range(int(rng.integers(0, 3))):
+            r[int(rng.integers(READ_LEN))] = rng.integers(4)
+        if k % 2:
+            r = _COMP[r[::-1]]
+        q = None
+        if quals:
+            q = "".join(chr(64 + int(x))
+                        for x in rng.integers(15, 41, READ_LEN))
+        out.append(SeqRecord(f"r{k}", decode_ls(r), q))
+    return out
+
+
+def _run_stream(gen) -> int:
+    n = 0
+    for chunk in gen:
+        n += chunk.count(b"\n")
+    return n
+
+
+def bench_ls(name, glen, seed, fastq=False):
+    from shrimp_tpu.config import MapperConfig
+    from shrimp_tpu.fastpath import map_unpaired_sam_stream
+    from shrimp_tpu.mapper import Mapper
+    codes = _genome(name, glen, seed)
+    idx = _index(name, codes)
+    m = Mapper(idx, MapperConfig())
+    rng = np.random.default_rng(7)
+    recs = _ls_reads(codes, N_READS, rng, quals=fastq)
+    warm = map_unpaired_sam_stream(m, recs[:8192], batch_size=8192)
+    assert warm is not None
+    _run_stream(warm)
+    t0 = time.time()
+    lines = _run_stream(map_unpaired_sam_stream(m, recs, batch_size=8192))
+    dt = time.time() - t0
+    return len(recs) / dt, lines
+
+
+def bench_paired(name, glen, seed):
+    from shrimp_tpu.config import MapperConfig
+    from shrimp_tpu.fastpath import map_paired_sam_stream
+    from shrimp_tpu.io.fasta import SeqRecord
+    from shrimp_tpu.core.encode import decode_ls
+    from shrimp_tpu.paired import PairedMapper
+    codes = _genome(name, glen, seed)
+    idx = _index(name, codes)
+    m = PairedMapper(idx, MapperConfig(pair_mode="opp-in"))
+    rng = np.random.default_rng(8)
+    recs = []
+    for k in range(N_READS // 2):
+        isz = int(rng.integers(120, 280))
+        p = int(rng.integers(0, len(codes) - isz - READ_LEN))
+        a = codes[p:p + READ_LEN].copy()
+        b = _COMP[codes[p + isz - READ_LEN:p + isz][::-1]].copy()
+        for r in (a, b):
+            for _ in range(int(rng.integers(0, 3))):
+                r[int(rng.integers(READ_LEN))] = rng.integers(4)
+        recs.append(SeqRecord(f"p{k}/1", decode_ls(a)))
+        recs.append(SeqRecord(f"p{k}/2", decode_ls(b)))
+    warm = map_paired_sam_stream(m, recs[:8192], batch_size=8192)
+    assert warm is not None
+    _run_stream(warm)
+    t0 = time.time()
+    lines = _run_stream(map_paired_sam_stream(m, recs, batch_size=8192))
+    dt = time.time() - t0
+    return len(recs) / dt, lines
+
+
+def bench_cs(name, glen, seed):
+    import shrimp_tpu.constants as C
+    from shrimp_tpu.config import MapperConfig
+    from shrimp_tpu.fastpath_cs import map_unpaired_cs_sam_stream
+    from shrimp_tpu.io.fasta import SeqRecord
+    from shrimp_tpu.mapper import Mapper
+    codes = _genome(name, glen, seed)
+    idx = _index(name, codes, mode="cs")
+    m = Mapper(idx, MapperConfig(mode=C.MODE_COLOUR_SPACE))
+    rng = np.random.default_rng(9)
+    cm = C.COLOUR_MAT
+    recs = []
+    for k in range(N_READS):
+        p = int(rng.integers(0, len(codes) - READ_LEN - 1))
+        lets = codes[p:p + READ_LEN + 1].copy()
+        for _ in range(int(rng.integers(0, 3))):
+            lets[int(rng.integers(READ_LEN + 1))] = rng.integers(4)
+        cols = [int(cm[3, lets[0]])] + [int(cm[lets[i], lets[i + 1]])
+                                        for i in range(READ_LEN - 1)]
+        recs.append(SeqRecord(
+            f"c{k}", "T" + "".join(str(c) if c <= 3 else "." for c in cols)))
+    warm = map_unpaired_cs_sam_stream(m, recs[:8192], batch_size=8192)
+    assert warm is not None
+    _run_stream(warm)
+    t0 = time.time()
+    lines = _run_stream(
+        map_unpaired_cs_sam_stream(m, recs, batch_size=8192))
+    dt = time.time() - t0
+    return len(recs) / dt, lines
+
+
+WORKLOADS = {
+    "ecoli-ls": lambda: bench_ls("ecoli_synth2", 4_600_000, 20260816),
+    "ecoli-ls-fastq": lambda: bench_ls("ecoli_synth2", 4_600_000,
+                                       20260816, fastq=True),
+    "ecoli-paired": lambda: bench_paired("ecoli_synth2", 4_600_000,
+                                         20260816),
+    "ecoli-cs": lambda: bench_cs("ecoli_synth2", 4_600_000, 20260816),
+    "chr21-ls": lambda: bench_ls("chr21", 47_000_000, 777),
+}
+
+
+def main():
+    _force_backend()
+    names = sys.argv[1:] or list(WORKLOADS)
+    for nm in names:
+        rate, lines = WORKLOADS[nm]()
+        print(json.dumps({"metric": nm, "value": round(rate, 1),
+                          "unit": "reads/s/chip", "lines": lines}))
+
+
+if __name__ == "__main__":
+    main()
