@@ -303,7 +303,7 @@ def load_or_build_index(genome_args: List[str], seeds_spec: Optional[str],
     if mirna:
         seeds = mirna_seeds()
     elif seeds_spec:
-        seeds = parse_seeds(seeds_spec)
+        seeds = parse_seeds(seeds_spec, hashed=hashed)
     else:
         seeds = default_seeds()
     contigs = []
@@ -466,6 +466,10 @@ def cmd_map(args) -> int:
     from .mapper import Mapper
     from .paired import PairedMapper
 
+    if args.cs and args.trim_front:
+        # gmapper.c:2135: front trims would eat the CS primer base
+        raise SystemExit(
+            "--trim-front cannot be used in colour space mode!")
     split_mates = args.upstream is not None or args.downstream is not None
     if split_mates:
         if args.upstream is None or args.downstream is None:
@@ -688,7 +692,35 @@ def cmd_merge(args) -> int:
                            insert_size_stddev=args.insert_size_stddev)
 
 
+_NEG_VALUE_FLAGS = {"-m", "--match", "-i", "--mismatch", "-g", "--open-r",
+                    "-q", "--open-q", "-e", "--ext-r", "-f", "--ext-q",
+                    "-x", "--crossover", "-r", "--cmw-threshold",
+                    "-h-threshold", "--full-threshold", "-v",
+                    "--vec-threshold", "--min-avg-qv", "-z", "--cutoff"}
+
+
+def _join_negative_values(argv: List[str]) -> List[str]:
+    """Fold `-i -20` into `-i=-20`: argparse would otherwise read the
+    negative number as an option because -1/-2 (mate files) make every
+    -<digit> token look like a flag (gmapper scores are negative)."""
+    out: List[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if (a in _NEG_VALUE_FLAGS and i + 1 < len(argv)
+                and len(argv[i + 1]) > 1 and argv[i + 1][0] == "-"
+                and argv[i + 1][1].isdigit()):
+            out.append(f"{a}={argv[i + 1]}")
+            i += 2
+        else:
+            out.append(a)
+            i += 1
+    return out
+
+
 def main(argv: Optional[List[str]] = None) -> int:
+    argv = _join_negative_values(list(argv if argv is not None
+                                      else sys.argv[1:]))
     ap = argparse.ArgumentParser(
         prog="shrimp_tpu",
         description="TPU-native short-read mapper (SHRiMP2 capabilities)")

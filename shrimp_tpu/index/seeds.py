@@ -67,14 +67,14 @@ def mirna_seeds() -> List[Seed]:
     return [Seed(s) for s in C.MIRNA_SEEDS]
 
 
-def parse_seeds(spec: str) -> List[Seed]:
+def parse_seeds(spec: str, hashed: bool = False) -> List[Seed]:
     """Parse a comma-separated `-s` seed list, or `w<N>` for a default set
     (gmapper.c seed option handling)."""
     if spec.startswith("w"):
         return default_seeds(weight=int(spec[1:]))
     seeds = [Seed(s.strip()) for s in spec.split(",") if s.strip()]
     for s in seeds:
-        s.validate()
+        s.validate(hashed=hashed)
     return seeds
 
 

@@ -172,7 +172,9 @@ def render_hit(re: ReadEntry, rh: Optional[Hit], rh_mp: Optional[Hit],
     # ---- unmapped-style record (output.c:417-474)
     if query_unmapped or (not cfg.half_paired and paired_read
                           and mate_unmapped):
-        seq = (_clean_seq(re.seq) if cfg.mode == C.MODE_LETTER_SPACE
+        out_seq = re.trimmed_seq if getattr(re, "trimmed_seq", None) \
+            else re.seq
+        seq = (_clean_seq(out_seq) if cfg.mode == C.MODE_LETTER_SPACE
                else "*")
         qual = "*"
         if fastq and cfg.mode == C.MODE_LETTER_SPACE and re.qual:

@@ -98,6 +98,10 @@ class ReadEntry:
     delta_region_max: Tuple[int, int] = (0, 0)
     final_unpaired_hits: List["Hit"] = field(default_factory=list)
     crossover_score: Optional[np.ndarray] = None  # per-colour, CS+qvs
+    # paired-mode late trim (gmapper.c:412-439): mate 1 maps untrimmed
+    # but its seq STRING was trimmed in place, which only unmapped-style
+    # records print (hit_output strcpy, output.c:417-421)
+    trimmed_seq: Optional[str] = None
 
 
 @dataclass

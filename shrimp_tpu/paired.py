@@ -323,8 +323,20 @@ class PairedMapper(Mapper):
     # ------------------------------------------------------------- driver
     def prepare_pair(self, rec1: SeqRecord, rec2: SeqRecord
                      ) -> Optional[PairEntry]:
-        e1 = self.prepare_read(rec1, trim=self.config.trim_first)
-        e2 = self.prepare_read(rec2, trim=self.config.trim_second)
+        # Reference quirk (gmapper.c:412-492): in paired mode the trim
+        # of the FIRST mate runs one loop iteration after it was
+        # encoded, so mate 1 maps (and renders SEQ) untrimmed; only its
+        # quality STRING reflects the trim. Mate 2 trims normally.
+        cfg = self.config
+        e1 = self.prepare_read(rec1, trim=False)
+        e2 = self.prepare_read(rec2, trim=cfg.trim_second)
+        if e1 is not None and cfg.trim_first \
+                and (cfg.trim_front or cfg.trim_end):
+            e1.trimmed_seq = e1.seq[cfg.trim_front:
+                                    len(e1.seq) - cfg.trim_end or None]
+            if e1.qual is not None:
+                e1.qual = e1.qual[cfg.trim_front:
+                                  len(e1.qual) - cfg.trim_end or None]
         if e1 is None or e2 is None:
             return None
         flip1, flip2 = C.PAIR_REVERSE[self.config.pair_mode]
