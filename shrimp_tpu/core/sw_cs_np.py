@@ -602,7 +602,9 @@ def post_sw_finish_batch_gapless(initbp, dbalign_codes, cols_col,
     bad = (base_call == C.BASE_N) | (base_call > 3)
     tmp = np.where(bad, 0, tmp)
     quals = (33 + np.minimum(tmp, 40)).astype(np.uint8)
-    res = np.exp(-total)
+    # scalar libm exp: numpy's SIMD exp differs from the reference's
+    # exp() by ~1 ulp, which flips MQVs at exact-ratio boundaries
+    res = np.array([math.exp(-t) for t in total], np.float64)
     out = []
     for b in range(B):
         n = int(ncols[b])

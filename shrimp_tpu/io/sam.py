@@ -186,7 +186,7 @@ def render_hit(re: ReadEntry, rh: Optional[Hit], rh_mp: Optional[Hit],
         line = "\t".join(fields)
         if cfg.mode == C.MODE_COLOUR_SPACE:
             line += f"\tCQ:Z:{re.qual if fastq and re.qual else '*'}"
-            line += f"\tCS:Z:{re.seq}"
+            line += f"\tCS:Z:{out_seq}"
         if cfg.sam_r2 and re_mp is not None:
             tag = "X2" if cfg.mode == C.MODE_COLOUR_SPACE else "R2"
             line += f"\t{tag}:Z:{re_mp.seq}"
@@ -291,7 +291,9 @@ def render_hit(re: ReadEntry, rh: Optional[Hit], rh_mp: Optional[Hit],
     if cfg.mode == C.MODE_COLOUR_SPACE:
         if fastq and re.qual:
             line += f"\tCQ:Z:{re.qual}"
-        line += (f"\tCS:Z:{re.seq}\tCM:i:{rh.crossovers}"
+        cs_seq = re.trimmed_seq if getattr(re, "trimmed_seq", None) \
+            else re.seq
+        line += (f"\tCS:Z:{cs_seq}\tCM:i:{rh.crossovers}"
                  f"\tXX:Z:{rh.qralign}")
     if cfg.sam_r2 and re_mp is not None:
         tag = "X2" if cfg.mode == C.MODE_COLOUR_SPACE else "R2"

@@ -133,3 +133,67 @@ def test_flag_matrix_paired(dataset, gflags, oflags):
     got = _ours(dataset, oflags or gflags, "p.fa")
     assert got == want, (f"[{gflags}]\n" + "\n".join(got[:3])
                          + "\n---\n" + "\n".join(want[:3]))
+
+
+@pytest.fixture(scope="module")
+def cs_dataset(tmp_path_factory):
+    import random
+    d = str(tmp_path_factory.mktemp("flagmx_cs"))
+    rng = random.Random(888)
+    g = "".join(rng.choice("ACGT") for _ in range(60000))
+    with open(os.path.join(d, "genome.fa"), "w") as f:
+        f.write(">chrX\n")
+        for i in range(0, len(g), 70):
+            f.write(g[i:i + 70] + "\n")
+    l2n = {c: i for i, c in enumerate("ACGT")}
+    comp = str.maketrans("ACGT", "TGCA")
+
+    def tocs(s):
+        return "T" + str(l2n["T"] ^ l2n[s[0]]) + "".join(
+            str(l2n[s[i]] ^ l2n[s[i + 1]]) for i in range(len(s) - 1))
+
+    with open(os.path.join(d, "pc.fa"), "w") as f:
+        for i in range(100):
+            p = rng.randrange(0, len(g) - 400)
+            isz = rng.randrange(100, 300)
+            a = list(g[p:p + 36])
+            b = list(g[p + isz - 36:p + isz])
+            for s in (a, b):
+                for _ in range(rng.choice([0, 0, 1])):
+                    s[rng.randrange(36)] = rng.choice("ACGT")
+            r1 = "".join(a)
+            r2 = "".join(b).translate(comp)[::-1]
+            if rng.random() < 0.12:
+                q = rng.randrange(0, len(g) - 36)
+                r2 = g[q:q + 36]
+            f.write(f">x{i}/1\n{tocs(r1)}\n>x{i}/2\n{tocs(r2)}\n")
+    return d
+
+
+CS_PAIRED_CASES = [
+    ("-p opp-in", None),
+    ("-p opp-in --strata", None),
+    ("-p opp-in -x -18", None),
+    ("-p opp-in --no-half-paired", None),
+    ("-p opp-in --trim-end 2", None),
+    ("-p col-fw", None),
+]
+
+
+def _ref_cs(dataset, flags, reads):
+    res = subprocess.run(
+        [os.path.join(oracle.BUILD_DIR, "bin", "gmapper-cs"), "-E"]
+        + flags.split()
+        + [os.path.join(dataset, reads), os.path.join(dataset, "genome.fa")],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-500:]
+    return [l for l in res.stdout.splitlines()
+            if l and not l.startswith("@")]
+
+
+@pytest.mark.parametrize("gflags,oflags", CS_PAIRED_CASES)
+def test_flag_matrix_cs_paired(cs_dataset, gflags, oflags):
+    want = _ref_cs(cs_dataset, gflags, "pc.fa")
+    got = _ours(cs_dataset, "--cs " + (oflags or gflags), "pc.fa")
+    assert got == want, (f"[{gflags}]\n" + "\n".join(got[:3])
+                         + "\n---\n" + "\n".join(want[:3]))
