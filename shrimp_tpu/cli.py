@@ -603,9 +603,13 @@ def cmd_map(args) -> int:
                                fastpath_supported,
                                map_paired_sam_stream,
                                map_unpaired_sam_stream)
-        from .fastpath_cs import (fastpath_cs_supported,
+        from .fastpath_cs import (fastpath_cs_paired_supported,
+                                  fastpath_cs_supported,
+                                  map_paired_cs_sam_stream,
                                   map_unpaired_cs_sam_stream)
-        if paired:
+        if paired and cfg.mode == C.MODE_COLOUR_SPACE:
+            use_fast = fastpath_cs_paired_supported(cfg)
+        elif paired:
             use_fast = fastpath_paired_supported(cfg)
         elif cfg.mode == C.MODE_COLOUR_SPACE:
             use_fast = fastpath_cs_supported(cfg)
@@ -618,7 +622,9 @@ def cmd_map(args) -> int:
         nonlocal total_lines
         if not win:
             return
-        if paired:
+        if paired and cfg.mode == C.MODE_COLOUR_SPACE:
+            gen = map_paired_cs_sam_stream(mapper, win, batch_size=B)
+        elif paired:
             gen = map_paired_sam_stream(mapper, win, batch_size=B)
         elif cfg.mode == C.MODE_COLOUR_SPACE:
             gen = map_unpaired_cs_sam_stream(mapper, win, batch_size=B)

@@ -750,13 +750,36 @@ class _PPParams(ctypes.Structure):
                 ("seq_fwd", ctypes.c_void_p), ("seq_rc", ctypes.c_void_p),
                 ("qual_fwd", ctypes.c_void_p),
                 ("qual_rc", ctypes.c_void_p),
-                ("qual_raw", ctypes.c_void_p)]
+                ("qual_raw", ctypes.c_void_p),
+                # colour-space mode extras (cs=0 for LS)
+                ("cs", ctypes.c_int32),
+                ("pr_random_den", ctypes.c_int32),
+                ("pr_xover", ctypes.c_double), ("pr_snp", ctypes.c_double),
+                ("pr_del_open", ctypes.c_double),
+                ("pr_del_extend", ctypes.c_double),
+                ("pr_ins_open", ctypes.c_double),
+                ("pr_ins_extend", ctypes.c_double),
+                ("cs_fastq", ctypes.c_int32),
+                ("cs_use_read_qvs", ctypes.c_int32),
+                ("cs_qual_delta", ctypes.c_int32),
+                ("cs_use_sanger", ctypes.c_int32),
+                ("cs_genome_fwd", ctypes.c_void_p),
+                ("cs_genome_rc", ctypes.c_void_p),
+                ("cs_colours", ctypes.c_void_p),
+                ("cs_qr_tab", ctypes.c_void_p),
+                ("cs_initbp", ctypes.c_void_p),
+                ("cs_readseq", ctypes.c_void_p),
+                ("cs_read_seq_len", ctypes.c_int32),
+                ("cs_quals", ctypes.c_void_p),
+                ("cs_cq", ctypes.c_void_p),
+                ("cs_cq_len", ctypes.c_int32)]
 
 
 class _PPWin(ctypes.Structure):
     _fields_ = [(f, ctypes.c_void_p) for f in
                 ("seg", "cn", "g_off", "g_off_norm", "gen_st", "w_len",
-                 "matches", "score_max", "vec", "packed", "ops_pk")]
+                 "matches", "score_max", "vec", "packed", "ops_pk",
+                 "cs_packed", "cs_steps", "start_abs")]
 
 
 def fastpath_paired_supported(cfg: MapperConfig) -> bool:
@@ -1055,7 +1078,11 @@ class FastPaired:
             ctx["qual_rc"].ctypes.data
             if ctx.get("qual_rc") is not None else None,
             ctx["qual_raw"].ctypes.data
-            if ctx.get("qual_raw") is not None else None)
+            if ctx.get("qual_raw") is not None else None,
+            0, sc.match - sc.mismatch,
+            0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+            0, 0, 0, 0, None, None, None, None, None, None, 0,
+            None, None, 0)
         wstruct = _PPWin(**{k: _vp(v) for k, v in arrs.items()})
         cap = max(1 << 20, n_pairs * 4 * (L + 320))
         while True:

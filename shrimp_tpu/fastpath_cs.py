@@ -269,9 +269,15 @@ class FastCS:
                     t_dispatch=_time.perf_counter() - t2)
 
     def _fused_dispatch_cs(self, fh, codes0, qr_tab, initbp, R, Bcap,
-                           xover_tab=None):
+                           xover_tab=None, rcf=None, thresh_override=None):
         """Normalize window geometry (reverse_hit, mapping.c:254-263) and
-        launch fused CS vec+full chunks against the device planes."""
+        launch fused CS vec+full chunks against the device planes.
+
+        `rcf` marks windows needing reverse_hit normalization (default:
+        strand-1 windows; paired legs may be pre-flipped).
+        `thresh_override` replaces the per-window full-SW zero-out
+        threshold (the paired flow passes 1 so the raw DP score returns
+        and context thresholds apply natively)."""
         import jax
 
         from .core.sw_cs_full_pallas import pallas_cs_full_ok
@@ -287,7 +293,8 @@ class FastCS:
         coff = idx.contig_offsets[fh.cn].astype(np.int64)
         clen = idx.contig_lengths[fh.cn].astype(np.int64)
         wl64 = fh.w_len.astype(np.int64)
-        rcf = (fh.owner & 1) == 1     # unpaired CS: input_strand == 0
+        if rcf is None:
+            rcf = (fh.owner & 1) == 1  # unpaired CS: input_strand == 0
         g_off_t = np.where(rcf, clen - fh.g_off - wl64, fh.g_off)
         ax_t = np.where(rcf, -fh.ax + (wl64 - 1) - (fh.alen - 1)
                         - (fh.awid - 1), fh.ax)
@@ -295,7 +302,9 @@ class FastCS:
                         + (fh.awid - 1), fh.ay)
         thr = cfg.sw_full_threshold
         smax = fh.score_max.astype(np.int64)
-        if thr < 0:
+        if thresh_override is not None:
+            thresh = np.full(n, thresh_override, np.int64)
+        elif thr < 0:
             thresh = np.full(n, int(-thr), np.int64)
         else:
             thresh = (smax.astype(np.float64) * (thr / 100.0)
@@ -524,6 +533,388 @@ def map_unpaired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
             for h in hits:
                 lines.append(render_unpaired(re_, h, mapper.index,
                                              mapper.config, fastq=fq))
+        return ("\n".join(lines) + "\n").encode() if lines else b""
+
+    if lanes is None:
+        import os as _os
+        lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
+    if records:
+        mapper._dev_cs_planes()
+
+    def work(off: int, pre) -> bytes:
+        a = pre if pre is not None else fast.stage_prepare(
+            records[off:off + batch_size], batch_cap=batch_size)
+        if a is None:
+            return slow_tail(off)
+        return fast.stage_finish(a)[0]
+
+    def gen_mt():
+        from concurrent.futures import ThreadPoolExecutor
+        offs = list(range(0, len(records), batch_size))
+        with ThreadPoolExecutor(max(lanes, 1)) as ex:
+            futs = {}
+            ahead = max(lanes, 1) + 2
+            sub = 0
+            for i in range(len(offs)):
+                while sub < len(offs) and sub - i < ahead:
+                    futs[sub] = ex.submit(work, offs[sub],
+                                          first if sub == 0 else None)
+                    sub += 1
+                yield futs.pop(i).result()
+    return gen_mt()
+
+
+# ===================================================================
+# Colour-space paired-end fast path
+# ===================================================================
+
+def fastpath_cs_paired_supported(cfg: MapperConfig) -> bool:
+    """Gate: the native paired renderer's CS mode covers the default CS
+    paired SAM flow."""
+    if cfg.pair_mode == C.PAIR_NONE or cfg.mode != C.MODE_COLOUR_SPACE:
+        return False
+    if cfg.custom_paired_options or cfg.custom_unpaired_options:
+        return False
+    popts = cfg.paired_options()
+    if len(popts) != 1:
+        return False
+    ro = popts[0].read[0]
+    if (ro.anchor_list.use_mp_region_counts
+            and not ro.anchor_list.use_region_counts):
+        return False
+    if cfg.gapless or not cfg.global_alignment:
+        return False
+    if not cfg.compute_mapping_qualities:
+        return False
+    if cfg.single_best_mapping or cfg.all_contigs:
+        return False
+    if cfg.extra_sam_fields or cfg.sam_r2 or cfg.sam_unaligned:
+        return False
+    if cfg.read_group_name is not None or cfg.shrimp_format:
+        return False
+    if cfg.bfast:
+        return False
+    if not (cfg.search_forward and cfg.search_reverse):
+        return False
+    return True
+
+
+class FastPairedCS(FastCS):
+    """Colour-space paired pipeline: CS encode + fused CS device launch
+    (shared with FastCS), then ONE native call (pairedpipe.cpp in CS
+    mode) for pair-up, paired pass1/pass2 with post-SW foot rescoring,
+    half-paired fallback, paired MQV and CS SAM text."""
+
+    # ---------------------------------------------------------- stage A
+    def stage_prepare(self, records: Sequence[SeqRecord],
+                      batch_cap: Optional[int] = None):
+        m = self.m
+        cfg = m.config
+        t0 = _time.perf_counter()
+        if not records or len(records) % 2:
+            return None
+        if cfg.trim_front or cfg.trim_end:
+            return None
+        if cfg.custom_unpaired_options or cfg.custom_paired_options:
+            return None
+        has_qual = any(r.qual is not None for r in records)
+        Lseq = len(records[0].seq)
+        R = Lseq - 1
+        if R <= 0 or R > cfg.longest_read_len:
+            return None
+        try:
+            buf = "".join(r.seq for r in records).encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        B = len(records)
+        if len(buf) != B * Lseq:
+            return None
+        raw = np.frombuffer(buf, np.uint8).reshape(B, Lseq)
+        quals = cq = None
+        if has_qual:
+            try:
+                qbuf = "".join(r.qual for r in records).encode("ascii")
+            except (UnicodeEncodeError, TypeError):
+                return None
+            if len(qbuf) == B * R:
+                Lq = R
+            elif len(qbuf) == B * Lseq:
+                Lq = Lseq
+            else:
+                return None
+            cq = np.frombuffer(qbuf, np.uint8).reshape(B, Lq)
+            qv_full = cq.astype(np.int32) - cfg.qual_delta
+            if not cfg.ignore_qvs and not cfg.no_qv_check:
+                bad = (qv_full < -10) | (qv_full > 50)
+                if bad.any():
+                    q0 = int(qv_full[bad][0])
+                    raise ValueError(
+                        "The qv-offset might be set incorrectly! "
+                        "Currently qvs are interpreted as PHRED+"
+                        f"{cfg.qual_delta} and a qv of {q0} was "
+                        "observed.")
+            if not cfg.ignore_qvs and cfg.min_avg_qv >= 0:
+                s = qv_full.sum(axis=1, dtype=np.int64)
+                avg = np.where(s < 0, -((-s) // R), s // R)
+                if (avg < cfg.min_avg_qv).any():
+                    return None   # pair drops: generic path handles
+            cq = np.ascontiguousarray(cq)
+            quals = np.ascontiguousarray(cq[:, :R])
+        init16 = C.CHAR_TO_INT[raw[:, 0]]
+        if ((init16 < 0) | (init16 > 3)).any():
+            return None
+        codes16 = C.CHAR_TO_INT[raw[:, 1:]]
+        if (codes16 < 0).any():
+            return None
+        initbp = init16.astype(np.int64)
+        codes0 = codes16.astype(np.uint8)
+        codes1 = _revcomp_cs_batch(codes0, initbp)
+        xover_tab = None
+        if quals is not None and not cfg.ignore_qvs:
+            import math as _math
+            cal = m.cal
+            lut = np.empty(256, np.int32)
+            for ch in range(256):
+                pe = _pr_err_from_qv_py(ch - cfg.qual_delta)
+                v = int(cal.alpha * _math.log2(pe / 3.0))
+                v = min(v, -1)
+                v = max(v, 2 * cfg.scores.crossover)
+                lut[ch] = v
+            xover_tab = lut[quals]
+        nm_parts = [r.name.encode() for r in records]
+        offs = np.zeros(B + 1, np.int64)
+        np.cumsum([len(x) for x in nm_parts], out=offs[1:])
+        nm_blob = (np.frombuffer(b"".join(nm_parts), np.uint8).copy()
+                   if nm_parts else np.zeros(1, np.uint8))
+        wlen = int(abs_or_pct(cfg.window_len, R))
+        # per-leg strand flips (read_reverse, gmapper.c:175-186); a
+        # flipped leg's strand-0 row is the revcomp colours
+        flip1, flip2 = C.PAIR_REVERSE[cfg.pair_mode]
+        input_strand = np.zeros(B, np.int8)
+        input_strand[0::2] = int(flip1)
+        input_strand[1::2] = int(flip2)
+        codes2 = np.empty((B, 2, R), np.uint8)
+        flipm = input_strand == 1
+        codes2[~flipm, 0] = codes0[~flipm]
+        codes2[~flipm, 1] = codes1[~flipm]
+        codes2[flipm, 0] = codes1[flipm]
+        codes2[flipm, 1] = codes0[flipm]
+        m.stats.add_stage("read prep", _time.perf_counter() - t0)
+
+        t1 = _time.perf_counter()
+        ro = m._paired_opts[0].read[0]
+        mp_kw = {}
+        if ro.anchor_list.use_mp_region_counts:
+            from types import SimpleNamespace
+            re1 = SimpleNamespace(window_len=wlen, read_len=R)
+            re2 = SimpleNamespace(window_len=wlen, read_len=R)
+            m._compute_mp_ranges(re1, re2, m._paired_opts[0].pairing)
+            drmin = np.empty(2 * B, np.int64)
+            drmax = np.empty(2 * B, np.int64)
+            for st in (0, 1):
+                drmin[st::4] = re1.delta_region_min[st]
+                drmax[st::4] = re1.delta_region_max[st]
+                drmin[2 + st::4] = re2.delta_region_min[st]
+                drmax[2 + st::4] = re2.delta_region_max[st]
+            mp_kw = dict(mp_mode=ro.anchor_list.use_mp_region_counts,
+                         mp_drmin=drmin, mp_drmax=drmax)
+        from .native.filter1_py import generate_candidates_native
+        fh = generate_candidates_native(
+            m.index, codes2, R, wlen, m.cutoff, ro.hit_list.match_mode,
+            ro.hit_list.threshold, cfg.scores.match,
+            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
+            min_kmer_pos=1,
+            use_region_counts=ro.anchor_list.use_region_counts,
+            region_bits=cfg.region_bits,
+            region_overlap=cfg.region_overlap,
+            collapse=ro.anchor_list.collapse, gapless=False,
+            search_strands=(True, True), **mp_kw)
+        if fh is None:
+            return None
+        m.stats.add_stage("filter1", _time.perf_counter() - t1)
+
+        t2 = _time.perf_counter()
+        Bcap = max(batch_cap or B, B)
+        from .core.sw_cs_batch import cs_layers_batch
+        qr_tab = cs_layers_batch(codes0, initbp)
+        win = None
+        futures = []
+        G = 32
+        if fh.n:
+            # feet run full SW in two contexts (paired 0.5x, half-paired
+            # 1x): dispatch with thresh=1 so the raw DP score comes back
+            # and the native code applies the context threshold
+            rcf = (fh.owner & 1).astype(np.int8) != \
+                input_strand[(fh.owner >> 1).astype(np.int64)]
+            futures, win, G, _ = self._fused_dispatch_cs(
+                fh, codes0, qr_tab, initbp, R, Bcap, xover_tab,
+                rcf=np.asarray(rcf, bool), thresh_override=1)
+        m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
+        return dict(B=B, R=R, wlen=wlen, fh=fh, win=win, futures=futures,
+                    G=G, codes0=codes0, qr_tab=qr_tab,
+                    initbp=initbp.astype(np.int32), raw=raw, quals=quals,
+                    cq=cq, names=nm_blob, name_off=offs, Bcap=Bcap,
+                    input_strand=input_strand,
+                    t_dispatch=_time.perf_counter() - t2)
+
+    # ---------------------------------------------------------- stage B
+    def stage_finish(self, ctx):
+        """Fetch fused device results and run the whole CS paired brain
+        in one native call."""
+        import jax
+
+        from .fastpath import _PPParams, _PPWin
+        m = self.m
+        cfg = m.config
+        fls = self.fls
+        B = ctx["B"]
+        if B == 0:
+            return b"", np.zeros(0, np.int32), np.zeros(0, np.int32)
+        fh = ctx["fh"]
+        R, wlen = ctx["R"], ctx["wlen"]
+        n_pairs = B // 2
+        pair_nhits = np.zeros(n_pairs, np.int32)
+        read_nhits = np.zeros(B, np.int32)
+        m.stats.reads += B
+        if fh.n == 0:
+            return b"", pair_nhits, read_nhits
+        n = int(fh.n)
+        t0 = _time.perf_counter()
+        fetched = jax.device_get([res for _, _, res in ctx["futures"]])
+        scores = np.empty(n, np.int64)
+        W = fetched[0][2].shape[1]
+        packed_all = np.empty((n, 12), np.int16)
+        steps_all = np.empty((n, W), np.int8)
+        for (off, k, _), (vec, pk, st) in zip(ctx["futures"], fetched):
+            scores[off:off + k] = vec[:k]
+            packed_all[off:off + k] = pk[:k]
+            steps_all[off:off + k] = st[:k]
+        dev_secs = _time.perf_counter() - t0 + ctx["t_dispatch"]
+        m.stats.vec_secs += dev_secs
+        m.stats.full_secs += dev_secs
+
+        t0 = _time.perf_counter()
+        win = ctx["win"]
+        popts = m._paired_opts[0]
+        ro = popts.read[0]
+        pairing = popts.pairing
+        hp = cfg.half_paired_unpaired_options(0)[0]
+        from types import SimpleNamespace
+        re1 = SimpleNamespace(window_len=wlen, read_len=R)
+        re2 = SimpleNamespace(window_len=wlen, read_len=R)
+        m._compute_mp_ranges(re1, re2, pairing)
+        cal = m.cal
+        sc = cfg.scores
+        owner = np.ascontiguousarray(fh.owner, np.int64)
+        seg = np.ascontiguousarray(
+            np.searchsorted(owner, np.arange(2 * B + 1)), np.int64)
+        arrs = dict(
+            seg=seg,
+            cn=np.ascontiguousarray(fh.cn, np.int32),
+            g_off=np.ascontiguousarray(fh.g_off, np.int64),
+            g_off_norm=np.ascontiguousarray(win["g_off_t"], np.int64),
+            gen_st=np.ascontiguousarray(win["rcmask"], np.int8),
+            w_len=np.ascontiguousarray(fh.w_len, np.int32),
+            matches=np.ascontiguousarray(fh.matches, np.int32),
+            score_max=np.ascontiguousarray(fh.score_max, np.int64),
+            vec=np.ascontiguousarray(scores, np.int64),
+            cs_packed=np.ascontiguousarray(packed_all),
+            cs_steps=np.ascontiguousarray(steps_all),
+            start_abs=np.ascontiguousarray(win["starts"], np.int64))
+        idx = m.index
+        import ctypes
+        raw = ctx["raw"]
+        quals = ctx.get("quals")
+        cq = ctx.get("cq")
+        p = _PPParams(
+            n_pairs, n, R, wlen, W,
+            (ctypes.c_int64 * 2)(int(re1.delta_g_off_min[0]),
+                                 int(re1.delta_g_off_min[1])),
+            (ctypes.c_int64 * 2)(int(re1.delta_g_off_max[0]),
+                                 int(re1.delta_g_off_max[1])),
+            ro.pass1.min_matches,
+            int(abs_or_pct(ro.pass1.window_overlap, wlen)),
+            float(ro.pass1.threshold),
+            pairing.pass1_num_outputs, float(pairing.pass1_threshold),
+            float(ro.pass2.threshold),
+            float(pairing.pass2_threshold), pairing.pass2_num_outputs,
+            int(pairing.strata), cfg.max_alignments,
+            int(cfg.half_paired), hp.pass1.min_matches,
+            int(abs_or_pct(hp.pass1.window_overlap, wlen)),
+            float(hp.pass1.threshold), hp.pass1.num_outputs,
+            float(hp.pass2.threshold), hp.pass2.num_outputs,
+            int(cfg.compute_mapping_qualities), cal.alpha, cal.beta,
+            sc.match, sc.mismatch,
+            float(m.total_genome_size),
+            float(cfg.insert_size_mean), float(cfg.insert_size_stddev),
+            int(cfg.pair_mode in (C.PAIR_OPP_IN, C.PAIR_COL_FW)),
+            fls.contig_lengths32.ctypes.data,
+            fls.contig_name_off.ctypes.data,
+            fls.contig_names_blob.ctypes.data,
+            ctx["name_off"].ctypes.data, ctx["names"].ctypes.data,
+            None, None, None, None, None,
+            1, abs(sc.crossover),
+            cal.pr_xover, cal.pr_mismatch,
+            cal.pr_del_open, cal.pr_del_extend, cal.pr_ins_open,
+            cal.pr_ins_extend,
+            int(quals is not None),
+            int(quals is not None and not cfg.ignore_qvs),
+            cfg.qual_delta, 1,
+            idx.codes.ctypes.data, idx.codes_rc.ctypes.data,
+            ctx["codes0"].ctypes.data, ctx["qr_tab"].ctypes.data,
+            ctx["initbp"].ctypes.data, raw.ctypes.data, raw.shape[1],
+            quals.ctypes.data if quals is not None else None,
+            cq.ctypes.data if cq is not None else None,
+            cq.shape[1] if cq is not None else 0)
+        wstruct = _PPWin(
+            **{k: _vp(v) for k, v in arrs.items()},
+            packed=None, ops_pk=None)
+        cap = max(1 << 20, n_pairs * 6 * (3 * R + 320))
+        while True:
+            out = np.empty(cap, np.uint8)
+            rv = int(self.lib.paired_finalize_render(
+                ctypes.byref(p), ctypes.byref(wstruct),
+                out.ctypes.data_as(ctypes.c_char_p), cap,
+                _vp(pair_nhits), _vp(read_nhits)))
+            if rv >= 0:
+                break
+            cap *= 4
+        m.stats.add_stage("cs paired select + render",
+                          _time.perf_counter() - t0)
+        m.stats.reads_mapped += int((pair_nhits > 0).sum()) * 2
+        m.stats.alignments += 2 * int(pair_nhits.sum()) \
+            + int(read_nhits.sum())
+        return bytes(out[:rv]), pair_nhits, read_nhits
+
+
+def map_paired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
+                             batch_size: int = 8192,
+                             lanes: Optional[int] = None
+                             ) -> Optional[Iterator[bytes]]:
+    """Pipelined CS paired mapping straight to SAM bytes; None when the
+    config needs the generic path."""
+    if not fastpath_cs_paired_supported(mapper.config):
+        return None
+    fast = FastPairedCS(mapper)
+    if fast.lib is None:
+        return None
+    if batch_size % 2:
+        batch_size += 1
+    first = fast.stage_prepare(records[:batch_size],
+                               batch_cap=batch_size)
+    if first is None and records:
+        return None
+
+    from .io import sam as _sam
+
+    def slow_tail(off: int) -> bytes:
+        batch = records[off:off + batch_size]
+        fq = any(r.qual is not None for r in batch)
+        lines = []
+        for pe in mapper.map_paired(batch):
+            p_out, u_out = mapper.select_output(pe)
+            lines.extend(_sam.render_pair_entry(
+                pe, mapper.index, mapper.config, p_out, u_out, fastq=fq))
         return ("\n".join(lines) + "\n").encode() if lines else b""
 
     if lanes is None:

@@ -23,6 +23,9 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#include <unordered_map>
+
+#include "cs_eval.h"
 
 extern "C" {
 
@@ -76,6 +79,28 @@ struct PPParams {
   const uint8_t* qual_rc;      // reversed rows
   const uint8_t* qual_raw;     // [2B, R] original offset (unmapped recs
                                // print quals unrescaled, output.c:419)
+  // ---- colour-space mode (cs=1): CS packed rows + step strings
+  // replace the LS packed/ops; feet rescore through post-SW
+  // (cs_eval.h) instead of the LS closed form
+  int32_t cs;
+  int32_t pr_random_den;       // |mm-m| (LS) or |crossover| (CS),
+                               // mapping.h:39-60
+  double pr_xover, pr_snp;
+  double pr_del_open, pr_del_extend, pr_ins_open, pr_ins_extend;
+  int32_t cs_fastq;            // emit QUAL/CQ from quals
+  int32_t cs_use_read_qvs;
+  int32_t cs_qual_delta;
+  int32_t cs_use_sanger;
+  const uint8_t* cs_genome_fwd;
+  const uint8_t* cs_genome_rc;
+  const uint8_t* cs_colours;   // [2B, R]
+  const uint8_t* cs_qr_tab;    // [2B, 4, R]
+  const int32_t* cs_initbp;    // [2B]
+  const uint8_t* cs_readseq;   // [2B, cs_read_seq_len]
+  int32_t cs_read_seq_len;
+  const uint8_t* cs_quals;     // [2B, R] scoring quals or null
+  const uint8_t* cs_cq;        // [2B, cs_cq_len] raw CQ chars or null
+  int32_t cs_cq_len;
 };
 
 struct PPWin {
@@ -88,8 +113,12 @@ struct PPWin {
   const int32_t* matches;      // kmer matches
   const int64_t* score_max;
   const int64_t* vec;          // vector-SW scores
-  const int32_t* packed;       // [n, 10] full-SW results
+  const int32_t* packed;       // [n, 10] full-SW results (LS mode)
   const uint8_t* ops_pk;       // [n, ops_words]
+  // CS mode replacements (packed/ops_pk unused)
+  const int16_t* cs_packed;    // [n, 12]
+  const int8_t* cs_steps;      // [n, cs_steps_words]
+  const int64_t* start_abs;    // normalized absolute plane offsets
 };
 
 // ------------------------------------------------------------ helpers
@@ -129,7 +158,7 @@ static double pp_log_nchoosek(int64_t n, int64_t k) {
   return res;
 }
 
-// mapping.h:39-60 (LS branch)
+// mapping.h:39-60 (denominator |mm-m| for LS, |crossover| for CS)
 static double pp_pr_random(const PPParams* p, int64_t score) {
   int64_t L = p->read_len;
   int64_t full = L * p->match_score;
@@ -138,13 +167,21 @@ static double pp_pr_random(const PPParams* p, int64_t score) {
   if (full != score) {
     int64_t num = full - score;
     if (num < 0) num = 0;
-    int64_t den = p->match_score - p->mismatch_score;  // |mm - m|
+    int64_t den = p->pr_random_den;
     n = (num + den - 1) / den;   // ceil, matches -(-x // y)
   }
   double tmp = -pp_log_nchoosek(L, n) - (double)n * log(3.0)
                + (double)L * log(4.0);
   return exp(-tmp);
 }
+
+// colour-space foot evaluation state (post-SW results cached per
+// window row; only pass1-selected feet ever run)
+struct CSMode {
+  cseval::Ctx ctx;
+  cseval::Scratch sc;
+  std::unordered_map<int32_t, cseval::Result> res;
+};
 
 // output.c:796-808
 static inline double pp_pr_insert(const PPParams* p, double isz) {
@@ -197,11 +234,36 @@ struct WinState {
 };
 
 // LS posterior closed form + vector gate (hit_run_full_sw
-// mapping.c:380-398 + mapping.c:1609-1625)
+// mapping.c:380-398 + mapping.c:1609-1625); CS runs the full post-SW
+// rescoring (hit_run_full_sw mapping.c:375-379 + sw-post.c) with the
+// context's DP-score threshold (the kernel thresh of _pass2_cs)
 static void pp_run_full(const PPParams* p, const PPWin* w, WinState& S,
-                        int64_t t, double leg_thr) {
+                        int64_t t, double leg_thr, CSMode* csm,
+                        int64_t ri) {
   if (S.ran[t]) return;
   S.ran[t] = 1;
+  if (p->cs) {
+    const int16_t* pk = w->cs_packed + t * 12;
+    int raw = pk[0];
+    // thresh = int(abs_or_pct(...)) zero-out inside sw_full_cs
+    int64_t thresh = (int64_t)pp_abs_or_pct(leg_thr,
+                                            (double)w->score_max[t]);
+    S.post[t] = 0.0;
+    S.sf[t] = 0;
+    S.pct_sf[t] = 0;
+    if (raw <= 0 || raw < thresh) return;
+    cseval::Result ev;
+    if (!cseval::eval_hit(csm->ctx, csm->sc, ri, pk,
+                          w->cs_steps + t * p->ops_words,
+                          w->start_abs[t], w->gen_st[t] != 0, ev)) {
+      return;
+    }
+    S.post[t] = ev.posterior;
+    S.sf[t] = (int32_t)ev.ps;
+    S.pct_sf[t] = (1000LL * 100LL * ev.ps) / w->score_max[t];
+    csm->res.emplace((int32_t)t, std::move(ev));
+    return;
+  }
   // int() truncation of the python gate (_pass2_dispatch)
   double thresh = pp_abs_or_pct(leg_thr, (double)w->score_max[t]);
   if (S.sv[t] < (int64_t)thresh) {
@@ -246,14 +308,27 @@ struct FootGeom {
 
 static FootGeom pp_geom(const PPParams* p, const PPWin* w, int64_t t) {
   FootGeom g;
-  const int32_t* pk = w->packed + t * 10;
-  int rs = pk[4];
-  g.rmapped = pk[1] - rs + 1;
-  g.gmapped = pk[2] - pk[5] + 1;
-  g.ins = pk[8];
-  g.dele = pk[9];
-  g.mm = pk[7];
-  g.gstart = (int64_t)pk[5] + w->g_off_norm[t];
+  int rs;
+  if (p->cs) {
+    const int16_t* pk = w->cs_packed + t * 12;
+    rs = pk[5];
+    int nops = pk[4];
+    g.ins = pk[9];
+    g.dele = pk[10];
+    g.mm = pk[8];
+    g.rmapped = nops - g.ins;
+    g.gmapped = nops - g.dele;
+    g.gstart = (int64_t)pk[6] + w->g_off_norm[t];
+  } else {
+    const int32_t* pk = w->packed + t * 10;
+    rs = pk[4];
+    g.rmapped = pk[1] - rs + 1;
+    g.gmapped = pk[2] - pk[5] + 1;
+    g.ins = pk[8];
+    g.dele = pk[9];
+    g.mm = pk[7];
+    g.gstart = (int64_t)pk[5] + w->g_off_norm[t];
+  }
   int64_t glen_c = (int64_t)p->contig_lengths[w->cn[t]];
   int rs1 = rs + 1, re1 = rs1 + g.rmapped - 1;
   if (w->gen_st[t] == 0) {
@@ -356,6 +431,34 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
                                int32_t* read_nhits) {
   const int64_t n = p->n_windows;
   const int R = p->read_len;
+  CSMode cs_state;
+  CSMode* csm = nullptr;
+  if (p->cs) {
+    csm = &cs_state;
+    cseval::Ctx& c = cs_state.ctx;
+    c.genome_fwd = p->cs_genome_fwd;
+    c.genome_rc = p->cs_genome_rc;
+    c.colours = p->cs_colours;
+    c.qr_tab = p->cs_qr_tab;
+    c.initbp = p->cs_initbp;
+    c.quals = p->cs_quals;
+    c.R = R;
+    c.steps_words = p->ops_words;
+    c.alpha = p->alpha;
+    c.beta = p->beta;
+    c.pr_xover = p->pr_xover;
+    c.pr_snp = p->pr_snp;
+    c.pr_del_open = p->pr_del_open;
+    c.pr_del_extend = p->pr_del_extend;
+    c.pr_ins_open = p->pr_ins_open;
+    c.pr_ins_extend = p->pr_ins_extend;
+    c.qual_delta = p->cs_qual_delta;
+    c.use_sanger_qvs = p->cs_use_sanger;
+    c.use_read_qvs = p->cs_use_read_qvs != 0;
+    c.want_qual = p->cs_fastq != 0;
+    c.la_match = log(1 - p->pr_snp);
+    c.la_mis = log(p->pr_snp / 3.0);
+  }
   WinState S;
   S.sv.assign(n, -1);
   S.pct_sv.assign(n, 0);
@@ -451,8 +554,9 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
     // ---- full SW on selected feet (speculative results + gate)
     sel.clear();
     for (int h = 0; h < load; h++) {
-      pp_run_full(p, w, S, heap[h].a, p->foot_threshold);
-      pp_run_full(p, w, S, heap[h].b, p->foot_threshold);
+      pp_run_full(p, w, S, heap[h].a, p->foot_threshold, csm, 2 * pi);
+      pp_run_full(p, w, S, heap[h].b, p->foot_threshold, csm,
+                  2 * pi + 1);
     }
 
     // ---- readpair_pass2: pair threshold
@@ -575,7 +679,8 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
         for (int h = 0; h < hload; h++) {
           int32_t t = heap[h].a;
           if (!S.ran[t]) {
-            pp_run_full(p, w, S, t, p->hp_full_threshold);
+            pp_run_full(p, w, S, t, p->hp_full_threshold, csm,
+                        2 * pi + nip);
             S.pass2_key[t] = abs_hp_full ? S.sf[t] : S.pct_sf[t];
           }
           srows.push_back(t);
@@ -734,7 +839,10 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
                          double z5or6, bool z56_is_6) -> bool {
       int64_t ri = 2 * pi + nip;
       int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
-      if (end - wp < 640 + 11 * (int64_t)R + 2 * nl) return false;
+      if (end - wp < 640 + 11 * (int64_t)R + 2 * nl
+                     + (p->cs ? 3 * (int64_t)R + 2 * p->cs_read_seq_len
+                              : 0))
+        return false;
       const char* nm = p->names + p->name_off[ri];
       int64_t ri_mp = 2 * pi + (1 - nip);
       const char* nm_mp = p->names + p->name_off[ri_mp];
@@ -768,7 +876,16 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
       wp += cl;
       wp += sprintf(wp, "\t%lld\t%d\t", (long long)g.gs1, mqv);
       // CIGAR
-      {
+      if (p->cs) {
+        const cseval::Result& ev = csm->res.at((int32_t)t);
+        if (!rev) {
+          for (size_t q = 0; q < ev.cig_n.size(); q++)
+            wp += sprintf(wp, "%d%c", ev.cig_n[q], ev.cig_c[q]);
+        } else {
+          for (size_t q = ev.cig_n.size(); q-- > 0;)
+            wp += sprintf(wp, "%d%c", ev.cig_n[q], ev.cig_c[q]);
+        }
+      } else {
         const int32_t* pk = w->packed + t * 10;
         int rs = pk[4], nops = pk[3];
         int read_end1 = rs + g.rmapped;
@@ -822,16 +939,45 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
           wp += sprintf(wp, "\t%lld\t0\t", (long long)mpos);
         }
       }
-      const uint8_t* sq = (rev ? p->seq_rc : p->seq_fwd) + ri * R;
-      memcpy(wp, sq, R);
-      wp += R;
-      *wp++ = '\t';
-      if (p->qual_fwd) {
-        const uint8_t* qq = (rev ? p->qual_rc : p->qual_fwd) + ri * R;
-        memcpy(wp, qq, R);
-        wp += R;
+      if (p->cs) {
+        // SEQ = post-SW called letters; QUAL = post-SW base quals
+        const cseval::Result& ev = csm->res.at((int32_t)t);
+        if (!rev) {
+          memcpy(wp, ev.seq.data(), ev.seq.size());
+          wp += ev.seq.size();
+        } else {
+          static const char comp_[5] = "TGCA";
+          for (size_t q = ev.seq.size(); q-- > 0;) {
+            uint8_t c = ev.seq[q];
+            int code = (c == 'A') ? 0 : (c == 'C') ? 1
+                       : (c == 'G') ? 2 : 3;
+            *wp++ = comp_[code];
+          }
+        }
+        *wp++ = '\t';
+        if (p->cs_fastq && !ev.qual.empty()) {
+          if (!rev) {
+            memcpy(wp, ev.qual.data(), ev.qual.size());
+            wp += ev.qual.size();
+          } else {
+            for (size_t q = ev.qual.size(); q-- > 0;)
+              *wp++ = (char)ev.qual[q];
+          }
+        } else {
+          *wp++ = '*';
+        }
       } else {
-        *wp++ = '*';
+        const uint8_t* sq = (rev ? p->seq_rc : p->seq_fwd) + ri * R;
+        memcpy(wp, sq, R);
+        wp += R;
+        *wp++ = '\t';
+        if (p->qual_fwd) {
+          const uint8_t* qq = (rev ? p->qual_rc : p->qual_fwd) + ri * R;
+          memcpy(wp, qq, R);
+          wp += R;
+        } else {
+          *wp++ = '*';
+        }
       }
       wp += sprintf(wp, "\tAS:i:%d", S.sf[t]);
       if (p->compute_mqv) {
@@ -845,7 +991,29 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
                         pp_neglog(z5or6));
         }
       }
-      wp += sprintf(wp, "\tNM:i:%d", g.mm + g.dele + g.ins);
+      if (p->cs) {
+        const cseval::Result& ev = csm->res.at((int32_t)t);
+        wp += sprintf(wp, "\tNM:i:%d", ev.mismatches + g.dele + g.ins);
+        if (p->cs_fastq && p->cs_cq) {
+          memcpy(wp, "\tCQ:Z:", 6);
+          wp += 6;
+          memcpy(wp, p->cs_cq + (int64_t)ri * p->cs_cq_len,
+                 p->cs_cq_len);
+          wp += p->cs_cq_len;
+        }
+        memcpy(wp, "\tCS:Z:", 6);
+        wp += 6;
+        memcpy(wp, p->cs_readseq + (int64_t)ri * p->cs_read_seq_len,
+               p->cs_read_seq_len);
+        wp += p->cs_read_seq_len;
+        wp += sprintf(wp, "\tCM:i:%d", ev.crossovers);
+        memcpy(wp, "\tXX:Z:", 6);
+        wp += 6;
+        memcpy(wp, ev.xx.data(), ev.xx.size());
+        wp += ev.xx.size();
+      } else {
+        wp += sprintf(wp, "\tNM:i:%d", g.mm + g.dele + g.ins);
+      }
       *wp++ = '\n';
       (void)z56_is_6;
       return true;
@@ -856,7 +1024,9 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
     auto emit_unmapped = [&](int nip, int32_t mate_t) -> bool {
       int64_t ri = 2 * pi + nip;
       int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
-      if (end - wp < 256 + 3 * (int64_t)R + 2 * nl) return false;
+      if (end - wp < 256 + 3 * (int64_t)R + 2 * nl
+                     + (p->cs ? 2 * p->cs_read_seq_len : 0))
+        return false;
       const char* nm = p->names + p->name_off[ri];
       int64_t ri_mp = 2 * pi + (1 - nip);
       const char* nm_mp = p->names + p->name_off[ri_mp];
@@ -876,15 +1046,37 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
       memcpy(wp, p->contig_names + p->contig_name_off[c2], l2);
       wp += l2;
       wp += sprintf(wp, "\t%lld\t0\t", (long long)gm.gs1);
-      memcpy(wp, p->seq_fwd + ri * R, R);
-      wp += R;
-      *wp++ = '\t';
-      if (p->qual_raw) {
-        // unmapped record: RAW forward quals, no rescale (output.c:419)
-        memcpy(wp, p->qual_raw + ri * R, R);
-        wp += R;
+      if (p->cs) {
+        // CS unmapped-style record: SEQ/QUAL are '*', the raw read and
+        // quals ride in CS:Z / CQ:Z (hit_output, output.c:440-452)
+        memcpy(wp, "*\t*", 3);
+        wp += 3;
+        memcpy(wp, "\tCQ:Z:", 6);
+        wp += 6;
+        if (p->cs_fastq && p->cs_cq) {
+          memcpy(wp, p->cs_cq + (int64_t)ri * p->cs_cq_len,
+                 p->cs_cq_len);
+          wp += p->cs_cq_len;
+        } else {
+          *wp++ = '*';
+        }
+        memcpy(wp, "\tCS:Z:", 6);
+        wp += 6;
+        memcpy(wp, p->cs_readseq + (int64_t)ri * p->cs_read_seq_len,
+               p->cs_read_seq_len);
+        wp += p->cs_read_seq_len;
       } else {
-        *wp++ = '*';
+        memcpy(wp, p->seq_fwd + ri * R, R);
+        wp += R;
+        *wp++ = '\t';
+        if (p->qual_raw) {
+          // unmapped record: RAW forward quals, no rescale
+          // (output.c:419)
+          memcpy(wp, p->qual_raw + ri * R, R);
+          wp += R;
+        } else {
+          *wp++ = '*';
+        }
       }
       *wp++ = '\n';
       return true;

@@ -115,3 +115,79 @@ def test_cs_fastpath_gate():
     assert not fastpath_cs_supported(
         MapperConfig(mode=C.MODE_COLOUR_SPACE,
                      compute_mapping_qualities=False))
+
+
+def _make_cs_pairs(seed, n_pairs, glen=30_000, with_quals=False):
+    import random
+    rng = random.Random(seed)
+    g = "".join(rng.choice("ACGT") for _ in range(glen))
+    l2n = {c: i for i, c in enumerate("ACGT")}
+    comp = str.maketrans("ACGT", "TGCA")
+
+    def tocs(s):
+        return "T" + str(l2n["T"] ^ l2n[s[0]]) + "".join(
+            str(l2n[s[i]] ^ l2n[s[i + 1]]) for i in range(len(s) - 1))
+
+    recs = []
+    for i in range(n_pairs):
+        isz = rng.randrange(100, 300)
+        p = rng.randrange(0, glen - isz - 40)
+        a = list(g[p:p + 36])
+        b = list(g[p + isz - 36:p + isz])
+        for s in (a, b):
+            for _ in range(rng.choice([0, 0, 1, 2])):
+                s[rng.randrange(36)] = rng.choice("ACGT")
+        r1 = tocs("".join(a))
+        r2 = tocs("".join(b).translate(comp)[::-1])
+        if rng.random() < 0.15:
+            q = rng.randrange(0, glen - 36)
+            r2 = tocs(g[q:q + 36])
+        q1 = q2 = None
+        if with_quals:
+            q1 = "".join(chr(33 + rng.randrange(3, 41))
+                         for _ in range(len(r1) - 1))
+            q2 = "".join(chr(33 + rng.randrange(3, 41))
+                         for _ in range(len(r2) - 1))
+        recs.append(SeqRecord(f"cp{i}/1", r1, q1))
+        recs.append(SeqRecord(f"cp{i}/2", r2, q2))
+    return g, recs
+
+
+def _generic_paired_sam(m, recs, fastq=False):
+    from shrimp_tpu.io import sam
+    lines = []
+    for pe in m.map_paired(recs):
+        p_out, u_out = m.select_output(pe)
+        lines.extend(sam.render_pair_entry(pe, m.index, m.config,
+                                           p_out, u_out, fastq=fastq))
+    return ("\n".join(lines) + "\n").encode() if lines else b""
+
+
+@pytest.mark.parametrize("mode,seed", [("opp-in", 21), ("opp-out", 22),
+                                       ("col-fw", 23), ("col-bw", 24)])
+def test_cs_paired_fastpath_matches_generic(mode, seed):
+    from shrimp_tpu.fastpath_cs import map_paired_cs_sam_stream
+    from shrimp_tpu.paired import PairedMapper
+    g, recs = _make_cs_pairs(seed, 60)
+    idx = build_index([("chrP", encode.encode_ls(g))],
+                      default_seeds(mode="cs"), mode="cs")
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE, pair_mode=mode)
+    want = _generic_paired_sam(PairedMapper(idx, cfg), recs)
+    m2 = PairedMapper(idx, cfg)
+    gen = map_paired_cs_sam_stream(m2, recs, batch_size=64, lanes=1)
+    assert gen is not None, "cs paired fast path unexpectedly unsupported"
+    assert b"".join(gen) == want
+
+
+def test_cs_paired_fastpath_fastq(tmp_path):
+    from shrimp_tpu.fastpath_cs import map_paired_cs_sam_stream
+    from shrimp_tpu.paired import PairedMapper
+    g, recs = _make_cs_pairs(31, 50, with_quals=True)
+    idx = build_index([("chrP", encode.encode_ls(g))],
+                      default_seeds(mode="cs"), mode="cs")
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE, pair_mode="opp-in")
+    want = _generic_paired_sam(PairedMapper(idx, cfg), recs, fastq=True)
+    m2 = PairedMapper(idx, cfg)
+    gen = map_paired_cs_sam_stream(m2, recs, batch_size=32, lanes=1)
+    assert gen is not None
+    assert b"".join(gen) == want
