@@ -152,21 +152,39 @@ def cs_dataset(tmp_path_factory):
         return "T" + str(l2n["T"] ^ l2n[s[0]]) + "".join(
             str(l2n[s[i]] ^ l2n[s[i + 1]]) for i in range(len(s) - 1))
 
-    with open(os.path.join(d, "pc.fa"), "w") as f:
-        for i in range(100):
-            p = rng.randrange(0, len(g) - 400)
-            isz = rng.randrange(100, 300)
-            a = list(g[p:p + 36])
-            b = list(g[p + isz - 36:p + isz])
-            for s in (a, b):
-                for _ in range(rng.choice([0, 0, 1])):
-                    s[rng.randrange(36)] = rng.choice("ACGT")
-            r1 = "".join(a)
-            r2 = "".join(b).translate(comp)[::-1]
-            if rng.random() < 0.12:
-                q = rng.randrange(0, len(g) - 36)
-                r2 = g[q:q + 36]
-            f.write(f">x{i}/1\n{tocs(r1)}\n>x{i}/2\n{tocs(r2)}\n")
+    fa = open(os.path.join(d, "pc.fa"), "w")
+    fq = open(os.path.join(d, "pc.fastq"), "w")
+    for i in range(100):
+        p = rng.randrange(0, len(g) - 400)
+        isz = rng.randrange(100, 300)
+        a = list(g[p:p + 36])
+        b = list(g[p + isz - 36:p + isz])
+        for s in (a, b):
+            for _ in range(rng.choice([0, 0, 1])):
+                s[rng.randrange(36)] = rng.choice("ACGT")
+        r1 = "".join(a)
+        r2 = "".join(b).translate(comp)[::-1]
+        if rng.random() < 0.12:
+            q = rng.randrange(0, len(g) - 36)
+            r2 = g[q:q + 36]
+        c1, c2 = tocs(r1), tocs(r2)
+        fa.write(f">x{i}/1\n{c1}\n>x{i}/2\n{c2}\n")
+        for nm, cs in ((f"x{i}/1", c1), (f"x{i}/2", c2)):
+            qs = "".join(chr(33 + rng.randrange(3, 41))
+                         for _ in range(len(cs) - 1))
+            fq.write(f"@{nm}\n{cs}\n+\n{qs}\n")
+    fa.close()
+    fq.close()
+    with open(os.path.join(d, "uc.fa"), "w") as f:
+        for r in range(150):
+            pos = rng.randrange(0, len(g) - 36)
+            s = list(g[pos:pos + 36])
+            for _ in range(rng.choice([0, 0, 1, 2])):
+                s[rng.randrange(36)] = rng.choice("ACGT")
+            s = "".join(s)
+            if rng.random() < 0.5:
+                s = s.translate(comp)[::-1]
+            f.write(f">c{r}\n{tocs(s)}\n")
     return d
 
 
@@ -177,6 +195,24 @@ CS_PAIRED_CASES = [
     ("-p opp-in --no-half-paired", None),
     ("-p opp-in --trim-end 2", None),
     ("-p col-fw", None),
+]
+
+CS_PAIRED_FASTQ_CASES = [
+    ("-p opp-in", None),
+    ("-p opp-in --strata", None),
+    ("-p opp-in --ignore-qvs", None),
+    ("-p opp-in --max-alignments 1", None),
+    ("-p opp-out", None),
+]
+
+CS_UNPAIRED_CASES = [
+    ("", None),
+    ("--max-alignments 2", None),
+    ("-o 3", None),
+    ("--strata -o 5", None),
+    ("-x -18", None),
+    ("-n 1", None),
+    ("-w 120.0", None),
 ]
 
 
@@ -195,5 +231,22 @@ def _ref_cs(dataset, flags, reads):
 def test_flag_matrix_cs_paired(cs_dataset, gflags, oflags):
     want = _ref_cs(cs_dataset, gflags, "pc.fa")
     got = _ours(cs_dataset, "--cs " + (oflags or gflags), "pc.fa")
+    assert got == want, (f"[{gflags}]\n" + "\n".join(got[:3])
+                         + "\n---\n" + "\n".join(want[:3]))
+
+
+@pytest.mark.parametrize("gflags,oflags", CS_PAIRED_FASTQ_CASES)
+def test_flag_matrix_cs_paired_fastq(cs_dataset, gflags, oflags):
+    want = _ref_cs(cs_dataset, gflags, "pc.fastq")
+    got = _ours(cs_dataset, "--cs " + (oflags or gflags), "pc.fastq")
+    assert got == want, (f"[{gflags}]\n" + "\n".join(got[:3])
+                         + "\n---\n" + "\n".join(want[:3]))
+
+
+@pytest.mark.parametrize("gflags,oflags", CS_UNPAIRED_CASES)
+def test_flag_matrix_cs_unpaired(cs_dataset, gflags, oflags):
+    want = _ref_cs(cs_dataset, gflags, "uc.fa")
+    got = _ours(cs_dataset, ("--cs " + (oflags or gflags)).strip(),
+                "uc.fa")
     assert got == want, (f"[{gflags}]\n" + "\n".join(got[:3])
                          + "\n---\n" + "\n".join(want[:3]))
