@@ -165,6 +165,45 @@ def bench_cs(name, glen, seed):
     return len(recs) / dt, lines
 
 
+def bench_cs_paired(name, glen, seed):
+    import shrimp_tpu.constants as C
+    from shrimp_tpu.config import MapperConfig
+    from shrimp_tpu.fastpath_cs import map_paired_cs_sam_stream
+    from shrimp_tpu.io.fasta import SeqRecord
+    from shrimp_tpu.paired import PairedMapper
+    codes = _genome(name, glen, seed)
+    idx = _index(name, codes, mode="cs")
+    m = PairedMapper(idx, MapperConfig(mode=C.MODE_COLOUR_SPACE,
+                                       pair_mode="opp-in"))
+    rng = np.random.default_rng(11)
+    cm = C.COLOUR_MAT
+
+    def tocs(lets):
+        cols = [int(cm[3, lets[0]])] + [int(cm[lets[i], lets[i + 1]])
+                                        for i in range(READ_LEN - 1)]
+        return "T" + "".join(str(c) if c <= 3 else "." for c in cols)
+
+    recs = []
+    for k in range(N_READS // 2):
+        isz = int(rng.integers(120, 280))
+        p = int(rng.integers(0, len(codes) - isz - READ_LEN - 1))
+        a = codes[p:p + READ_LEN + 1].copy()
+        b = _COMP[codes[p + isz - READ_LEN - 1:p + isz][::-1]].copy()
+        for r in (a, b):
+            for _ in range(int(rng.integers(0, 3))):
+                r[int(rng.integers(READ_LEN + 1))] = rng.integers(4)
+        recs.append(SeqRecord(f"q{k}/1", tocs(a)))
+        recs.append(SeqRecord(f"q{k}/2", tocs(b)))
+    warm = map_paired_cs_sam_stream(m, recs[:8192], batch_size=8192)
+    assert warm is not None
+    _run_stream(warm)
+    t0 = time.time()
+    lines = _run_stream(
+        map_paired_cs_sam_stream(m, recs, batch_size=8192))
+    dt = time.time() - t0
+    return len(recs) / dt, lines
+
+
 WORKLOADS = {
     "ecoli-ls": lambda: bench_ls("ecoli_synth2", 4_600_000, 20260816),
     "ecoli-ls-fastq": lambda: bench_ls("ecoli_synth2", 4_600_000,
@@ -172,6 +211,8 @@ WORKLOADS = {
     "ecoli-paired": lambda: bench_paired("ecoli_synth2", 4_600_000,
                                          20260816),
     "ecoli-cs": lambda: bench_cs("ecoli_synth2", 4_600_000, 20260816),
+    "ecoli-cs-paired": lambda: bench_cs_paired("ecoli_synth2",
+                                               4_600_000, 20260816),
     "chr21-ls": lambda: bench_ls("chr21", 47_000_000, 777),
 }
 
