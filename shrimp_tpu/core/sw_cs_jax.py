@@ -449,7 +449,7 @@ def sw_full_cs_batch_jax(*args, **kw):
 @functools.partial(jax.jit, static_argnames=(
     "G", "xover", "match", "mismatch", "a_gap_open", "a_gap_ext",
     "b_gap_open", "b_gap_ext", "local_alignment", "indel_taboo_len",
-    "use_pallas", "use_vec_pallas", "interpret"))
+    "use_pallas", "use_vec_pallas", "interpret", "phase"))
 def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
                               args, rtab, qr_tab, xover_tab,
                               *, G: int, xover: int, match: int,
@@ -460,7 +460,8 @@ def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
                               indel_taboo_len: int = 0,
                               use_pallas: bool = False,
                               use_vec_pallas: bool = False,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              phase: str = "fused"):
     """Fused colour-space filter2 + speculative filter3 against the
     DEVICE-RESIDENT genome planes: one launch per chunk runs the CS
     vector SW on every candidate window AND the 4-layer full SW with
@@ -479,6 +480,16 @@ def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
     crossover (sw-full-cs.c:269-271).
 
     Returns (vec_scores [B], packed [B, 12] int16, steps_rev int8).
+
+    `phase` (static) picks the launch shape: "fused" computes both
+    halves (one round trip, ~4-5x the vec cells — right when candidate
+    density is low and the link RTT dominates); "vec" returns only
+    (vec_scores,); "full" returns only (packed, steps_rev). The split
+    phases power the two-phase dispatch at hg-scale candidate density
+    (tens of windows/read, few pass1 survivors) where speculation
+    wastes most of the full-DP cells — see FastCS._fused_dispatch_cs.
+    Per-row results are independent of chunk composition, so fused and
+    two-phase produce bit-identical selected alignments.
     """
     from . import sw_jax
     from .. import constants as C
@@ -501,16 +512,21 @@ def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
     lswin = jnp.where(rcb, ls_codes_rc[pos], ls_codes[pos])
     cmat = jnp.asarray(C.COLOUR_MAT.reshape(-1))
     g_row0 = cmat[lswin.astype(jnp.int32) * 16 + initbp[:, None]]
-    rwin = rtab[owner]
-    vec_kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
-                  a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
-                  b_gap_ext=b_gap_ext)
-    if use_vec_pallas and B % TILE == 0:
-        vec = sw_vector_batch_pallas.__wrapped__(
-            gwin_cs, glen, rwin, rlen, g_row0, cs_mode=True, **vec_kw)
-    else:
-        vec = sw_jax.sw_vector_batch.__wrapped__(
-            gwin_cs, glen, rwin, rlen, g_row0, cs_mode=True, **vec_kw)
+    if phase != "full":
+        rwin = rtab[owner]
+        vec_kw = dict(match=match, mismatch=mismatch,
+                      a_gap_open=a_gap_open, a_gap_ext=a_gap_ext,
+                      b_gap_open=b_gap_open, b_gap_ext=b_gap_ext)
+        if use_vec_pallas and B % TILE == 0:
+            vec = sw_vector_batch_pallas.__wrapped__(
+                gwin_cs, glen, rwin, rlen, g_row0, cs_mode=True,
+                **vec_kw)
+        else:
+            vec = sw_jax.sw_vector_batch.__wrapped__(
+                gwin_cs, glen, rwin, rlen, g_row0, cs_mode=True,
+                **vec_kw)
+        if phase == "vec":
+            return (vec,)
 
     qr = qr_tab[owner]                       # [B, 4, R]
     xover_rows = xover_tab[owner].astype(jnp.int32)
@@ -527,4 +543,6 @@ def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
         lswin.astype(jnp.uint8), glen, qr, rlen, rx, ry,
         jnp.maximum(rl, 1), jnp.maximum(rw, 1), rev, xover_rows, gx_col,
         thresh, **full_kw)
+    if phase == "full":
+        return packed, steps_rev
     return vec, packed, steps_rev

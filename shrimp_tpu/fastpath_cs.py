@@ -30,6 +30,10 @@ from .io.fasta import SeqRecord
 from .mapper import _round_up
 
 CS_FUSED_BATCH = 2048
+# windows/read at or above which the unpaired dispatch switches from the
+# fused speculative launch to two-phase (vec, then full on survivors);
+# override with SHRIMP_TPU_CS_TWO_PHASE=0/1/auto
+CS_TWO_PHASE_WPR = 8
 
 
 def fastpath_cs_supported(cfg: MapperConfig) -> bool:
@@ -259,7 +263,8 @@ class FastCS:
         use_pallas = False
         if fh.n:
             futures, win, G, use_pallas = self._fused_dispatch_cs(
-                fh, codes0, qr_tab, initbp, R, Bcap, xover_tab)
+                fh, codes0, qr_tab, initbp, R, Bcap, xover_tab,
+                n_reads=B)
         m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
         return dict(B=B, R=R, wlen=wlen, fh=fh, win=win, futures=futures,
                     G=G, codes0=codes0, qr_tab=qr_tab,
@@ -269,7 +274,8 @@ class FastCS:
                     t_dispatch=_time.perf_counter() - t2)
 
     def _fused_dispatch_cs(self, fh, codes0, qr_tab, initbp, R, Bcap,
-                           xover_tab=None, rcf=None, thresh_override=None):
+                           xover_tab=None, rcf=None, thresh_override=None,
+                           n_reads=None):
         """Normalize window geometry (reverse_hit, mapping.c:254-263) and
         launch fused CS vec+full chunks against the device planes.
 
@@ -340,6 +346,19 @@ class FastCS:
                   indel_taboo_len=cfg.indel_taboo_len,
                   use_pallas=use_pallas, use_vec_pallas=use_vec_pallas,
                   interpret=interpret and use_pallas)
+        # Two-phase dispatch at high candidate density: speculative
+        # full-SW on every window costs ~4-5x the vec cells, worth it
+        # only when most windows survive pass1 (E.coli-scale: ~15%
+        # overhead, README perf notes). At hg-scale density (~21
+        # windows/read, ~2.5% pass1 survivors) it wastes ~97% of the
+        # full-DP cells, so run vec-only first and full-SW on the
+        # pass1 survivors from stage_finish. Both shapes produce
+        # bit-identical alignments (per-row kernel math is independent
+        # of chunk composition).
+        tp_env = _os.environ.get("SHRIMP_TPU_CS_TWO_PHASE", "auto")
+        two_phase = (n_reads is not None and tp_env != "0"
+                     and (tp_env == "1"
+                          or n >= CS_TWO_PHASE_WPR * max(n_reads, 1)))
         futures = []
         with m._device_ctx():
             rows = _round_up(max(Bcap, 1), 1024)
@@ -353,6 +372,7 @@ class FastCS:
             rtab_dev = jax.device_put(rtab_pad, m.device)
             qr_dev = jax.device_put(qr_pad, m.device)
             xov_dev = jax.device_put(xov_pad, m.device)
+            phase_kw = dict(kw, phase="vec") if two_phase else kw
             for off in range(0, n, CS_FUSED_BATCH):
                 end = min(off + CS_FUSED_BATCH, n)
                 k = end - off
@@ -364,13 +384,19 @@ class FastCS:
                 chunk[k:, 8] = 1
                 chunk[k:, 10] = 1  # threshold 1 zeroes pad scores
                 res = sw_vec_cs_full_from_index(
-                    *planes, chunk, rtab_dev, qr_dev, xov_dev, **kw)
+                    *planes, chunk, rtab_dev, qr_dev, xov_dev,
+                    **phase_kw)
                 futures.append((off, k, res))
+        if two_phase:
+            win["two_phase"] = dict(args_all=args_all, kw=kw,
+                                    rtab_dev=rtab_dev, qr_dev=qr_dev,
+                                    xov_dev=xov_dev)
         cells = int(wl64.sum()) * R
         m.stats.vec_invocs += n
-        m.stats.full_invocs += n
         m.stats.vec_cells += cells
-        m.stats.full_cells += cells * 4
+        if not two_phase:
+            m.stats.full_invocs += n
+            m.stats.full_cells += cells * 4
         return futures, win, G, use_pallas
 
     # ---------------------------------------------------------- stage B
@@ -393,16 +419,23 @@ class FastCS:
         if fh.n == 0:
             return b"", nhits
         n = int(fh.n)
+        tp = (ctx["win"] or {}).get("two_phase")
         t0 = _time.perf_counter()
         fetched = jax.device_get([res for _, _, res in ctx["futures"]])
         scores = np.empty(n, np.int64)
-        W = fetched[0][2].shape[1]
-        packed_all = np.empty((n, 12), np.int16)
-        steps_all = np.empty((n, W), np.int8)
-        for (off, k, _), (vec, pk, st) in zip(ctx["futures"], fetched):
-            scores[off:off + k] = vec[:k]
-            packed_all[off:off + k] = pk[:k]
-            steps_all[off:off + k] = st[:k]
+        packed_all = steps_all = None
+        if tp is None:
+            W = fetched[0][2].shape[1]
+            packed_all = np.empty((n, 12), np.int16)
+            steps_all = np.empty((n, W), np.int8)
+            for (off, k, _), (vec, pk, st) in zip(ctx["futures"],
+                                                  fetched):
+                scores[off:off + k] = vec[:k]
+                packed_all[off:off + k] = pk[:k]
+                steps_all[off:off + k] = st[:k]
+        else:
+            for (off, k, _), (vec,) in zip(ctx["futures"], fetched):
+                scores[off:off + k] = vec[:k]
         dev_secs = _time.perf_counter() - t0 + ctx["t_dispatch"]
         m.stats.vec_secs += dev_secs
         m.stats.full_secs += dev_secs
@@ -451,6 +484,47 @@ class FastCS:
         # CS pass2 runs the full SW on every selected hit (no vector
         # gate, hit_run_full_sw mapping.c:375-379): keep all rows
         rows = sel["src"][:n_sel]
+        if tp is None:
+            packed_sel = np.ascontiguousarray(packed_all[rows])
+            steps_sel = np.ascontiguousarray(steps_all[rows])
+        else:
+            # two-phase: full SW only on the pass1 survivors
+            t2 = _time.perf_counter()
+            import jax as _jax
+
+            from .core.sw_cs_jax import sw_vec_cs_full_from_index
+            planes = m._dev_cs_planes()
+            args_sel = tp["args_all"][rows]
+            full_kw = dict(tp["kw"], phase="full")
+            futures2 = []
+            with m._device_ctx():
+                for off in range(0, n_sel, CS_FUSED_BATCH):
+                    end = min(off + CS_FUSED_BATCH, n_sel)
+                    k = end - off
+                    chunk = np.zeros((CS_FUSED_BATCH, 12), np.int32)
+                    chunk[:k] = args_sel[off:end]
+                    chunk[k:, 1] = 1
+                    chunk[k:, 4] = 1
+                    chunk[k:, 7] = 1
+                    chunk[k:, 8] = 1
+                    chunk[k:, 10] = 1
+                    res = sw_vec_cs_full_from_index(
+                        *planes, chunk, tp["rtab_dev"], tp["qr_dev"],
+                        tp["xov_dev"], **full_kw)
+                    futures2.append((off, k, res))
+            fetched2 = _jax.device_get(
+                [res for _, _, res in futures2])
+            W = fetched2[0][1].shape[1]
+            packed_sel = np.empty((n_sel, 12), np.int16)
+            steps_sel = np.empty((n_sel, W), np.int8)
+            for (off, k, _), (pk, st) in zip(futures2, fetched2):
+                packed_sel[off:off + k] = pk[:k]
+                steps_sel[off:off + k] = st[:k]
+            m.stats.full_invocs += n_sel
+            m.stats.full_cells += int(
+                fh.w_len[rows].astype(np.int64).sum()) * R * 4
+            m.stats.add_stage("device full (2ph)",
+                              _time.perf_counter() - t2)
         t1 = _time.perf_counter()
         idx = m.index
         cal = m.cal
@@ -461,8 +535,8 @@ class FastCS:
             g_off=np.ascontiguousarray(sel["g_off"][:n_sel]),
             start_abs=np.ascontiguousarray(ctx["win"]["starts"][rows]),
             score_max=np.ascontiguousarray(sel["score_max"][:n_sel]),
-            packed=np.ascontiguousarray(packed_all[rows]),
-            steps_rev=np.ascontiguousarray(steps_all[rows]))
+            packed=packed_sel,
+            steps_rev=steps_sel)
         raw = ctx["raw"]
         fr = _CSFRParams(
             n_sel, B, R, W, raw.shape[1],

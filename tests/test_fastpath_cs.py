@@ -54,6 +54,22 @@ def test_cs_fastpath_matches_generic(tmp_path):
     assert got == want
 
 
+def test_cs_fastpath_two_phase_identical(tmp_path, monkeypatch):
+    """Two-phase dispatch (vec first, full SW only on pass1 survivors —
+    the high-candidate-density shape used at hg scale) must be
+    byte-identical to the fused speculative launch."""
+    idx, reads = _build(tmp_path, n_reads=200, genome_len=30_000)
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE)
+    recs = [SeqRecord(n, s) for n, s in reads]
+    monkeypatch.setenv("SHRIMP_TPU_CS_TWO_PHASE", "0")
+    fused = _fast_sam(Mapper(idx, cfg), recs, batch_size=64)
+    monkeypatch.setenv("SHRIMP_TPU_CS_TWO_PHASE", "1")
+    m2 = Mapper(idx, cfg)
+    assert _fast_sam(m2, recs, batch_size=64) == fused
+    # the split kernels really ran (phase-B stage recorded)
+    assert "device full (2ph)" in m2.stats.stage_secs
+
+
 def test_cs_fastpath_multi_batch(tmp_path):
     idx, reads = _build(tmp_path, n_reads=130, genome_len=30_000)
     cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE)
