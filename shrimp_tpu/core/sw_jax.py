@@ -459,69 +459,91 @@ def _vec_full_gather(codes_fwd, codes_rc, args, rtab, G):
 
 @functools.partial(jax.jit, static_argnames=(
     "G", "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
-    "b_gap_ext", "local_alignment", "use_pallas", "interpret"))
+    "b_gap_ext", "local_alignment", "use_pallas", "interpret", "phase"))
 def sw_vec_full_stats_from_index(codes_fwd, codes_rc, args, rtab,
                                  *, G: int, match, mismatch, a_gap_open,
                                  a_gap_ext, b_gap_open, b_gap_ext,
                                  local_alignment=False, use_pallas=True,
-                                 interpret=False):
+                                 interpret=False, phase="fused"):
     """Fused filter 2 + SPECULATIVE filter 3 (stats flow) in ONE device
     launch: vector SW scores and full-SW DP stats for every candidate
     window. The host runs pass1 selection afterwards and simply indexes
     the speculative rows it keeps — trading ~15% extra (cheap) DP cells
     for one host->device->host round trip per batch instead of two,
     which dominates when device latency is high. Returns
-    (int16 vec_scores [B], int16 stats [B, 8])."""
+    (int16 vec_scores [B], int16 stats [B, 8]).
+
+    `phase` (static): "vec" computes only (vec_scores,), "full" only
+    (stats,) — the two-phase dispatch shape used at hg-scale candidate
+    density where speculation wastes most full-DP cells (see
+    fastpath._fused_dispatch)."""
     from .sw_full_pallas import sw_full_stats_pallas
     gwin, rwin, glen, rlen, ax, ay, alen, awid, rev = _vec_full_gather(
         codes_fwd, codes_rc, args, rtab, G)
     kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
               a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
               b_gap_ext=b_gap_ext)
-    if use_pallas:
-        from .sw_pallas import sw_vector_batch_pallas
-        vec = sw_vector_batch_pallas.__wrapped__(gwin, glen, rwin, rlen,
-                                                 **kw)
-    else:
-        vec = sw_vector_batch.__wrapped__(gwin, glen, rwin, rlen, **kw)
+    if phase != "full":
+        if use_pallas:
+            from .sw_pallas import sw_vector_batch_pallas
+            vec = sw_vector_batch_pallas.__wrapped__(gwin, glen, rwin,
+                                                     rlen, **kw)
+        else:
+            vec = sw_vector_batch.__wrapped__(gwin, glen, rwin, rlen,
+                                              **kw)
+        if phase == "vec":
+            return (vec.astype(jnp.int16),)
     stats = sw_full_stats_pallas.__wrapped__(
         gwin, glen, rwin, rlen, ax, ay, alen, awid, rev,
         local_alignment=local_alignment, interpret=interpret, **kw)
     # vec scores fit int16 by the reference's own cap (sw-vector.c:393);
     # stats fields are positions/runs < R+G — halves the fetch
+    if phase == "full":
+        return (stats.astype(jnp.int16),)
     return vec.astype(jnp.int16), stats.astype(jnp.int16)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "G", "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
-    "b_gap_ext", "local_alignment", "use_pallas"))
+    "b_gap_ext", "local_alignment", "use_pallas", "phase"))
 def sw_vec_full_tb_from_index(codes_fwd, codes_rc, args, rtab,
                               *, G: int, match, mismatch, a_gap_open,
                               a_gap_ext, b_gap_open, b_gap_ext,
-                              local_alignment=False, use_pallas=False):
+                              local_alignment=False, use_pallas=False,
+                              phase="fused"):
     """Fused filter 2 + speculative filter 3 with on-device traceback
     (the non-stats flow, e.g. CPU backend). Returns
-    (int16 vec_scores, packed [B, 10] int32, ops [B, W] uint8)."""
+    (int16 vec_scores, packed [B, 10] int32, ops [B, W] uint8).
+    `phase` as in sw_vec_full_stats_from_index: "vec" -> (vec,),
+    "full" -> (packed, ops)."""
     gwin, rwin, glen, rlen, ax, ay, alen, awid, rev = _vec_full_gather(
         codes_fwd, codes_rc, args, rtab, G)
     kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
               a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
               b_gap_ext=b_gap_ext)
+    if phase != "full":
+        if use_pallas:
+            from .sw_pallas import sw_vector_batch_pallas
+            vec = sw_vector_batch_pallas.__wrapped__(gwin, glen, rwin,
+                                                     rlen, **kw)
+        else:
+            vec = sw_vector_batch.__wrapped__(gwin, glen, rwin, rlen,
+                                              **kw)
+        if phase == "vec":
+            return (vec.astype(jnp.int16),)
     if use_pallas:
-        from .sw_pallas import sw_vector_batch_pallas
-        vec = sw_vector_batch_pallas.__wrapped__(gwin, glen, rwin, rlen,
-                                                 **kw)
         from .sw_full_pallas import sw_full_batch_pallas
         score, max_i, max_j, plane, bp = sw_full_batch_pallas.__wrapped__(
             gwin, glen, rwin, rlen, ax, ay, alen, awid, rev,
             local_alignment=local_alignment, **kw)
     else:
-        vec = sw_vector_batch.__wrapped__(gwin, glen, rwin, rlen, **kw)
         score, max_i, max_j, plane, bp = sw_full_batch.__wrapped__(
             gwin, glen, rwin, rlen, ax, ay, alen, awid, rev != 0,
             local_alignment=local_alignment, **kw)
     packed, ops = _traceback_pack(gwin, rwin, score, max_i, max_j, plane,
                                   bp)
+    if phase == "full":
+        return packed, ops
     return vec.astype(jnp.int16), packed, ops
 
 

@@ -26,6 +26,11 @@ from .config import MapperConfig, abs_or_pct
 from .io.fasta import SeqRecord
 from .mapper import FULL_BATCH, _round_up
 
+# windows/read at or above which the unpaired dispatch switches from
+# the fused speculative launch to two-phase (vec, then full SW on the
+# pass1 survivors); override with SHRIMP_TPU_LS_TWO_PHASE=0/1/auto
+LS_TWO_PHASE_WPR = 8
+
 # SAM seq cleaning LUTs (io/sam.py _CLEAN_TBL / _COMP_TBL as byte maps)
 _CLEAN_LUT = np.arange(256, dtype=np.uint8)
 for _c in range(128):
@@ -138,7 +143,7 @@ def _vp(a: np.ndarray) -> ctypes.c_void_p:
 
 
 def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
-                    rcf: np.ndarray):
+                    rcf: np.ndarray, n_reads=None):
     """Fused filter2 + speculative filter3 device launches over every
     candidate window.  `rcf` marks windows needing the reverse_hit
     normalization (st != input_strand, mapping.c:254-263) — for unpaired
@@ -195,6 +200,18 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
         fn = sw_vec_full_stats_from_index
     else:
         fn = sw_vec_full_tb_from_index
+    # Two-phase at high candidate density (see the colour-space twin in
+    # fastpath_cs._fused_dispatch_cs): vec-only first, full SW from
+    # stage_finish on the pass1+pass2-gate survivors only. LS full-SW
+    # costs roughly the vec cells again, so this halves device work at
+    # hg-scale density; per-row kernel math is chunk-independent, so
+    # output stays byte-identical.
+    tp_env = _os.environ.get("SHRIMP_TPU_LS_TWO_PHASE", "auto")
+    two_phase = (n_reads is not None and tp_env != "0"
+                 and (tp_env == "1"
+                      or n >= LS_TWO_PHASE_WPR * max(n_reads, 1)))
+    if two_phase:
+        kw["phase"] = "vec"
     futures = []
     off = 0
     while off < n:
@@ -220,11 +237,17 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
             res = fn(codes_dev, codes_rc_dev, args, rtab_dev, **kw)
         futures.append((off, k, res))
         off += k
+    if two_phase:
+        win["two_phase"] = dict(fn=fn, kw=kw, L=L, R=R,
+                                codes_dev=codes_dev,
+                                codes_rc_dev=codes_rc_dev,
+                                rtab_dev=rtab_dev)
     m.stats.vec_invocs += n
-    m.stats.full_invocs += n
     cells = int(wl64.sum()) * L
     m.stats.vec_cells += cells
-    m.stats.full_cells += cells
+    if not two_phase:
+        m.stats.full_invocs += n
+        m.stats.full_cells += cells
     return futures, win, G, stats_flow
 
 
@@ -373,7 +396,7 @@ class FastLS:
         stats_flow = False
         if fh.n:
             futures, win, G, stats_flow = _fused_dispatch(
-                m, fh, read_tab, L, R, (fh.owner & 1) == 1)
+                m, fh, read_tab, L, R, (fh.owner & 1) == 1, n_reads=B)
         m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
         return dict(B=B, L=L, wlen=wlen, fh=fh, win=win, futures=futures,
                     G=G, R=R, stats_flow=stats_flow,
@@ -479,16 +502,20 @@ class FastLS:
             return b"", nhits
         import jax
         n = int(fh.n)
+        tp = (ctx["win"] or {}).get("two_phase")
         t0 = _time.perf_counter()
         fetched = jax.device_get([res for _, _, res in ctx["futures"]])
         scores = np.empty(n, np.int64)
         stats_flow = ctx["stats_flow"]
-        if stats_flow:
+        stats_all = packed_all = ops_all = None
+        if tp is not None:
+            for (off, k, _), (vec,) in zip(ctx["futures"], fetched):
+                scores[off:off + k] = vec[:k]
+        elif stats_flow:
             stats_all = np.empty((n, 8), np.int16)
             for (off, k, _), (vec, st) in zip(ctx["futures"], fetched):
                 scores[off:off + k] = vec[:k]
                 stats_all[off:off + k] = st[:k]
-            packed_all = ops_all = None
         else:
             W_all = fetched[0][2].shape[1]
             packed_all = np.empty((n, 10), np.int32)
@@ -560,6 +587,61 @@ class FastLS:
                 ("ri", "gen_st", "cn", "g_off", "w_len", "score_max",
                  "ax", "ay", "alen", "awid")}
         rows = sel["src"][:n_sel][jsel]
+        if tp is not None:
+            # two-phase phase B: full SW only on the pass1 + vec-gate
+            # survivors
+            t2 = _time.perf_counter()
+            from .core.sw_full_pallas import pallas_full_ok
+            from .mapper import FULL_BUCKETS
+            win = ctx["win"]
+            L2, R2 = tp["L"], tp["R"]
+            kw2 = dict(tp["kw"], phase="full")
+            futures2 = []
+            off = 0
+            while off < n_jobs:
+                k = min(n_jobs - off, FULL_BATCH)
+                bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS,
+                                                          k))]
+                args = np.zeros((bucket, 10), np.int32)
+                rws = rows[off:off + k]
+                args[:k, 0] = win["starts"][rws]
+                args[:k, 1] = win["glen"][rws]
+                args[:k, 2] = win["ri"][rws]
+                args[:k, 3] = win["rcmask"][rws]
+                args[:k, 4] = L2
+                args[:k, 5] = win["rx"][rws]
+                args[:k, 6] = win["ry"][rws]
+                args[:k, 7] = win["rl_"][rws]
+                args[:k, 8] = win["rw_"][rws]
+                args[:k, 9] = win["rev"][rws]
+                args[k:, 1] = 1
+                args[k:, 4] = 1
+                args[k:, 7] = 1
+                args[k:, 8] = 1
+                kw2["use_pallas"] = pallas_full_ok(bucket, R2,
+                                                   ctx["G"])
+                with m._device_ctx():
+                    res = tp["fn"](tp["codes_dev"], tp["codes_rc_dev"],
+                                   args, tp["rtab_dev"], **kw2)
+                futures2.append((off, k, res))
+                off += k
+            fetched2 = jax.device_get([r for _, _, r in futures2])
+            if stats_flow:
+                stats_sel = np.empty((n_jobs, 8), np.int16)
+                for (off, k, _), (st,) in zip(futures2, fetched2):
+                    stats_sel[off:off + k] = st[:k]
+            else:
+                W_all = fetched2[0][1].shape[1]
+                packed_sel = np.empty((n_jobs, 10), np.int32)
+                ops_sel = np.empty((n_jobs, W_all), np.uint8)
+                for (off, k, _), (pk, opk) in zip(futures2, fetched2):
+                    packed_sel[off:off + k] = pk[:k]
+                    ops_sel[off:off + k] = opk[:k]
+            m.stats.full_invocs += n_jobs
+            m.stats.full_cells += int(
+                fh.w_len[rows].astype(np.int64).sum()) * L
+            m.stats.add_stage("device full (2ph)",
+                              _time.perf_counter() - t2)
         t0 = _time.perf_counter()
         if stats_flow:
             win = ctx["win"]
@@ -570,8 +652,12 @@ class FastLS:
                         rx=win["rx"][rows], ry=win["ry"][rows],
                         rl_=win["rl_"][rows], rw_=win["rw_"][rows],
                         rev=win["rev"][rows])
-            packed, ops_pk, W = self._stats_to_packed(stats_all[rows],
-                                                      ctx2)
+            packed, ops_pk, W = self._stats_to_packed(
+                stats_sel if tp is not None else stats_all[rows], ctx2)
+        elif tp is not None:
+            W = ops_sel.shape[1]
+            packed = packed_sel
+            ops_pk = ops_sel
         else:
             W = ops_all.shape[1]
             packed = np.ascontiguousarray(packed_all[rows])

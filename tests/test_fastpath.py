@@ -54,6 +54,21 @@ def test_fastpath_matches_generic(tmp_path):
     assert _fast_sam(m, recs) == _generic_sam(Mapper(idx, cfg), recs)
 
 
+def test_fastpath_two_phase_identical(tmp_path, monkeypatch):
+    """Two-phase dispatch (vec first, full SW only on pass1 survivors —
+    the high-candidate-density shape used at hg scale) must be
+    byte-identical to the fused speculative launch."""
+    idx, reads, _, _ = _build(tmp_path, n_reads=300)
+    cfg = MapperConfig()
+    recs = [SeqRecord(n, s) for n, s in reads]
+    monkeypatch.setenv("SHRIMP_TPU_LS_TWO_PHASE", "0")
+    fused = _fast_sam(Mapper(idx, cfg), recs, batch_size=64)
+    monkeypatch.setenv("SHRIMP_TPU_LS_TWO_PHASE", "1")
+    m2 = Mapper(idx, cfg)
+    assert _fast_sam(m2, recs, batch_size=64) == fused
+    assert "device full (2ph)" in m2.stats.stage_secs
+
+
 def test_fastpath_multi_batch_pipelined(tmp_path):
     idx, reads, _, _ = _build(tmp_path, n_reads=257)
     cfg = MapperConfig()
