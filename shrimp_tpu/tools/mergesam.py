@@ -158,13 +158,25 @@ def classify(rec: SamRec) -> int:
     return FIRST_LEG if rec.first_in_pair else SECOND_LEG
 
 
+def _open_text(path: str):
+    """Open a possibly-gzipped SAM file as text (the reference's
+    mergesam reads inputs through a gz-capable file_buffer,
+    mergesam/file_buffer.c)."""
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        import gzip
+        return gzip.open(path, "rt")
+    return open(path)
+
+
 def _read_sam_grouped(path: str):
     """Yield (qname, [record-lines]) groups preserving order; pairs lines
     of the same read stay together (gmapper emits them adjacently)."""
     headers = []
     groups: Dict[str, List[List[str]]] = {}
     order: List[str] = []
-    with open(path) as f:
+    with _open_text(path) as f:
         for line in f:
             line = line.rstrip("\n")
             if not line:
@@ -206,7 +218,7 @@ def merge_sam_files(reads_path: str, sam_paths: List[str], out: TextIO,
     sq_order: List[str] = []
     any_pieces = False
     for path in sam_paths:
-        with open(path) as f:
+        with _open_text(path) as f:
             for line in f:
                 if not line.startswith("@"):
                     break

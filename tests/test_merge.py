@@ -250,3 +250,55 @@ def test_merge_matches_reference_mergesam(tmp_path):
                  if l and not l.startswith("@"))
     assert got == want, ("\n".join(got[:8]) + "\n---\n"
                          + "\n".join(want[:8]))
+
+
+def test_merge_reads_gzipped_sam_inputs(tmp_path):
+    """mergesam accepts gzipped SAM inputs (the reference reads all
+    inputs through a gz-capable file_buffer, mergesam/file_buffer.c);
+    output must be byte-identical to merging the plain files."""
+    import gzip
+
+    rng = np.random.default_rng(77)
+    g1 = "".join(rng.choice(list("ACGT"), 20_000))
+    g2 = "".join(rng.choice(list("ACGT"), 20_000))
+    reads = []
+    for k in range(20):
+        src = g1 if k % 2 == 0 else g2
+        p = int(rng.integers(0, len(src) - 36))
+        reads.append(SeqRecord(f"z{k}", src[p:p + 36]))
+
+    cfg = MapperConfig()
+
+    def run(contigs):
+        idx = build_index(contigs, default_seeds())
+        m = Mapper(idx, cfg)
+        lines = sam_header(idx, "x", cfg)
+        for re_, hits in m.map_unpaired(reads):
+            for h in hits:
+                lines.append(render_unpaired(re_, h, idx, cfg))
+        return lines
+
+    s1 = run([("c1", encode.encode_ls(g1))])
+    s2 = run([("c2", encode.encode_ls(g2))])
+
+    rpath = os.path.join(str(tmp_path), "reads.fa.gz")
+    with gzip.open(rpath, "wt") as f:
+        for r in reads:
+            f.write(f">{r.name}\n{r.seq}\n")
+    plain = []
+    gzed = []
+    for i, s in enumerate((s1, s2)):
+        p = os.path.join(str(tmp_path), f"s{i}.sam")
+        open(p, "w").write("\n".join(s) + "\n")
+        pz = p + ".gz"
+        with gzip.open(pz, "wt") as f:
+            f.write("\n".join(s) + "\n")
+        plain.append(p)
+        gzed.append(pz)
+
+    buf_p, buf_z = io.StringIO(), io.StringIO()
+    merge_sam_files(rpath, plain, buf_p)
+    merge_sam_files(rpath, gzed, buf_z)
+    assert buf_p.getvalue() == buf_z.getvalue()
+    assert len([l for l in buf_p.getvalue().splitlines()
+                if l and not l.startswith("@")]) >= 20
