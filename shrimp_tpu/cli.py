@@ -8,6 +8,7 @@ gmapper-cs symlink. Flag names follow gmapper's long options
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 from typing import List, Optional
@@ -138,6 +139,13 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
                    help="force fastq input")
     p.add_argument("-M", "--mode", default=None,
                    help="mode presets, e.g. mirna")
+    p.add_argument("-E", "--sam", action="store_true",
+                   help="output SAM format (the default here; accepted "
+                        "for gmapper command-line compatibility)")
+    p.add_argument("-L", "--load-index", default=None,
+                   help="load a saved genome index (gmapper -L; takes "
+                        "the saved .npz path, a prefix thereof, or a "
+                        "warm mmap image directory)")
     p.add_argument("-H", "--hash-spaced-kmers", action="store_true",
                    help="24-bit hashed mapidx (for seeds of weight > 14)")
     p.add_argument("-X", "--insert-histogram", action="store_true",
@@ -479,6 +487,17 @@ def cmd_map(args) -> int:
         if args.reads is not None:
             args.genome = [args.reads] + args.genome
             args.reads = None
+    if args.load_index is not None:
+        # gmapper -L: genome positionals are not needed; whatever landed
+        # in the genome slot is treated as extra reads-file noise only if
+        # reads is unset (mirrors gmapper's argv layout `-L idx reads`)
+        if args.reads is None and args.genome:
+            args.reads = args.genome[0]
+            args.genome = args.genome[1:]
+        lp = args.load_index
+        if not os.path.exists(lp) and os.path.exists(lp + ".npz"):
+            lp = lp + ".npz"
+        args.genome = [lp]
     if not split_mates and args.reads is None:
         raise SystemExit("error: no reads file given")
     if not args.genome:

@@ -109,3 +109,25 @@ def test_use_regions_toggle_matches(tmp_path):
     got = [l for l in run_cli(["--use-regions", rpath, gpath]).splitlines()
            if not l.startswith("@")]
     assert got == want and got
+
+
+def test_cli_E_and_L_flags(tmp_path, capsys):
+    """gmapper drop-in flags: -E (SAM output; our default) is accepted,
+    and -L loads a saved index by path or prefix (gmapper.c -L)."""
+    import numpy as np
+    from shrimp_tpu.cli import main as cli_main
+    rng = np.random.default_rng(5150)
+    g = "".join(rng.choice(list("ACGT"), 4000))
+    gp = tmp_path / "g.fa"
+    gp.write_text(">c\n" + g + "\n")
+    rp = tmp_path / "r.fa"
+    rp.write_text(">r0\n" + g[100:136] + "\n")
+    idxp = tmp_path / "saved"
+    assert cli_main(["index", str(gp), "-o", str(idxp)]) == 0
+    assert cli_main(["map", "-E", "-L", str(idxp), str(rp)]) == 0
+    out_l = [l for l in capsys.readouterr().out.splitlines()
+             if l and not l.startswith("@")]
+    assert cli_main(["map", str(rp), str(gp)]) == 0
+    out_g = [l for l in capsys.readouterr().out.splitlines()
+             if l and not l.startswith("@")]
+    assert out_l == out_g and len(out_l) == 1
