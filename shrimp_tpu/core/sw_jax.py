@@ -440,6 +440,155 @@ def sw_full_stats_from_index(codes_fwd, codes_rc, gstart, use_rc, glen,
     return out.astype(jnp.int16)
 
 
+def _unpack_rtab_nib(rtab_pk):
+    """[B, W] uint8 nibble-packed read codes -> [B, 2W] uint8 codes.
+    Byte k holds code[2k] in the low nibble, code[2k+1] in the high."""
+    lo = rtab_pk & jnp.uint8(0x0F)
+    hi = rtab_pk >> 4
+    B, W = rtab_pk.shape
+    return jnp.stack([lo, hi], axis=2).reshape(B, 2 * W)
+
+
+def _unpack_args4(args4):
+    """Decode the 16-byte/window packed argument rows (the host packs
+    in fastpath._fused_dispatch; tunnel upload is the throughput wall on
+    remote TPU backends, so args ship at 16B instead of 40B per window).
+
+    w0 = gstart (absolute genome offset, int32)
+    w1 = ri | rc<<18 | rev<<19 | glen<<20        (ri<2^18, glen<4096)
+    w2 = (rx & 0xffff) | ry<<16                  (both signed int16)
+    w3 = (rl & 0xffff) | rw<<16
+    """
+    w0, w1, w2, w3 = (args4[:, k] for k in range(4))
+    ri = w1 & 0x3FFFF
+    rc = (w1 >> 18) & 1
+    rev = (w1 >> 19) & 1
+    glen = (w1 >> 20) & 0xFFF
+    rx = (w2 << 16) >> 16
+    ry = w2 >> 16
+    rl_ = w3 & 0xFFFF
+    rw_ = (w3 >> 16) & 0xFFFF
+    return w0, glen, ri, rc, rx, ry, rl_, rw_, rev
+
+
+def _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L):
+    """Packed-IO twin of _vec_full_gather: args4 is [B, 4] int32 per
+    _unpack_args4 and rtab_pk the nibble-packed read table. rlen is the
+    uniform batch read length L (pad rows simply score a 1-cell window
+    whose result the host discards)."""
+    gstart, glen, ri, rc, rx, ry, rl_, rw_, rev = _unpack_args4(args4)
+    jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+    pos = jnp.clip(gstart[:, None] + jidx, 0, codes_fwd.shape[0] - 1)
+    gwin = jnp.where((rc != 0)[:, None], codes_rc[pos], codes_fwd[pos])
+    rtab = _unpack_rtab_nib(rtab_pk)
+    rwin = rtab[jnp.clip(ri, 0, rtab.shape[0] - 1)]
+    rlen = jnp.full((args4.shape[0],), L, jnp.int32)
+    return gwin, rwin, glen, rlen, rx, ry, rl_, rw_, rev
+
+
+def _pack_stats3(vec, stats):
+    """Pack (vec score, full-SW stats [B, 8]) into [B, 3] int32 for the
+    device->host fetch (12B/row vs 18B unpacked):
+
+    w0 = vec | score<<16       (both >= 0 and < 2^15: sw-vector.c:393)
+    w1 = mi | mj<<10 | plane<<20 | (term!=0)<<22    (mi, mj < 1024)
+    w2 = matches | run<<16     (matches = deq - base along the chain)
+
+    Fields of rows with score == 0 are junk the host never reads."""
+    score, mi, mj, plane, run, term = (stats[:, k] for k in range(6))
+    matches = stats[:, 6] - stats[:, 7]
+    v = vec if vec is not None else jnp.zeros_like(score)
+    w0 = (score << 16) | (v & 0xFFFF)
+    w1 = ((mi & 1023) | ((mj & 1023) << 10) | ((plane & 3) << 20)
+          | (jnp.where(term != 0, 1, 0) << 22))
+    w2 = (matches & 0xFFFF) | ((run & 0x7FFF) << 16)
+    return jnp.stack([w0, w1, w2], axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "L", "match", "mismatch", "a_gap_open", "a_gap_ext",
+    "b_gap_open", "b_gap_ext", "local_alignment", "use_pallas",
+    "interpret", "phase"))
+def sw_vec_full_stats_packed(codes_fwd, codes_rc, args4, rtab_pk,
+                             *, G: int, L: int, match, mismatch,
+                             a_gap_open, a_gap_ext, b_gap_open, b_gap_ext,
+                             local_alignment=False, use_pallas=True,
+                             interpret=False, phase="fused"):
+    """Packed-IO fused filter 2 + speculative filter 3 (stats flow).
+
+    Same math as sw_vec_full_stats_from_index, but every host<->device
+    buffer is packed: args 16B/window up, read table 4-bit up, results
+    12B/window down ([B, 3] int32, _pack_stats3 layout). On the remote
+    'axon' tunnel (~10 MB/s observed when congested) transfer bytes are
+    the throughput wall, so packing is worth ~2.5x end to end.
+    phase "vec" -> (int16 vec scores,) only; "full" -> packed stats
+    with the vec field zero. `use_pallas` picks the vec kernel flavour
+    (the stats kernel is always the Mosaic one, interpretable on CPU)."""
+    from .sw_full_pallas import sw_full_stats_pallas
+    gwin, rwin, glen, rlen, ax, ay, alen, awid, rev = \
+        _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L)
+    kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
+              a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
+              b_gap_ext=b_gap_ext)
+    vec = None
+    if phase != "full":
+        if use_pallas:
+            from .sw_pallas import sw_vector_batch_pallas
+            vec = sw_vector_batch_pallas.__wrapped__(gwin, glen, rwin,
+                                                     rlen, **kw)
+        else:
+            vec = sw_vector_batch.__wrapped__(gwin, glen, rwin, rlen,
+                                              **kw)
+        if phase == "vec":
+            return (vec.astype(jnp.int16),)
+    stats = sw_full_stats_pallas.__wrapped__(
+        gwin, glen, rwin, rlen, ax, ay, alen, awid, rev,
+        local_alignment=local_alignment, interpret=interpret, **kw)
+    return (_pack_stats3(vec, stats),)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "L", "match", "mismatch", "a_gap_open", "a_gap_ext",
+    "b_gap_open", "b_gap_ext", "local_alignment", "use_pallas", "phase"))
+def sw_vec_full_tb_packed(codes_fwd, codes_rc, args4, rtab_pk,
+                          *, G: int, L: int, match, mismatch, a_gap_open,
+                          a_gap_ext, b_gap_open, b_gap_ext,
+                          local_alignment=False, use_pallas=False,
+                          phase="fused"):
+    """Packed-INPUT fused filter 2 + speculative filter 3 with on-device
+    traceback (the non-stats flow, e.g. CPU backend). Outputs stay
+    unpacked: (int16 vec, packed [B, 10] int32, ops [B, W] uint8)."""
+    gwin, rwin, glen, rlen, ax, ay, alen, awid, rev = \
+        _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L)
+    kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
+              a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
+              b_gap_ext=b_gap_ext)
+    if phase != "full":
+        if use_pallas:
+            from .sw_pallas import sw_vector_batch_pallas
+            vec = sw_vector_batch_pallas.__wrapped__(gwin, glen, rwin,
+                                                     rlen, **kw)
+        else:
+            vec = sw_vector_batch.__wrapped__(gwin, glen, rwin, rlen,
+                                              **kw)
+        if phase == "vec":
+            return (vec.astype(jnp.int16),)
+    if use_pallas:
+        from .sw_full_pallas import sw_full_batch_pallas
+        score, max_i, max_j, plane, bp = sw_full_batch_pallas.__wrapped__(
+            gwin, glen, rwin, rlen, ax, ay, alen, awid, rev,
+            local_alignment=local_alignment, **kw)
+    else:
+        score, max_i, max_j, plane, bp = sw_full_batch.__wrapped__(
+            gwin, glen, rwin, rlen, ax, ay, alen, awid, rev != 0,
+            local_alignment=local_alignment, **kw)
+    packed, ops = _traceback_pack(gwin, rwin, score, max_i, max_j, plane,
+                                  bp)
+    if phase == "full":
+        return packed, ops
+    return vec.astype(jnp.int16), packed, ops
+
+
 def _vec_full_gather(codes_fwd, codes_rc, args, rtab, G):
     """Shared gather for the fused filter2+3 launch. args int32 [B, 10]:
     (gstart, glen, ri, rc, rlen, ax, ay, alen, awid, rev); one packed

@@ -142,6 +142,58 @@ def _vp(a: np.ndarray) -> ctypes.c_void_p:
     return ctypes.c_void_p(a.ctypes.data)
 
 
+def _i32(x: np.ndarray) -> np.ndarray:
+    """int64 -> int32 with C wraparound semantics (packed bit fields)."""
+    return (x & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+
+def _pack_args4(bucket: int, k: int, starts, glen, ri, rc, rx, ry,
+                rl, rw, rev) -> np.ndarray:
+    """Host side of sw_jax._unpack_args4: 16B/window packed argument
+    rows; pad rows score a 1-cell window the host discards."""
+    a = np.zeros((bucket, 4), np.int32)
+    a[:k, 0] = starts.astype(np.int64).astype(np.int32)
+    a[:k, 1] = _i32(ri.astype(np.int64)
+                    | (rc.astype(np.int64) << 18)
+                    | (rev.astype(np.int64) << 19)
+                    | (glen.astype(np.int64) << 20))
+    a[:k, 2] = _i32((rx.astype(np.int64) & 0xFFFF)
+                    | (ry.astype(np.int64) << 16))
+    a[:k, 3] = _i32((rl.astype(np.int64) & 0xFFFF)
+                    | (rw.astype(np.int64) << 16))
+    a[k:, 1] = 1 << 20              # pad: glen = 1
+    a[k:, 3] = (1 << 16) | 1        # pad: rl = rw = 1
+    return a
+
+
+def _pack_rtab(read_tab: np.ndarray) -> np.ndarray:
+    """4-bit nibble pack of the read table (sw_jax._unpack_rtab_nib):
+    halves the per-batch upload. Codes are 4-bit (constants.CHAR_TO_INT
+    <= 15); the 254 col/row fill packs to junk nibbles that rlen/bucket
+    masking keeps out of every real score."""
+    lo = read_tab[:, 0::2] & 15
+    hi = read_tab[:, 1::2] & 15
+    return np.ascontiguousarray(lo | (hi << 4))
+
+
+def _unpack_stats3(pk: np.ndarray):
+    """Host side of sw_jax._pack_stats3: [n, 3] int32 -> (vec int64 [n],
+    stats int32 [n, 7]: score, mi, mj, plane, run, term, matches)."""
+    w0 = pk[:, 0]
+    w1 = pk[:, 1]
+    w2 = pk[:, 2]
+    vec = (w0 & 0xFFFF).astype(np.int64)
+    st = np.empty((pk.shape[0], 7), np.int32)
+    st[:, 0] = w0 >> 16
+    st[:, 1] = w1 & 1023
+    st[:, 2] = (w1 >> 10) & 1023
+    st[:, 3] = (w1 >> 20) & 3
+    st[:, 4] = (w2 >> 16) & 0x7FFF
+    st[:, 5] = (w1 >> 22) & 1
+    st[:, 6] = (w2 & 0xFFFF).astype(np.int16)   # sign-extend matches
+    return vec, st
+
+
 def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
                     rcf: np.ndarray, n_reads=None):
     """Fused filter2 + speculative filter3 device launches over every
@@ -157,7 +209,9 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
 
     from .core.sw_full_pallas import pallas_full_ok
     from .core.sw_jax import (sw_vec_full_stats_from_index,
-                              sw_vec_full_tb_from_index)
+                              sw_vec_full_stats_packed,
+                              sw_vec_full_tb_from_index,
+                              sw_vec_full_tb_packed)
     from .mapper import FULL_BATCH, FULL_BUCKETS
     cfg = m.config
     idx = m.index
@@ -165,8 +219,6 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
     aw = cfg.anchor_width
     codes_dev = m._dev_codes()
     codes_rc_dev = m._dev_codes_rc()
-    with m._device_ctx():
-        rtab_dev = jax.device_put(read_tab, m.device)
     n = fh.n
     coff = idx.contig_offsets[fh.cn].astype(np.int64)
     clen = idx.contig_lengths[fh.cn].astype(np.int64)
@@ -190,16 +242,30 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
         rev=rcf & cfg.rev_tiebreak)
     G = _round_up(max(int(fh.w_len.max()), 16), 32)
     stats_flow = _stats_flow_enabled(FULL_BATCH, R, G)
+    # Packed IO (16B/window args up, 4-bit reads up, 12B/window stats
+    # down) whenever the bit-field ranges hold — per-batch transfer
+    # bytes are the throughput wall on the remote-tunnel TPU backend.
+    packed_io = (G <= 1023 and R <= 1023
+                 and int(fh.w_len.max()) < 4096
+                 and read_tab.shape[0] <= (1 << 18)
+                 and idx.total_len < (1 << 31))
     kw = dict(G=G, match=sc.match, mismatch=sc.mismatch,
               a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
               b_gap_open=sc.b_gap_open, b_gap_ext=sc.b_gap_extend,
               local_alignment=False)
+    if packed_io:
+        kw["L"] = L
     if stats_flow:
         kw["interpret"] = (_os.environ.get(
             "SHRIMP_TPU_PALLAS_INTERPRET") == "1")
-        fn = sw_vec_full_stats_from_index
+        fn = sw_vec_full_stats_packed if packed_io \
+            else sw_vec_full_stats_from_index
     else:
-        fn = sw_vec_full_tb_from_index
+        fn = sw_vec_full_tb_packed if packed_io \
+            else sw_vec_full_tb_from_index
+    with m._device_ctx():
+        rtab_dev = jax.device_put(
+            _pack_rtab(read_tab) if packed_io else read_tab, m.device)
     # Two-phase at high candidate density (see the colour-space twin in
     # fastpath_cs._fused_dispatch_cs): vec-only first, full SW from
     # stage_finish on the pass1+pass2-gate survivors only. LS full-SW
@@ -217,26 +283,35 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
     while off < n:
         k = min(n - off, FULL_BATCH)
         bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS, k))]
-        args = np.zeros((bucket, 10), np.int32)
-        args[:k, 0] = win["starts"][off:off + k]
-        args[:k, 1] = win["glen"][off:off + k]
-        args[:k, 2] = win["ri"][off:off + k]
-        args[:k, 3] = win["rcmask"][off:off + k]
-        args[:k, 4] = L
-        args[:k, 5] = win["rx"][off:off + k]
-        args[:k, 6] = win["ry"][off:off + k]
-        args[:k, 7] = win["rl_"][off:off + k]
-        args[:k, 8] = win["rw_"][off:off + k]
-        args[:k, 9] = win["rev"][off:off + k]
-        args[k:, 1] = 1          # pad rows: 1-cell windows
-        args[k:, 4] = 1
-        args[k:, 7] = 1
-        args[k:, 8] = 1
+        sl = slice(off, off + k)
+        if packed_io:
+            args = _pack_args4(
+                bucket, k, win["starts"][sl], win["glen"][sl],
+                win["ri"][sl], win["rcmask"][sl], win["rx"][sl],
+                win["ry"][sl], win["rl_"][sl], win["rw_"][sl],
+                win["rev"][sl])
+        else:
+            args = np.zeros((bucket, 10), np.int32)
+            args[:k, 0] = win["starts"][sl]
+            args[:k, 1] = win["glen"][sl]
+            args[:k, 2] = win["ri"][sl]
+            args[:k, 3] = win["rcmask"][sl]
+            args[:k, 4] = L
+            args[:k, 5] = win["rx"][sl]
+            args[:k, 6] = win["ry"][sl]
+            args[:k, 7] = win["rl_"][sl]
+            args[:k, 8] = win["rw_"][sl]
+            args[:k, 9] = win["rev"][sl]
+            args[k:, 1] = 1          # pad rows: 1-cell windows
+            args[k:, 4] = 1
+            args[k:, 7] = 1
+            args[k:, 8] = 1
         kw["use_pallas"] = pallas_full_ok(bucket, R, G)
         with m._device_ctx():
             res = fn(codes_dev, codes_rc_dev, args, rtab_dev, **kw)
         futures.append((off, k, res))
         off += k
+    win["packed_io"] = packed_io
     if two_phase:
         win["two_phase"] = dict(fn=fn, kw=kw, L=L, R=R,
                                 codes_dev=codes_dev,
@@ -407,13 +482,15 @@ class FastLS:
                     t_dispatch=_time.perf_counter() - t2)
 
     def _stats_to_packed(self, stats, ctx2):
-        """Expand the [n, 8] device stats rows (score, max_i, max_j,
-        plane, run, term, deq, base — sw_full_stats_pallas) into the
-        finalize_render job format. Rows whose best path is a single
-        diagonal chain (plane == 0, term == 0) are reconstructed closed
-        form, vectorized; the rare indel / cross-plane paths are re-run
-        by the native banded DP (hostpipe.cpp sw_full_tb_host). Output
-        is bit-identical to the on-device traceback flow."""
+        """Expand the [n, 7] int32 stats rows (score, max_i, max_j,
+        plane, run, term, matches — normalized from either the packed
+        [n, 3] device fetch via _unpack_stats3 or the legacy [n, 8]
+        sw_full_stats_pallas rows) into the finalize_render job format.
+        Rows whose best path is a single diagonal chain (plane == 0,
+        term == 0) are reconstructed closed form, vectorized; the rare
+        indel / cross-plane paths are re-run by the native banded DP
+        (hostpipe.cpp sw_full_tb_host). Output is bit-identical to the
+        on-device traceback flow."""
         m = self.m
         sc = m.config.scores
         n_jobs = ctx2["n_jobs"]
@@ -423,8 +500,8 @@ class FastLS:
         W = (R + G + 3) // 4
         packed = np.zeros((n_jobs, 10), np.int32)
         ops_pk = np.zeros((n_jobs, W), np.uint8)
-        score, mi, mj, plane, run, term = (stats[:, k] for k in range(6))
-        matches = stats[:, 6] - stats[:, 7]
+        score, mi, mj, plane, run, term, matches = (
+            stats[:, k] for k in range(7))
         packed[:, 0] = score
         packed[:, 1] = mi
         packed[:, 2] = mj
@@ -508,14 +585,23 @@ class FastLS:
         scores = np.empty(n, np.int64)
         stats_flow = ctx["stats_flow"]
         stats_all = packed_all = ops_all = None
+        packed_io = (ctx["win"] or {}).get("packed_io", False)
         if tp is not None:
             for (off, k, _), (vec,) in zip(ctx["futures"], fetched):
                 scores[off:off + k] = vec[:k]
+        elif stats_flow and packed_io:
+            stats_all = np.empty((n, 7), np.int32)
+            for (off, k, _), (pk3,) in zip(ctx["futures"], fetched):
+                v, st = _unpack_stats3(pk3[:k])
+                scores[off:off + k] = v
+                stats_all[off:off + k] = st
         elif stats_flow:
-            stats_all = np.empty((n, 8), np.int16)
+            stats_all = np.empty((n, 7), np.int32)
             for (off, k, _), (vec, st) in zip(ctx["futures"], fetched):
                 scores[off:off + k] = vec[:k]
-                stats_all[off:off + k] = st[:k]
+                s32 = st[:k].astype(np.int32)
+                stats_all[off:off + k, :6] = s32[:, :6]
+                stats_all[off:off + k, 6] = s32[:, 6] - s32[:, 7]
         else:
             W_all = fetched[0][2].shape[1]
             packed_all = np.empty((n, 10), np.int32)
@@ -602,22 +688,29 @@ class FastLS:
                 k = min(n_jobs - off, FULL_BATCH)
                 bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS,
                                                           k))]
-                args = np.zeros((bucket, 10), np.int32)
                 rws = rows[off:off + k]
-                args[:k, 0] = win["starts"][rws]
-                args[:k, 1] = win["glen"][rws]
-                args[:k, 2] = win["ri"][rws]
-                args[:k, 3] = win["rcmask"][rws]
-                args[:k, 4] = L2
-                args[:k, 5] = win["rx"][rws]
-                args[:k, 6] = win["ry"][rws]
-                args[:k, 7] = win["rl_"][rws]
-                args[:k, 8] = win["rw_"][rws]
-                args[:k, 9] = win["rev"][rws]
-                args[k:, 1] = 1
-                args[k:, 4] = 1
-                args[k:, 7] = 1
-                args[k:, 8] = 1
+                if win.get("packed_io"):
+                    args = _pack_args4(
+                        bucket, k, win["starts"][rws], win["glen"][rws],
+                        win["ri"][rws], win["rcmask"][rws],
+                        win["rx"][rws], win["ry"][rws], win["rl_"][rws],
+                        win["rw_"][rws], win["rev"][rws])
+                else:
+                    args = np.zeros((bucket, 10), np.int32)
+                    args[:k, 0] = win["starts"][rws]
+                    args[:k, 1] = win["glen"][rws]
+                    args[:k, 2] = win["ri"][rws]
+                    args[:k, 3] = win["rcmask"][rws]
+                    args[:k, 4] = L2
+                    args[:k, 5] = win["rx"][rws]
+                    args[:k, 6] = win["ry"][rws]
+                    args[:k, 7] = win["rl_"][rws]
+                    args[:k, 8] = win["rw_"][rws]
+                    args[:k, 9] = win["rev"][rws]
+                    args[k:, 1] = 1
+                    args[k:, 4] = 1
+                    args[k:, 7] = 1
+                    args[k:, 8] = 1
                 kw2["use_pallas"] = pallas_full_ok(bucket, R2,
                                                    ctx["G"])
                 with m._device_ctx():
@@ -626,10 +719,16 @@ class FastLS:
                 futures2.append((off, k, res))
                 off += k
             fetched2 = jax.device_get([r for _, _, r in futures2])
-            if stats_flow:
-                stats_sel = np.empty((n_jobs, 8), np.int16)
+            if stats_flow and win.get("packed_io"):
+                stats_sel = np.empty((n_jobs, 7), np.int32)
+                for (off, k, _), (pk3,) in zip(futures2, fetched2):
+                    stats_sel[off:off + k] = _unpack_stats3(pk3[:k])[1]
+            elif stats_flow:
+                stats_sel = np.empty((n_jobs, 7), np.int32)
                 for (off, k, _), (st,) in zip(futures2, fetched2):
-                    stats_sel[off:off + k] = st[:k]
+                    s32 = st[:k].astype(np.int32)
+                    stats_sel[off:off + k, :6] = s32[:, :6]
+                    stats_sel[off:off + k, 6] = s32[:, 6] - s32[:, 7]
             else:
                 W_all = fetched2[0][1].shape[1]
                 packed_sel = np.empty((n_jobs, 10), np.int32)
@@ -1070,11 +1169,19 @@ class FastPaired:
         t0 = _time.perf_counter()
         fetched = jax.device_get([res for _, _, res in ctx["futures"]])
         scores = np.empty(n, np.int64)
-        if ctx["stats_flow"]:
-            stats_all = np.empty((n, 8), np.int16)
+        if ctx["stats_flow"] and ctx["win"].get("packed_io"):
+            stats_all = np.empty((n, 7), np.int32)
+            for (off, k, _), (pk3,) in zip(ctx["futures"], fetched):
+                v, st = _unpack_stats3(pk3[:k])
+                scores[off:off + k] = v
+                stats_all[off:off + k] = st
+        elif ctx["stats_flow"]:
+            stats_all = np.empty((n, 7), np.int32)
             for (off, k, _), (vec, st) in zip(ctx["futures"], fetched):
                 scores[off:off + k] = vec[:k]
-                stats_all[off:off + k] = st[:k]
+                s32 = st[:k].astype(np.int32)
+                stats_all[off:off + k, :6] = s32[:, :6]
+                stats_all[off:off + k, 6] = s32[:, 6] - s32[:, 7]
         else:
             W_all = fetched[0][2].shape[1]
             packed = np.empty((n, 10), np.int32)
