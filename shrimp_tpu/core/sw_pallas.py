@@ -95,15 +95,18 @@ def _kernel(g_ref, r_ref, g0_ref, glen_ref, rlen_ref, out_ref, h_scr,
 
 @functools.partial(jax.jit, static_argnames=(
     "match", "mismatch", "a_gap_open", "a_gap_ext", "b_gap_open",
-    "b_gap_ext", "cs_mode"))
+    "b_gap_ext", "cs_mode", "interpret"))
 def sw_vector_batch_pallas(genome: jnp.ndarray, glen: jnp.ndarray,
                            read: jnp.ndarray, rlen: jnp.ndarray,
                            g_row0: jnp.ndarray = None,
                            *, match: int, mismatch: int,
                            a_gap_open: int, a_gap_ext: int,
                            b_gap_open: int, b_gap_ext: int,
-                           cs_mode: bool = False) -> jnp.ndarray:
-    """Drop-in for sw_jax.sw_vector_batch; B must be a multiple of 1024."""
+                           cs_mode: bool = False,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for sw_jax.sw_vector_batch; B must be a multiple of 1024.
+    `interpret=True` runs the kernel on the Pallas interpreter so the
+    hottest Mosaic kernel stays covered on CPU-only CI."""
     B, G = genome.shape
     R = read.shape[1]
     assert B % TILE == 0, B
@@ -144,6 +147,7 @@ def sw_vector_batch_pallas(genome: jnp.ndarray, glen: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((nb, _SUB, _LANE), jnp.int32),
         scratch_shapes=[pltpu.VMEM((G + 1, _SUB, _LANE), jnp.int32),
                         pltpu.VMEM((G, _SUB, _LANE), jnp.int32)],
+        interpret=interpret,
     )(gT, rT, g0T, glenT, rlenT)
     return out.reshape(B)
 

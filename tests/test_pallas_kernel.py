@@ -1,9 +1,9 @@
 """Pallas vector-SW kernel equivalence vs the XLA reference formulation.
 
-These only run on a real TPU backend (Mosaic kernels do not execute on
-the CPU interpreter path used by the rest of the suite); the CPU suite
-covers the same scores through sw_jax, which the kernel must match
-bit-for-bit.
+The interpret-mode tests run on every backend (including the CPU mesh
+used by CI), so the hottest Mosaic kernel cannot regress silently
+off-TPU; the @tpu_only cases additionally exercise the real Mosaic
+compile on TPU hardware.
 """
 import numpy as np
 import pytest
@@ -17,14 +17,50 @@ def _tpu_available():
         return False
 
 
-pytestmark = pytest.mark.skipif(not _tpu_available(),
-                                reason="needs a TPU backend for Mosaic")
+tpu_only = pytest.mark.skipif(not _tpu_available(),
+                              reason="needs a TPU backend for Mosaic")
 
 
 KW = dict(match=10, mismatch=-15, a_gap_open=-33, a_gap_ext=-7,
           b_gap_open=-33, b_gap_ext=-3)
 
 
+def test_pallas_interpret_matches_xla_ls():
+    """The hottest kernel, runnable everywhere: Pallas interpreter mode
+    vs the XLA formulation (bit-equal scores)."""
+    from shrimp_tpu.core.sw_jax import sw_vector_batch
+    from shrimp_tpu.core.sw_pallas import sw_vector_batch_pallas
+    rng = np.random.default_rng(15)
+    B, G, R = 1024, 48, 24
+    gwin = rng.integers(0, 5, (B, G)).astype(np.uint8)
+    glen = rng.integers(8, G + 1, B).astype(np.int32)
+    rwin = rng.integers(0, 5, (B, R)).astype(np.uint8)
+    rlen = rng.integers(6, R + 1, B).astype(np.int32)
+    ref = np.asarray(sw_vector_batch(gwin, glen, rwin, rlen, **KW))
+    got = np.asarray(sw_vector_batch_pallas(gwin, glen, rwin, rlen,
+                                            interpret=True, **KW))
+    assert np.array_equal(ref, got)
+
+
+def test_pallas_interpret_matches_xla_cs():
+    from shrimp_tpu.core.sw_jax import sw_vector_batch
+    from shrimp_tpu.core.sw_pallas import sw_vector_batch_pallas
+    rng = np.random.default_rng(16)
+    B, G, R = 1024, 32, 16
+    gwin = rng.integers(0, 5, (B, G)).astype(np.uint8)
+    glen = rng.integers(8, G + 1, B).astype(np.int32)
+    rwin = rng.integers(0, 5, (B, R)).astype(np.uint8)
+    rlen = rng.integers(6, R + 1, B).astype(np.int32)
+    g0 = rng.integers(0, 5, (B, G)).astype(np.uint8)
+    ref = np.asarray(sw_vector_batch(gwin, glen, rwin, rlen, g0,
+                                     cs_mode=True, **KW))
+    got = np.asarray(sw_vector_batch_pallas(gwin, glen, rwin, rlen, g0,
+                                            cs_mode=True, interpret=True,
+                                            **KW))
+    assert np.array_equal(ref, got)
+
+
+@tpu_only
 def test_pallas_matches_xla_ls():
     from shrimp_tpu.core.sw_jax import sw_vector_batch
     from shrimp_tpu.core.sw_pallas import sw_vector_batch_pallas
@@ -39,6 +75,7 @@ def test_pallas_matches_xla_ls():
     assert np.array_equal(ref, got)
 
 
+@tpu_only
 def test_pallas_matches_xla_cs():
     from shrimp_tpu.core.sw_jax import sw_vector_batch
     from shrimp_tpu.core.sw_pallas import sw_vector_batch_pallas
@@ -56,6 +93,7 @@ def test_pallas_matches_xla_cs():
     assert np.array_equal(ref, got)
 
 
+@tpu_only
 def test_full_pallas_mosaic_matches():
     """Full-SW Pallas kernel compiled by Mosaic (not interpret mode)."""
     import numpy as np
@@ -84,6 +122,7 @@ def test_full_pallas_mosaic_matches():
                               np.asarray(got_ops)[pos])
 
 
+@tpu_only
 def test_index_gather_path_matches():
     from shrimp_tpu.core.sw_jax import sw_vector_batch
     from shrimp_tpu.core.sw_pallas import sw_vector_ls_from_index
