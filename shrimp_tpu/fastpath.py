@@ -100,7 +100,8 @@ class _FRParams(ctypes.Structure):
                 ("name_off", ctypes.c_void_p), ("names", ctypes.c_void_p),
                 ("seq_fwd", ctypes.c_void_p), ("seq_rc", ctypes.c_void_p),
                 ("qual_fwd", ctypes.c_void_p),
-                ("qual_rc", ctypes.c_void_p)]
+                ("qual_rc", ctypes.c_void_p),
+                ("surv_post", ctypes.c_void_p)]
 
 
 class _FRJobs(ctypes.Structure):
@@ -194,6 +195,38 @@ def _unpack_stats3(pk: np.ndarray):
     return vec, st
 
 
+def _normalize_win(m, fh, L: int, rcf: np.ndarray):
+    """Window geometry normalization shared by the single-device fused
+    dispatch and the mesh (shard_map) dispatch: apply the reverse_hit
+    strand transform (mapping.c:254-263) to every strand-1 window and
+    assemble the flat geometry dict used by both the device launch and
+    the host reconstruction stage."""
+    cfg = m.config
+    idx = m.index
+    aw = cfg.anchor_width
+    coff = idx.contig_offsets[fh.cn].astype(np.int64)
+    clen = idx.contig_lengths[fh.cn].astype(np.int64)
+    wl64 = fh.w_len.astype(np.int64)
+    g_off_t = np.where(rcf, clen - fh.g_off - wl64, fh.g_off)
+    ax_t = np.where(rcf, -fh.ax + (wl64 - 1) - (fh.alen - 1)
+                    - (fh.awid - 1), fh.ax)
+    ay_t = np.where(rcf, -fh.ay + (L - 1) - (fh.alen - 1)
+                    + (fh.awid - 1), fh.ay)
+    win = dict(
+        starts=coff + g_off_t,
+        g_off_t=g_off_t,
+        rcmask=rcf,
+        glen=fh.w_len.astype(np.int32),
+        ri=(fh.owner >> 1).astype(np.int32),
+        rx=(ax_t - aw // 2).astype(np.int32),
+        ry=(ay_t + aw // 2).astype(np.int32),
+        rl_=fh.alen.astype(np.int32),
+        rw_=(fh.awid + aw).astype(np.int32),
+        rev=rcf & cfg.rev_tiebreak)
+    G = _round_up(max(int(fh.w_len.max()), 16), 32)
+    return win, G
+
+
 def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
                     rcf: np.ndarray, n_reads=None):
     """Fused filter2 + speculative filter3 device launches over every
@@ -216,31 +249,10 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
     cfg = m.config
     idx = m.index
     sc = cfg.scores
-    aw = cfg.anchor_width
     codes_dev = m._dev_codes()
     codes_rc_dev = m._dev_codes_rc()
     n = fh.n
-    coff = idx.contig_offsets[fh.cn].astype(np.int64)
-    clen = idx.contig_lengths[fh.cn].astype(np.int64)
-    wl64 = fh.w_len.astype(np.int64)
-    # reverse_hit strand normalization for every window
-    g_off_t = np.where(rcf, clen - fh.g_off - wl64, fh.g_off)
-    ax_t = np.where(rcf, -fh.ax + (wl64 - 1) - (fh.alen - 1)
-                    - (fh.awid - 1), fh.ax)
-    ay_t = np.where(rcf, -fh.ay + (L - 1) - (fh.alen - 1)
-                    + (fh.awid - 1), fh.ay)
-    win = dict(
-        starts=coff + g_off_t,
-        g_off_t=g_off_t,
-        rcmask=rcf,
-        glen=fh.w_len.astype(np.int32),
-        ri=(fh.owner >> 1).astype(np.int32),
-        rx=(ax_t - aw // 2).astype(np.int32),
-        ry=(ay_t + aw // 2).astype(np.int32),
-        rl_=fh.alen.astype(np.int32),
-        rw_=(fh.awid + aw).astype(np.int32),
-        rev=rcf & cfg.rev_tiebreak)
-    G = _round_up(max(int(fh.w_len.max()), 16), 32)
+    win, G = _normalize_win(m, fh, L, rcf)
     stats_flow = _stats_flow_enabled(FULL_BATCH, R, G)
     # Packed IO (16B/window args up, 4-bit reads up, 12B/window stats
     # down) whenever the bit-field ranges hold — per-batch transfer
@@ -318,7 +330,7 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
                                 codes_rc_dev=codes_rc_dev,
                                 rtab_dev=rtab_dev)
     m.stats.vec_invocs += n
-    cells = int(wl64.sum()) * L
+    cells = int(fh.w_len.astype(np.int64).sum()) * L
     m.stats.vec_cells += cells
     if not two_phase:
         m.stats.full_invocs += n
@@ -333,6 +345,17 @@ class FastLS:
         from .native import get_lib
         self.lib = get_lib()
         self.m = mapper
+        # overridable fused-launch dispatcher (the mesh pipeline swaps in
+        # its shard_map dispatch; signature of _fused_dispatch)
+        self.dispatch_fn = _fused_dispatch
+        # optional survivor-posterior output buffer: when set (and the
+        # native lib supports it), finalize_render writes each emitted
+        # alignment's posterior at its job index — the per-shard z1
+        # partials of the cross-shard MQV recombination
+        self.surv_post: Optional[np.ndarray] = None
+        # filter1 internal fan-out; multi-lane streams set 1 (the lanes
+        # already keep every core busy, inner threads just contend)
+        self.f1_threads: Optional[int] = None
         idx = mapper.index
         blob = b""
         offs = [0]
@@ -446,7 +469,7 @@ class FastLS:
             region_bits=cfg.region_bits,
             region_overlap=cfg.region_overlap,
             collapse=opts.anchor_list.collapse, gapless=False,
-            search_strands=(True, True))
+            search_strands=(True, True), threads=self.f1_threads)
         if fh is None:
             return None
         m.stats.add_stage("filter1", _time.perf_counter() - t1)
@@ -470,7 +493,7 @@ class FastLS:
         G = 16
         stats_flow = False
         if fh.n:
-            futures, win, G, stats_flow = _fused_dispatch(
+            futures, win, G, stats_flow = self.dispatch_fn(
                 m, fh, read_tab, L, R, (fh.owner & 1) == 1, n_reads=B)
         m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
         return dict(B=B, L=L, wlen=wlen, fh=fh, win=win, futures=futures,
@@ -581,7 +604,9 @@ class FastLS:
         n = int(fh.n)
         tp = (ctx["win"] or {}).get("two_phase")
         t0 = _time.perf_counter()
-        fetched = jax.device_get([res for _, _, res in ctx["futures"]])
+        fetch = (ctx["win"] or {}).get("fetch")
+        fetched = fetch(ctx["futures"]) if fetch else \
+            jax.device_get([res for _, _, res in ctx["futures"]])
         scores = np.empty(n, np.int64)
         stats_flow = ctx["stats_flow"]
         stats_all = packed_all = ops_all = None
@@ -776,7 +801,18 @@ class FastLS:
             ctx["qual_fwd"].ctypes.data
             if ctx.get("qual_fwd") is not None else None,
             ctx["qual_rc"].ctypes.data
-            if ctx.get("qual_rc") is not None else None)
+            if ctx.get("qual_rc") is not None else None,
+            None)
+        if self.surv_post is not None:
+            # caller-owned survivor-posterior output (per-shard z1
+            # partials for the cross-shard MQV recombination); job t maps
+            # to original candidate window self.last_rows[t] and read
+            # self.last_ri[t]
+            sp = np.zeros(n_jobs, np.float64)
+            self.surv_post = sp
+            self.last_rows = rows
+            self.last_ri = jobs["ri"]
+            fr.surv_post = sp.ctypes.data
         frj = _FRJobs(_vp(jobs["ri"]), _vp(jobs["cn"]),
                       _vp(jobs["gen_st"]), _vp(jobs["g_off"]),
                       _vp(jobs["score_max"]), _vp(packed), _vp(ops_pk))
@@ -840,6 +876,9 @@ def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
         # 4 lanes 55k reads/s -> 16 lanes 107k on a 4-core host)
         lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
     if lanes > 1 and len(records) > batch_size:
+        # lanes keep every host core busy; filter1's inner fan-out only
+        # contends (measured: 139k -> 215k reads/s on the 4-core host)
+        fast.f1_threads = 1
         # lazy init of the device genome planes happens once, up front,
         # so worker threads never race the device_put
         mapper._dev_codes()
@@ -1121,7 +1160,8 @@ class FastPaired:
             region_bits=cfg.region_bits,
             region_overlap=cfg.region_overlap,
             collapse=ro.anchor_list.collapse, gapless=False,
-            search_strands=(True, True), **mp_kw)
+            search_strands=(True, True), threads=self.fls.f1_threads,
+            **mp_kw)
         if fh is None:
             return None
         m.stats.add_stage("filter1", _time.perf_counter() - t1)
@@ -1137,7 +1177,7 @@ class FastPaired:
         if fh.n:
             rcf = (fh.owner & 1).astype(np.int8) != \
                 input_strand[(fh.owner >> 1).astype(np.int64)]
-            futures, win, G, stats_flow = _fused_dispatch(
+            futures, win, G, stats_flow = self.fls.dispatch_fn(
                 m, fh, read_tab, L, R, rcf)
         m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
         return dict(B=B, L=L, wlen=wlen, fh=fh, win=win, futures=futures,
@@ -1167,7 +1207,9 @@ class FastPaired:
         import jax
         n = int(fh.n)
         t0 = _time.perf_counter()
-        fetched = jax.device_get([res for _, _, res in ctx["futures"]])
+        fetch = (ctx["win"] or {}).get("fetch")
+        fetched = fetch(ctx["futures"]) if fetch else \
+            jax.device_get([res for _, _, res in ctx["futures"]])
         scores = np.empty(n, np.int64)
         if ctx["stats_flow"] and ctx["win"].get("packed_io"):
             stats_all = np.empty((n, 7), np.int32)
@@ -1329,6 +1371,8 @@ def map_paired_sam_stream(mapper, records: Sequence[SeqRecord],
     if lanes is None:
         import os as _os
         lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
+    if lanes > 1:
+        fast.fls.f1_threads = 1
 
     def work(off: int, pre) -> bytes:
         a = pre if pre is not None else fast.stage_prepare(

@@ -247,7 +247,7 @@ class FastCS:
             region_bits=cfg.region_bits,
             region_overlap=cfg.region_overlap,
             collapse=opts.anchor_list.collapse, gapless=False,
-            search_strands=(True, True))
+            search_strands=(True, True), threads=self.fls.f1_threads)
         if fh is None:
             return None
         m.stats.add_stage("filter1", _time.perf_counter() - t1)
@@ -612,6 +612,8 @@ def map_unpaired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
     if lanes is None:
         import os as _os
         lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
+    if lanes > 1:
+        fast.fls.f1_threads = 1
     if records:
         mapper._dev_cs_planes()
 
@@ -802,7 +804,8 @@ class FastPairedCS(FastCS):
             region_bits=cfg.region_bits,
             region_overlap=cfg.region_overlap,
             collapse=ro.anchor_list.collapse, gapless=False,
-            search_strands=(True, True), **mp_kw)
+            search_strands=(True, True), threads=self.fls.f1_threads,
+            **mp_kw)
         if fh is None:
             return None
         m.stats.add_stage("filter1", _time.perf_counter() - t1)
@@ -994,6 +997,8 @@ def map_paired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
     if lanes is None:
         import os as _os
         lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
+    if lanes > 1:
+        fast.fls.f1_threads = 1
     if records:
         mapper._dev_cs_planes()
 

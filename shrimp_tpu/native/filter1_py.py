@@ -95,6 +95,7 @@ def generate_candidates_native(index, codes: np.ndarray, read_len: int,
                                mp_mode: int = 0,
                                mp_drmin=None,
                                mp_drmax=None,
+                               threads: Optional[int] = None,
                                ) -> Optional[FlatHits]:
     lib = get_lib()
     if lib is None:
@@ -177,9 +178,12 @@ def generate_candidates_native(index, codes: np.ndarray, read_len: int,
     # call releases the GIL and its scratch state is thread_local, so
     # contiguous read ranges fan out over host threads
     import os as _os
-    nthreads = min(int(_os.environ.get("SHRIMP_TPU_FILTER1_THREADS",
-                                       _os.cpu_count() or 1)),
-                   max(1, N // 512))
+    # callers that already run many pipeline lanes pass threads=1: inner
+    # fan-out on an oversubscribed host costs ~35% end-to-end throughput
+    nthreads = threads if threads is not None else \
+        int(_os.environ.get("SHRIMP_TPU_FILTER1_THREADS",
+                            _os.cpu_count() or 1))
+    nthreads = min(nthreads, max(1, N // 512))
     if nthreads <= 1:
         parts = [run_range(0, n_owners)]
     else:

@@ -220,6 +220,10 @@ struct FRParams {
   const uint8_t* seq_rc;           // [n_reads, read_len] revcomp-cleaned
   const uint8_t* qual_fwd;         // [n_reads, read_len] PHRED+33 or null
   const uint8_t* qual_rc;          // reversed rows of qual_fwd
+  double* surv_post;               // optional [n_jobs]: emitted survivor
+                                   // posteriors at their job index (the
+                                   // per-shard z1 partials the sharded
+                                   // merge psums, sam_reader.c:417-520)
 };
 
 struct FRJobs {
@@ -368,6 +372,7 @@ int64_t finalize_render(const FRParams* p, const FRJobs* j,
       // render with shared z1
       for (auto& s : sv) {
         int64_t t = s.job;
+        if (p->surv_post) p->surv_post[t] = s.posterior;
         const int32_t* pk = j->packed + t * 10;
         int rs = pk[4], rmapped = pk[1] - rs + 1;
         int gmapped = pk[2] - pk[5] + 1;

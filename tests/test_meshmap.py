@@ -1,0 +1,118 @@
+"""MeshMapper (shard_map product pipeline) must reproduce the unsharded
+run byte-for-byte, and the cross-shard Z collectives must match the
+host-exact recombination (sharded-vs-unsharded equivalence is the
+reference's own correctness criterion for its split/merge workflow,
+mergesam/sam_reader.c:417-520, MAPPING_QUALITIES Parts 1c/2c)."""
+import numpy as np
+import pytest
+
+import jax
+
+from shrimp_tpu.config import MapperConfig
+from shrimp_tpu.core import encode
+from shrimp_tpu.index.build import build_index
+from shrimp_tpu.index.seeds import default_seeds
+from shrimp_tpu.io.fasta import SeqRecord
+from shrimp_tpu.mapper import Mapper
+from shrimp_tpu.fastpath import (map_paired_sam_stream,
+                                 map_unpaired_sam_stream)
+from shrimp_tpu.parallel.meshmap import (MeshMapper, make_mesh,
+                                         zmerge_min_neglog, zmerge_psum)
+
+COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
+
+
+def _mk_genome(rng, n_contigs=3, clen=30_000):
+    contigs, gs = [], []
+    for c in range(n_contigs):
+        g = "".join(rng.choice(list("ACGT"), clen))
+        gs.append(g)
+        contigs.append((f"chr{c}", encode.encode_ls(g)))
+    return contigs, gs
+
+
+def _mk_reads(rng, gs, n, L=36, mut=3):
+    reads = []
+    for k in range(n):
+        src = gs[k % len(gs)]
+        p = int(rng.integers(0, len(src) - L))
+        r = list(src[p:p + L])
+        for _ in range(int(rng.integers(0, mut))):
+            r[int(rng.integers(0, L))] = "ACGT"[int(rng.integers(0, 4))]
+        r = "".join(r)
+        if k % 3 == 0:
+            r = "".join(COMP[c] for c in reversed(r))
+        reads.append(SeqRecord(f"mr{k}", r))
+    return reads
+
+
+def test_meshmap_unpaired_byte_identical():
+    rng = np.random.default_rng(101)
+    contigs, gs = _mk_genome(rng)
+    idx = build_index(contigs, default_seeds())
+    reads = _mk_reads(rng, gs, 240)
+    cfg = MapperConfig()
+    m = Mapper(idx, cfg)
+    want = b"".join(map_unpaired_sam_stream(m, reads, batch_size=96,
+                                            lanes=1))
+    mesh = make_mesh(jax.devices()[:8])
+    mm = MeshMapper(idx, cfg, mesh=mesh)
+    got = mm.map_unpaired_sam(reads, batch_size=96, collect_z=True)
+    assert got == want
+
+    # the z1 psum collective must equal the host-exact per-read
+    # posterior sums (output.c:777-793 summed across shards, Part 1c)
+    zp = mm.last_zpart
+    merged = zmerge_psum(mesh, zp)
+    host = zp.sum(axis=0)
+    assert np.allclose(merged, host, rtol=1e-12, atol=0.0)
+    assert float(host.max()) > 0.0          # something actually mapped
+
+
+def test_meshmap_paired_byte_identical():
+    rng = np.random.default_rng(102)
+    contigs, gs = _mk_genome(rng)
+    idx = build_index(contigs, default_seeds())
+    cfg = MapperConfig(pair_mode="opp-in", insert_size_min=60,
+                       insert_size_max=240)
+    # interleaved opp-in pairs straddling contig positions
+    reads = []
+    for k in range(120):
+        src = gs[k % len(gs)]
+        isz = int(rng.integers(90, 200))
+        p = int(rng.integers(0, len(src) - isz - 1))
+        r1 = src[p:p + 36]
+        r2 = src[p + isz - 36:p + isz]
+        r2 = "".join(COMP[c] for c in reversed(r2))
+        reads.append(SeqRecord(f"p{k}/1", r1))
+        reads.append(SeqRecord(f"p{k}/2", r2))
+    m = Mapper(idx, cfg)
+    want = b"".join(map_paired_sam_stream(m, reads, batch_size=80,
+                                          lanes=1))
+    mm = MeshMapper(idx, cfg, mesh=make_mesh(jax.devices()[:8]))
+    got = mm.map_paired_sam(reads, batch_size=80)
+    assert got == want
+
+
+def test_meshmap_uneven_mesh_sizes():
+    """Byte identity must hold for any shard count, including ones that
+    leave some devices nearly empty."""
+    rng = np.random.default_rng(103)
+    contigs, gs = _mk_genome(rng, n_contigs=1, clen=12_000)
+    idx = build_index(contigs, default_seeds())
+    reads = _mk_reads(rng, gs, 64)
+    cfg = MapperConfig()
+    m = Mapper(idx, cfg)
+    want = b"".join(map_unpaired_sam_stream(m, reads, batch_size=64,
+                                            lanes=1))
+    for nd in (2, 3, 5):
+        mm = MeshMapper(idx, cfg, mesh=make_mesh(jax.devices()[:nd]))
+        assert mm.map_unpaired_sam(reads, batch_size=64) == want, nd
+
+
+def test_zmerge_min_neglog():
+    mesh = make_mesh(jax.devices()[:4])
+    rng = np.random.default_rng(5)
+    rows = rng.uniform(0.0, 50.0, (4, 17))
+    got = zmerge_min_neglog(mesh, rows)
+    assert np.array_equal(got, rows.min(axis=0))
