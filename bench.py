@@ -175,6 +175,11 @@ def main():
     to the CPU backend (still one JSON line) if the TPU attempt exceeds
     its budget."""
     if "--inner" in sys.argv:
+        # tuned steady-state config for the axon v5e tunnel (measured
+        # sweep 2026-08-20: 16 lanes/8k batch 199k reads/s -> 32 lanes/
+        # 16k batch 262-264k reads/s at 600k reads); env overrides win
+        os.environ.setdefault("SHRIMP_TPU_PIPELINE_LANES", "32")
+        os.environ.setdefault("SHRIMP_TPU_BENCH_BATCH", "16384")
         if os.environ.get("JAX_PLATFORMS") == "cpu":
             # The axon sitecustomize registers the TPU backend before
             # our env var is consulted; force the platform explicitly.

@@ -101,7 +101,12 @@ class MeshMapper:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.D = int(self.mesh.devices.size)
         self.halo = halo
-        self.m = Mapper(index, config or MapperConfig())
+        cfg = config or MapperConfig()
+        if cfg.pair_mode and cfg.pair_mode != "none":
+            from ..paired import PairedMapper
+            self.m = PairedMapper(index, cfg)
+        else:
+            self.m = Mapper(index, cfg)
         self.platform = self.mesh.devices.flat[0].platform
         # range-sharded genome planes with halo: device d holds
         # [d*S, d*S + S + halo) of both the forward and the revcomp

@@ -73,8 +73,8 @@ def test_meshmap_paired_byte_identical():
     rng = np.random.default_rng(102)
     contigs, gs = _mk_genome(rng)
     idx = build_index(contigs, default_seeds())
-    cfg = MapperConfig(pair_mode="opp-in", insert_size_min=60,
-                       insert_size_max=240)
+    cfg = MapperConfig(pair_mode="opp-in", min_insert_size=60,
+                       max_insert_size=240)
     # interleaved opp-in pairs straddling contig positions
     reads = []
     for k in range(120):
@@ -86,7 +86,8 @@ def test_meshmap_paired_byte_identical():
         r2 = "".join(COMP[c] for c in reversed(r2))
         reads.append(SeqRecord(f"p{k}/1", r1))
         reads.append(SeqRecord(f"p{k}/2", r2))
-    m = Mapper(idx, cfg)
+    from shrimp_tpu.paired import PairedMapper
+    m = PairedMapper(idx, cfg)
     want = b"".join(map_paired_sam_stream(m, reads, batch_size=80,
                                           lanes=1))
     mm = MeshMapper(idx, cfg, mesh=make_mesh(jax.devices()[:8]))
