@@ -154,6 +154,18 @@ def _add_map_flags(p: argparse.ArgumentParser) -> None:
                    help="print per-seed index list-length histogram")
     p.add_argument("-D", "--detailed-stats", action="store_true",
                    help="print detailed per-stage statistics")
+    p.add_argument("-S", "--save", default=None, metavar="PREFIX",
+                   help="project + index the genome and save it as "
+                        "PREFIX.genome.npz / PREFIX.seed.N.npz, then exit "
+                        "without mapping (gmapper -S); with -L and -z, "
+                        "re-checkpoints the loaded index after trimming "
+                        "(gmapper.c:2846-2857)")
+    p.add_argument("--max-mem", type=float, default=64.0, metavar="GB",
+                   help="global memory cap in GB (my_alloc_init analogue, "
+                        "gmapper.c:1740; default 64)")
+    p.add_argument("--strict-mem", action="store_true",
+                   help="fail (not just warn) when the cap is exceeded "
+                        "(MYALLOC_ERR_MAX analogue)")
 
 
 def build_config(args) -> "MapperConfig":

@@ -216,8 +216,15 @@ def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
     skipped; for colour space the index is built over the CS projection of
     the forward genome.
     """
+    from ..utils import memmodel
     names = [n for n, _ in contigs]
     lengths = np.array([len(c) for _, c in contigs], dtype=np.uint32)
+    # memory-cap pre-check (my-alloc analogue): predict the footprint
+    # from the shared RAM model and warn/fail BEFORE allocating
+    memmodel.tracker().precheck_index(
+        int(lengths.sum()), len(seeds),
+        max((s.weight for s in seeds), default=0),
+        colour_space=(mode == C.MODE_COLOUR_SPACE))
     offsets = np.zeros(len(contigs), dtype=np.uint32)
     if len(contigs) > 1:
         offsets[1:] = np.cumsum(lengths[:-1], dtype=np.uint64).astype(np.uint32)
@@ -267,8 +274,14 @@ def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
             pos = np.zeros(0, np.uint32)
         n_mapidx = (4 ** C.HASH_TABLE_POWER if hashed else seed.n_mapidx)
         csr_offsets, sorted_pos = _csr_sort(keys, pos, n_mapidx)
+        memmodel.tracker().track(sorted_pos, "genomemap",
+                                 f"seed{len(gi.seeds)}_positions")
+        memmodel.tracker().track(csr_offsets, "genomemap",
+                                 f"seed{len(gi.seeds)}_offsets")
         gi.seeds.append(SeedIndex(seed=seed, offsets=csr_offsets,
                                   positions=sorted_pos))
+    memmodel.tracker().track(codes, "genomemap", "codes")
+    memmodel.tracker().track(codes_rc, "genomemap", "codes_rc")
     return gi
 
 

@@ -17,12 +17,14 @@ from typing import List, Optional, Tuple
 from ..io.fasta import read_fasta, read_seqs
 
 
-def index_ram_bytes(genome_len: int, n_seeds: int, weight: int) -> int:
+def index_ram_bytes(genome_len: int, n_seeds: int, weight: int,
+                    colour_space: bool = False) -> int:
     """RAM model for an index over a genome of `genome_len` bases
-    (README:128-150): L*K*4 + K*4^min(W,12)*(4+ptr) + 50MB."""
-    return (genome_len * n_seeds * 4
-            + n_seeds * 4 ** min(weight, 12) * 12
-            + 50_000_000)
+    (README:128-150) — the SAME model the runtime memory cap uses
+    (utils/memmodel.plan_index_ram), so `split-db --ram-size G` chunks
+    are guaranteed to build under a `--max-mem G` cap."""
+    from ..utils.memmodel import plan_index_ram
+    return plan_index_ram(genome_len, n_seeds, weight, colour_space)
 
 
 def split_contig_pieces(name: str, seq: str, piece_len: int,
