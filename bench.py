@@ -190,8 +190,12 @@ def main():
         return
     budget = float(os.environ.get("SHRIMP_TPU_BENCH_BUDGET", "2100"))
     env = dict(os.environ)
+    # two TPU attempts: a wedged tunnel RPC (seen when another process
+    # shares the tunnel) hangs device_get forever; a fresh process
+    # recovers, so retry once before surrendering to the CPU backend
     for attempt, (label, extra_env, tmo) in enumerate((
-            ("tpu", {}, budget),
+            ("tpu", {}, budget * 0.55),
+            ("tpu-retry", {}, budget * 0.40),
             ("cpu-fallback", {"JAX_PLATFORMS": "cpu",
                               "SHRIMP_TPU_BENCH_READS": "20000"}, 560.0))):
         try:

@@ -314,12 +314,19 @@ def load_or_build_index(genome_args: List[str], seeds_spec: Optional[str],
     from .index.build import GenomeIndex, build_index
     from .index.seeds import default_seeds, mirna_seeds, parse_seeds
     from .io.fasta import read_fasta
-    if len(genome_args) == 1 and genome_args[0].endswith(".npz"):
-        return GenomeIndex.load(genome_args[0])
     import os
-    if len(genome_args) == 1 and os.path.isdir(genome_args[0]):
-        # warm mmap image (--save-mmap analogue, genome.c:606-667)
-        return GenomeIndex.load_mmap(genome_args[0])
+    if len(genome_args) == 1:
+        g = genome_args[0]
+        if g.endswith(".genome.npz") or os.path.exists(g + ".genome.npz"):
+            # split-file checkpoint (gmapper -S layout): short-form -L
+            # prefix loads genome + every seed projection
+            base = g if g.endswith(".genome.npz") else g + ".genome"
+            return GenomeIndex.load_split(base)
+        if g.endswith(".npz"):
+            return GenomeIndex.load(g)
+        if os.path.isdir(g):
+            # warm mmap image (--save-mmap analogue, genome.c:606-667)
+            return GenomeIndex.load_mmap(g)
     if mirna:
         seeds = mirna_seeds()
     elif seeds_spec:
@@ -499,6 +506,7 @@ def cmd_map(args) -> int:
         if args.reads is not None:
             args.genome = [args.reads] + args.genome
             args.reads = None
+    preloaded_idx = None
     if args.load_index is not None:
         # gmapper -L: genome positionals are not needed; whatever landed
         # in the genome slot is treated as extra reads-file noise only if
@@ -507,20 +515,47 @@ def cmd_map(args) -> int:
             args.reads = args.genome[0]
             args.genome = args.genome[1:]
         lp = args.load_index
-        if not os.path.exists(lp) and os.path.exists(lp + ".npz"):
-            lp = lp + ".npz"
-        args.genome = [lp]
-    if not split_mates and args.reads is None:
+        if "," in lp:
+            # long form `-L genome,seed_a,seed_b`: explicit seed-subset
+            # load (genome.c:670-831, README:680-719)
+            from .index.build import GenomeIndex
+            parts = lp.split(",")
+            preloaded_idx = GenomeIndex.load_split(parts[0], parts[1:])
+            args.genome = []
+        else:
+            if not os.path.exists(lp) and os.path.exists(lp + ".npz"):
+                lp = lp + ".npz"
+            args.genome = [lp]
+    if args.save is not None and args.reads is not None \
+            and args.load_index is None:
+        # gmapper -S layout `-S prefix genome.fa`: with no mapping run
+        # the first positional is a genome file, not reads
+        args.genome = [args.reads] + args.genome
+        args.reads = None
+    if not split_mates and args.reads is None and args.save is None:
         raise SystemExit("error: no reads file given")
-    if not args.genome:
+    if not args.genome and preloaded_idx is None:
         raise SystemExit("error: no genome given")
 
     t_load = time.time()
     cfg = build_config(args)
-    idx = load_or_build_index(args.genome, args.seeds, cfg.mode,
-                              mirna=args.mode == "mirna",
-                              hashed=args.hash_spaced_kmers)
+    idx = preloaded_idx if preloaded_idx is not None else \
+        load_or_build_index(args.genome, args.seeds, cfg.mode,
+                            mirna=args.mode == "mirna",
+                            hashed=args.hash_spaced_kmers)
     print(f"Loaded genome in {time.time()-t_load:.1f}s", file=sys.stderr)
+
+    if args.save is not None:
+        # -S: project + index + save, then exit without mapping
+        # (gmapper.c:2846-2857); with -L and -z this re-checkpoints the
+        # loaded index after trimming
+        if args.cutoff:
+            print(f"\nTrimming index lists longer than: {args.cutoff}",
+                  file=sys.stderr)
+            idx.trim(args.cutoff)
+        print(f"Saving genome map to {args.save}", file=sys.stderr)
+        idx.save_split(args.save)
+        return 0
 
     paired = cfg.pair_mode != C.PAIR_NONE
     mapper = PairedMapper(idx, cfg) if paired else Mapper(idx, cfg)
@@ -809,6 +844,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                             "merge rebases and dedups exactly)")
     p_sdb.add_argument("--contig-overlap", type=int, default=2000,
                        help="halo overlap between contig pieces")
+    p_sdb.add_argument("--cs", action="store_true",
+                       help="size chunks with the colour-space RAM model "
+                            "(4 genome planes instead of 2), matching "
+                            "build_index's pre-check for CS genomes")
 
     p_pdb = sub.add_parser(
         "project-db", help="pre-build a saved index per genome chunk "
@@ -869,6 +908,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         p_t.add_argument("tool_args", nargs=argparse.REMAINDER)
 
     args = ap.parse_args(argv)
+    # my_alloc_init analogue (gmapper.c:1740): install the process-wide
+    # memory cap before any index build/load can allocate
+    from .utils import memmodel
+    memmodel.init(int(getattr(args, "max_mem", 64.0) * (1 << 30)),
+                  strict=bool(getattr(args, "strict_mem", False)))
     if args.cmd in ("probcalc", "probcalc-mp", "prettyprint",
                     "shrimp-var", "colorconsensus"):
         import importlib
@@ -886,7 +930,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         split_db(args.genome, args.ram_size, args.prefix,
                  n_seeds=args.n_seeds, weight=args.seed_weight,
                  max_contig_len=args.max_contig_len,
-                 contig_overlap=args.contig_overlap)
+                 contig_overlap=args.contig_overlap,
+                 colour_space=args.cs)
         return 0
     if args.cmd == "project-db":
         mode = C.MODE_COLOUR_SPACE if args.cs else C.MODE_LETTER_SPACE
@@ -895,6 +940,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                                       hashed=args.hash_spaced_kmers)
             out_path = chunk.rsplit(".", 1)[0] + ".npz"
             idx.save(out_path)
+            idx.release()   # un-account the chunk before the next build
             print(f"Saved {out_path}", file=sys.stderr)
         return 0
     if args.cmd == "split-reads":

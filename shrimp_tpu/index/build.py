@@ -16,10 +16,16 @@ checkpoint files (genome.c:15-270).
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+
+
+def _force_npz(path: str) -> str:
+    """np.savez appends .npz unless present; keep names deterministic."""
+    return path if path.endswith(".npz") else path + ".npz"
 
 from .. import constants as C
 from ..core import encode
@@ -69,6 +75,44 @@ class GenomeIndex:
         common/gen-st.c, with a vectorized searchsorted)."""
         return np.searchsorted(self.contig_offsets, pos, side="right") - 1
 
+    def _register_memory(self) -> None:
+        """Account the index's arrays against the process memory cap
+        (my-alloc genomemap counters); release() un-accounts them."""
+        from ..utils import memmodel
+        tr = memmodel.tracker()
+        tracked = []
+        for nm in ("codes", "codes_rc", "cs_codes", "cs_codes_rc"):
+            a = getattr(self, nm, None)
+            if a is not None:
+                tr.track(a, "genomemap", nm)
+                tracked.append(a)
+        for i, si in enumerate(self.seeds):
+            tr.track(si.offsets, "genomemap", f"seed{i}_offsets")
+            tr.track(si.positions, "genomemap", f"seed{i}_positions")
+            tracked += [si.offsets, si.positions]
+        self._mem_tracked = tracked
+
+    def release(self) -> None:
+        """Drop this index's memory accounting and hugepage buffers
+        (my_free analogue). The index must not be used afterwards.
+        Fixes the per-chunk accumulation in chunked builds (project-db
+        loops): without this, crt_mem grows monotonically and later
+        chunks spuriously trip the cap."""
+        from ..utils import memmodel
+        from ..utils.hostmem import release as hp_release
+        tr = memmodel.tracker()
+        for a in getattr(self, "_mem_tracked", []):
+            tr.untrack(a, "genomemap")
+        self._mem_tracked = []
+        for si in self.seeds:
+            hp_release(si.offsets)
+            hp_release(si.positions)
+        for nm in ("codes", "codes_rc", "cs_codes", "cs_codes_rc"):
+            a = getattr(self, nm, None)
+            if a is not None:
+                hp_release(a)
+        self.seeds = []
+
     def auto_list_cutoff(self) -> int:
         """cutoff = max(1000, 100 * L / 4^max_weight) (gmapper.c:2830-2834);
         hashed mode uses the hash table power (gmapper.c:2820-2828)."""
@@ -98,6 +142,7 @@ class GenomeIndex:
 
     @staticmethod
     def load(path: str) -> "GenomeIndex":
+        from ..utils.hostmem import to_hugepages
         with np.load(path) as data:
             meta = json.loads(bytes(data["meta"]).decode("utf-8"))
             codes = data["codes"]
@@ -107,9 +152,12 @@ class GenomeIndex:
             for i, s in enumerate(meta["seeds"]):
                 seeds.append(SeedIndex(
                     seed=Seed(s),
-                    offsets=data[f"seed{i}_offsets"],
-                    positions=data[f"seed{i}_positions"]))
-        codes_rc = _per_contig_revcomp(codes, contig_offsets, contig_lengths)
+                    offsets=to_hugepages(_compact_offsets(
+                        data[f"seed{i}_offsets"])),
+                    positions=to_hugepages(data[f"seed{i}_positions"])))
+        codes = to_hugepages(codes)
+        codes_rc = to_hugepages(
+            _per_contig_revcomp(codes, contig_offsets, contig_lengths))
         gi = GenomeIndex(
             mode=meta["mode"], contig_names=list(meta["contig_names"]),
             contig_offsets=contig_offsets, contig_lengths=contig_lengths,
@@ -118,7 +166,110 @@ class GenomeIndex:
             hashed=bool(meta.get("hashed", False)))
         if gi.mode == C.MODE_COLOUR_SPACE:
             gi.build_cs_projection()
+        gi._register_memory()
         return gi
+
+    def save_split(self, prefix: str) -> None:
+        """gmapper -S layout: <prefix>.genome.npz plus one
+        <prefix>.seed.N.npz per spaced seed (save_genome_map /
+        save_genome_map_seed, genome.c:179-270 / 15-68). The split
+        layout is what makes the long-form -L seed-subset load
+        possible (README:680-719)."""
+        meta = {
+            "mode": self.mode,
+            "contig_names": self.contig_names,
+            "is_rna": self.is_rna,
+            "hashed": self.hashed,
+            "n_seeds": len(self.seeds),
+        }
+        np.savez(_force_npz(prefix + ".genome"),
+                 contig_offsets=self.contig_offsets,
+                 contig_lengths=self.contig_lengths,
+                 codes=self.codes,
+                 meta=np.frombuffer(json.dumps(meta).encode(), np.uint8))
+        for i, si in enumerate(self.seeds):
+            np.savez(_force_npz(f"{prefix}.seed.{i}"),
+                     offsets=si.offsets, positions=si.positions,
+                     meta=np.frombuffer(json.dumps(
+                         {"seed": si.seed.mask_string}).encode(),
+                         np.uint8))
+
+    @staticmethod
+    def load_split(genome_path: str,
+                   seed_paths: Optional[List[str]] = None) -> "GenomeIndex":
+        """Load a save_split() index. `seed_paths=None` loads every
+        <prefix>.seed.*.npz next to the genome file (short-form -L);
+        an explicit list loads only those projections (long-form
+        `-L genome,seed_a,seed_b`, genome.c:670-831)."""
+        import glob
+        import re as _re
+        from ..utils.hostmem import to_hugepages
+        gp = genome_path
+        if not os.path.exists(gp) and os.path.exists(gp + ".npz"):
+            gp = gp + ".npz"
+        with np.load(gp) as data:
+            meta = json.loads(bytes(data["meta"]).decode("utf-8"))
+            codes = data["codes"]
+            contig_offsets = data["contig_offsets"]
+            contig_lengths = data["contig_lengths"]
+        if seed_paths is None:
+            prefix = _re.sub(r"\.genome(\.npz)?$", "", gp)
+            found = glob.glob(prefix + ".seed.*.npz")
+
+            def seed_no(p):
+                m = _re.search(r"\.seed\.(\d+)\.npz$", p)
+                return int(m.group(1)) if m else 1 << 30
+            seed_paths = sorted(found, key=seed_no)
+            if not seed_paths:
+                raise FileNotFoundError(
+                    f"no {prefix}.seed.*.npz files next to {gp}")
+        seeds = []
+        for sp in seed_paths:
+            if not os.path.exists(sp) and os.path.exists(sp + ".npz"):
+                sp = sp + ".npz"
+            with np.load(sp) as sd:
+                smeta = json.loads(bytes(sd["meta"]).decode("utf-8"))
+                seeds.append(SeedIndex(
+                    seed=Seed(smeta["seed"]),
+                    offsets=to_hugepages(_compact_offsets(sd["offsets"])),
+                    positions=to_hugepages(sd["positions"])))
+        codes = to_hugepages(codes)
+        codes_rc = to_hugepages(
+            _per_contig_revcomp(codes, contig_offsets, contig_lengths))
+        gi = GenomeIndex(
+            mode=meta["mode"], contig_names=list(meta["contig_names"]),
+            contig_offsets=contig_offsets, contig_lengths=contig_lengths,
+            codes=codes, codes_rc=codes_rc, seeds=seeds,
+            is_rna=bool(meta["is_rna"]),
+            hashed=bool(meta.get("hashed", False)))
+        if gi.mode == C.MODE_COLOUR_SPACE:
+            gi.build_cs_projection()
+        gi._register_memory()
+        return gi
+
+    def trim(self, cutoff: int) -> int:
+        """Physically drop inverted lists longer than `cutoff`
+        (trim_genome, genome.c:1188-1208) — equivalent at query time to
+        the mapper's list-cutoff skip, but shrinks a re-checkpointed
+        index (-L x -S y -z c, gmapper.c:2846-2857). Returns the number
+        of lists dropped."""
+        dropped = 0
+        for k, si in enumerate(self.seeds):
+            lens = si.list_lengths().astype(np.int64)
+            over = lens > cutoff
+            n_over = int(over.sum())
+            if n_over == 0:
+                continue
+            dropped += n_over
+            keep_lens = np.where(over, 0, lens)
+            new_off = np.zeros(len(si.offsets), dtype=np.int64)
+            np.cumsum(keep_lens, out=new_off[1:])
+            keep_mask = np.repeat(~over, lens)
+            new_pos = si.positions[keep_mask]
+            self.seeds[k] = SeedIndex(
+                seed=si.seed, offsets=_compact_offsets(new_off),
+                positions=new_pos)
+        return dropped
 
     def save_mmap(self, dirpath: str) -> None:
         """Warm-index cache: one raw .npy per array so later runs map the
@@ -181,6 +332,7 @@ class GenomeIndex:
         if os.path.exists(os.path.join(dirpath, "cs_codes.npy")):
             gi.cs_codes = m("cs_codes")
             gi.cs_codes_rc = m("cs_codes_rc")
+        gi._register_memory()   # memmaps count as 0 (OS-paged)
         return gi
 
     def build_cs_projection(self) -> None:
@@ -189,6 +341,17 @@ class GenomeIndex:
                                        self.contig_lengths)
         self.cs_codes_rc = _per_contig_cs(self.codes_rc, self.contig_offsets,
                                           self.contig_lengths)
+
+
+def _compact_offsets(offsets: np.ndarray) -> np.ndarray:
+    """CSR offsets as uint32 when they fit (they always do: positions
+    are uint32 genome coordinates, so the total count < 2^32). Halves
+    the random-lookup footprint of the per-kmer tables."""
+    if offsets.dtype == np.uint32:
+        return offsets
+    if len(offsets) == 0 or int(offsets[-1]) < (1 << 32):
+        return offsets.astype(np.uint32)
+    return offsets
 
 
 def _per_contig_revcomp(codes: np.ndarray, offsets: np.ndarray,
@@ -274,14 +437,12 @@ def build_index(contigs: Sequence[tuple], seeds: Sequence[Seed],
             pos = np.zeros(0, np.uint32)
         n_mapidx = (4 ** C.HASH_TABLE_POWER if hashed else seed.n_mapidx)
         csr_offsets, sorted_pos = _csr_sort(keys, pos, n_mapidx)
-        memmodel.tracker().track(sorted_pos, "genomemap",
-                                 f"seed{len(gi.seeds)}_positions")
-        memmodel.tracker().track(csr_offsets, "genomemap",
-                                 f"seed{len(gi.seeds)}_offsets")
+        from ..utils.hostmem import to_hugepages
+        csr_offsets = to_hugepages(_compact_offsets(csr_offsets))
+        sorted_pos = to_hugepages(sorted_pos)
         gi.seeds.append(SeedIndex(seed=seed, offsets=csr_offsets,
                                   positions=sorted_pos))
-    memmodel.tracker().track(codes, "genomemap", "codes")
-    memmodel.tracker().track(codes_rc, "genomemap", "codes_rc")
+    gi._register_memory()
     return gi
 
 

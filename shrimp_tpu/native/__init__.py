@@ -31,7 +31,8 @@ def _build() -> Optional[str]:
             os.path.join(_SRC_DIR, "pairedpipe.cpp"),
             os.path.join(_SRC_DIR, "cspost.cpp"),
             os.path.join(_SRC_DIR, "cspipe.cpp"),
-            os.path.join(_SRC_DIR, "csrsort.cpp")]
+            os.path.join(_SRC_DIR, "csrsort.cpp"),
+            os.path.join(_SRC_DIR, "hostmem.cpp")]
     h = hashlib.sha256()
     h.update(b"g++ -O3 -march=native -ffp-contract=off")  # flags
     for src in srcs:
@@ -82,4 +83,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _LIB.cs_finalize_render.restype = ctypes.c_int64
         _LIB.csr_counting_sort.restype = ctypes.c_int64
         _LIB.spaced_keys.restype = ctypes.c_int64
+        _LIB.hp_alloc.restype = ctypes.c_void_p
+        _LIB.hp_alloc.argtypes = [ctypes.c_int64]
+        _LIB.hp_free.restype = ctypes.c_int32
+        _LIB.hp_free.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     return _LIB

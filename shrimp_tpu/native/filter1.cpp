@@ -12,21 +12,59 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
 #include <cstdlib>
 #include <vector>
 #include <algorithm>
 #include <unordered_map>
+#include <atomic>
+#include <x86intrin.h>
+
+// Phase profiling (SHRIMP_TPU_F1_PROF=1): rdtsc accumulators per stage,
+// dumped via filter1_prof_dump(). Zero overhead when disabled.
+static std::atomic<uint64_t> g_prof[6];
+static const char* g_prof_names[6] = {
+    "keys", "csr collect", "sort", "walk+collapse", "window gen", "calls"};
+static inline bool prof_on() {
+    static int v = -1;
+    if (v < 0) v = getenv("SHRIMP_TPU_F1_PROF") ? 1 : 0;
+    return v == 1;
+}
+struct ProfScope {
+    int ph; uint64_t t0; bool on;
+    ProfScope(int p) : ph(p), on(prof_on()) { if (on) t0 = __rdtsc(); }
+    ~ProfScope() { if (on) g_prof[ph] += __rdtsc() - t0; }
+};
 
 extern "C" {
+
+void filter1_prof_dump() {
+    for (int i = 0; i < 6; i++)
+        fprintf(stderr, "f1 prof %-14s %12llu Mcycles\n", g_prof_names[i],
+                (unsigned long long)(g_prof[i].load() / 1000000));
+}
 
 struct SeedSpec {
     int32_t span;
     int32_t weight;
     int32_t n_offsets;
+    int32_t off_is_32;            // csr_offsets dtype: 1=uint32, 0=int64
     const int32_t* offsets;       // included positions within the kmer
-    const int64_t* csr_offsets;   // [n_mapidx + 1]
+    const void* csr_offsets;      // [4^weight + 1] (uint32 or int64)
     const uint32_t* csr_positions;
 };
+
+// CSR offset load, dtype-branched (uint32 tables halve the random-read
+// footprint: 4^12 entries x 3 seeds = 201MB vs 402MB, mostly L3-resident
+// on hosts with big LLCs; the branch predicts perfectly)
+static inline int64_t csr_at(const SeedSpec& S, uint32_t k) {
+    return S.off_is_32 ? (int64_t)((const uint32_t*)S.csr_offsets)[k]
+                       : ((const int64_t*)S.csr_offsets)[k];
+}
+static inline const void* csr_addr(const SeedSpec& S, uint32_t k) {
+    return S.off_is_32 ? (const void*)((const uint32_t*)S.csr_offsets + k)
+                       : (const void*)((const int64_t*)S.csr_offsets + k);
+}
 
 struct Filter1Params {
     int32_t n_seeds;
@@ -142,6 +180,24 @@ static inline bool contains(const std::vector<int64_t>& v, int64_t x) {
     return it != v.end() && *it == x;
 }
 
+// Fast spaced-kmer extraction for unhashed seeds with span <= 32: the
+// read is packed into a rolling 2-bit word and each key is one PEXT
+// (BMI2 parallel bit extract) against the seed's doubled mask — the
+// same (base << 2j) layout as kmer_key below, ~10x fewer ops.
+// `mask2` = OR_j (3 << 2*offsets[j]) with offsets ascending.
+static inline void keys_pext(const SeedSpec& S, uint64_t mask2,
+                             const uint8_t* rc, int L, int min_pos,
+                             uint32_t* out) {
+    uint64_t w = 0;
+    int lo = min_pos;
+    int hi = L - S.span;             // last valid kmer start
+    for (int i = L - 1; i >= lo; i--) {
+        w = (w << 2) | (uint64_t)(rc[i] & 3);
+        if (i <= hi)
+            out[i] = (uint32_t)_pext_u64(w, mask2);
+    }
+}
+
 static inline uint32_t kmer_key(const Filter1Params* p, const SeedSpec& S,
                                 const uint8_t* rc, int i) {
     if (!p->hashed) {
@@ -196,6 +252,24 @@ int64_t filter1_batch(
     int max_kmers = L;
     sc.keys.resize((size_t)p->n_seeds * max_kmers);
 
+    // PEXT masks for the fast key path (unhashed, span<=32, ascending
+    // offsets); 0 disables per seed
+    std::vector<uint64_t> pext_mask(p->n_seeds, 0);
+    if (!p->hashed) {
+        for (int sn = 0; sn < p->n_seeds; sn++) {
+            const SeedSpec& S = seeds[sn];
+            if (S.span > 32) continue;
+            bool asc = true;
+            uint64_t m2 = 0;
+            for (int j = 0; j < S.n_offsets; j++) {
+                if (j && S.offsets[j] <= S.offsets[j - 1]) { asc = false;
+                                                             break; }
+                m2 |= (uint64_t)3 << (2 * S.offsets[j]);
+            }
+            if (asc) pext_mask[sn] = m2;
+        }
+    }
+
     // ---- single CSR walk: region marks (read_get_region_counts,
     // mapping.c:459-542) fused with (position, stream) collection; the
     // k-way heap merge of the reference (mapping.c:912-989) is replaced
@@ -207,11 +281,21 @@ int64_t filter1_batch(
     auto collect_owner = [&](const uint8_t* rc,
                              std::vector<uint64_t>& pos_out,
                              std::vector<int64_t>* marks_out) {
-        for (int sn = 0; sn < p->n_seeds; sn++) {
-            const SeedSpec& S = seeds[sn];
-            for (int i = p->min_kmer_pos; i + S.span <= L; i++)
-                sc.keys[(size_t)sn * max_kmers + i] = kmer_key(p, S, rc, i);
+        {
+            ProfScope _ps(0);
+            for (int sn = 0; sn < p->n_seeds; sn++) {
+                const SeedSpec& S = seeds[sn];
+                if (pext_mask[sn]) {
+                    keys_pext(S, pext_mask[sn], rc, L, p->min_kmer_pos,
+                              &sc.keys[(size_t)sn * max_kmers]);
+                    continue;
+                }
+                for (int i = p->min_kmer_pos; i + S.span <= L; i++)
+                    sc.keys[(size_t)sn * max_kmers + i] =
+                        kmer_key(p, S, rc, i);
+            }
         }
+        ProfScope _ps1(1);
         const uint32_t gen_tag = sc.region_gen << 2;
         pos_out.clear();
         // prefetch every kmer's CSR offset row before the walk (the
@@ -220,15 +304,15 @@ int64_t filter1_batch(
             const SeedSpec& S = seeds[sn];
             for (int i = p->min_kmer_pos; i + S.span <= L; i++)
                 __builtin_prefetch(
-                    &S.csr_offsets[sc.keys[(size_t)sn * max_kmers + i]]);
+                    csr_addr(S, sc.keys[(size_t)sn * max_kmers + i]));
         }
         sc.lists.clear();
         for (int sn = 0; sn < p->n_seeds; sn++) {
             const SeedSpec& S = seeds[sn];
             for (int i = p->min_kmer_pos; i + S.span <= L; i++) {
                 uint32_t key = sc.keys[(size_t)sn * max_kmers + i];
-                int64_t lo = S.csr_offsets[key];
-                int64_t hi = S.csr_offsets[key + 1];
+                int64_t lo = csr_at(S, key);
+                int64_t hi = csr_at(S, key + 1);
                 if (hi - lo > p->cutoff || lo >= hi) continue;
                 __builtin_prefetch(&S.csr_positions[lo]);
                 sc.lists.push_back({lo, hi, (uint32_t)(sn * L + i),
@@ -274,8 +358,24 @@ int64_t filter1_batch(
                     pos_out.push_back(((uint64_t)plist[k] << 20) | sbase);
             }
         }
-        std::sort(pos_out.begin(), pos_out.end());
+        ProfScope _ps2(2);
+        // tiny lists (the common case: ~2 positions per kmer hit)
+        // sort ~2x faster by insertion than via introsort's dispatch
+        if (pos_out.size() <= 48) {
+            for (size_t a = 1; a < pos_out.size(); a++) {
+                uint64_t v = pos_out[a];
+                size_t b = a;
+                while (b > 0 && pos_out[b - 1] > v) {
+                    pos_out[b] = pos_out[b - 1];
+                    b--;
+                }
+                pos_out[b] = v;
+            }
+        } else {
+            std::sort(pos_out.begin(), pos_out.end());
+        }
     };
+    g_prof[5] += prof_on() ? 1 : 0;
 
     for (int64_t ow = 0; ow < n_owners; ow++) {
         seg_start[ow] = out_n;
@@ -357,6 +457,8 @@ int64_t filter1_batch(
         sc.collapsed.clear();
         sc.cache.assign((size_t)L, -1);
         const uint32_t want_gen = sc.region_gen;
+        {
+        ProfScope _ps3(3);
         for (uint64_t pk : sc.pos_keys) {
             int64_t x = (int64_t)(pk >> 20);
             int32_t stream = (int32_t)(pk & ((1u << 20) - 1));
@@ -408,7 +510,9 @@ int64_t filter1_batch(
                 sc.collapsed.push_back(a);
             }
         }
+        }
 
+        ProfScope _ps4(4);
         // per-anchor mate support for match mode 3 (heavy_mp,
         // mapping.c:1083-1094): the mate's opposite strand has a
         // >=2-touch region within the anchor region's delta range

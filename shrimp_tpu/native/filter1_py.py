@@ -19,6 +19,7 @@ class _SeedSpec(ctypes.Structure):
         ("span", ctypes.c_int32),
         ("weight", ctypes.c_int32),
         ("n_offsets", ctypes.c_int32),
+        ("off_is_32", ctypes.c_int32),
         ("offsets", ctypes.c_void_p),
         ("csr_offsets", ctypes.c_void_p),
         ("csr_positions", ctypes.c_void_p),
@@ -115,11 +116,17 @@ def generate_candidates_native(index, codes: np.ndarray, read_len: int,
     keepalive = []
     for i, si in enumerate(index.seeds):
         offs = np.ascontiguousarray(si.seed.offsets, dtype=np.int32)
-        csr_off = np.ascontiguousarray(si.offsets, dtype=np.int64)
+        # CSR offsets pass through in their stored dtype (uint32 for
+        # compacted indexes, int64 for legacy mmap images) — no copy
+        csr_off = si.offsets if si.offsets.dtype in (np.uint32, np.int64) \
+            else np.ascontiguousarray(si.offsets, dtype=np.int64)
+        if not csr_off.flags.c_contiguous:
+            csr_off = np.ascontiguousarray(csr_off)
         csr_pos = np.ascontiguousarray(si.positions, dtype=np.uint32)
         keepalive += [offs, csr_off, csr_pos]
         seed_specs[i] = _SeedSpec(
             si.seed.span, si.seed.weight, len(offs),
+            int(csr_off.dtype == np.uint32),
             offs.ctypes.data, csr_off.ctypes.data, csr_pos.ctypes.data)
 
     c_off = np.ascontiguousarray(index.contig_offsets, dtype=np.uint32)
@@ -141,7 +148,9 @@ def generate_candidates_native(index, codes: np.ndarray, read_len: int,
             int(mp_mode),
             mp_drmin.ctypes.data + 8 * o_lo if mp_mode else None,
             mp_drmax.ctypes.data + 8 * o_lo if mp_mode else None)
-        cap = max(4 * n_own * 32, 1 << 16)
+        # start near the observed density (~1-2 windows per owner) and
+        # grow on -1; the old 128/owner guess mmapped ~300MB per call
+        cap = max(8 * n_own, 1 << 16)
         while True:
             owner = np.empty(cap, np.int64)
             cn = np.empty(cap, np.int32)

@@ -58,6 +58,7 @@ def split_contig_pieces(name: str, seq: str, piece_len: int,
 def split_db(genome_files: List[str], ram_size_gb: float, prefix: str,
              n_seeds: int = 4, weight: int = 12,
              max_contig_len: int = 0, contig_overlap: int = 2000,
+             colour_space: bool = False,
              out=sys.stderr) -> List[str]:
     """Greedy in-order bin-packing of whole contigs into chunk fasta
     files sized so each chunk's index fits in `ram_size_gb`
@@ -67,7 +68,7 @@ def split_db(genome_files: List[str], ram_size_gb: float, prefix: str,
     `name/OFFSET` pieces overlapping by `contig_overlap` bases first
     (see split_contig_pieces) — a capability the reference lacks."""
     budget = int(ram_size_gb * (1 << 30))
-    fixed = index_ram_bytes(0, n_seeds, weight)
+    fixed = index_ram_bytes(0, n_seeds, weight, colour_space)
     chunk_paths: List[str] = []
     cur_len = 0
     cur_f = None
@@ -87,7 +88,8 @@ def split_db(genome_files: List[str], ram_size_gb: float, prefix: str,
                     yield rec.name, rec.seq
 
     for name, seq in records():
-        cost = index_ram_bytes(len(seq), n_seeds, weight) - fixed
+        cost = index_ram_bytes(len(seq), n_seeds, weight,
+                               colour_space) - fixed
         if cur_f is None or (cur_len and
                              fixed + cur_len + cost > budget):
             if cur_f:

@@ -67,7 +67,10 @@ class MemTracker:
         self.strict = strict
         self.crt_mem = 0
         self.peak_mem = 0
-        self.warned_max = False
+        # separate once-flags: a predicted-footprint warning must not
+        # suppress a later actual over-cap warning (or vice versa)
+        self.warned_actual = False
+        self.warned_predicted = False
         self.by_category: Dict[str, int] = {}
         self._lock = threading.Lock()
 
@@ -84,8 +87,8 @@ class MemTracker:
                 raise MemCapError(
                     f"memory cap exceeded: in-use {self.crt_mem} + "
                     f"{nbytes} ({category} {name}) > cap {self.max_mem}")
-            if over and not self.warned_max:
-                self.warned_max = True
+            if over and not self.warned_actual:
+                self.warned_actual = True
                 print("my_malloc warning: exceeding maximum memory: "
                       f"{category} {name}", file=sys.stderr)
             self.crt_mem += nbytes
@@ -108,6 +111,15 @@ class MemTracker:
             return
         self.add(getattr(arr, "nbytes", 0), category, name)
 
+    def untrack(self, arr, category: str = "misc") -> None:
+        """my_free analogue for track(): release an array's accounted
+        bytes when its owner is dropped (e.g. per-chunk index builds,
+        tools/split.py project-db loop)."""
+        import numpy as np
+        if isinstance(arr, np.memmap):
+            return
+        self.sub(getattr(arr, "nbytes", 0), category)
+
     # ----------------------------------------------------- planning
     def precheck_index(self, genome_len: int, n_seeds: int, weight: int,
                        colour_space: bool = False) -> int:
@@ -119,7 +131,11 @@ class MemTracker:
         need = plan_index_ram(genome_len, n_seeds, weight, colour_space)
         with self._lock:
             room = self.max_mem - self.crt_mem
-        if need > room:
+            over = need > room
+            warn = over and not self.warned_predicted
+            if warn:
+                self.warned_predicted = True
+        if over:
             msg = (f"predicted index footprint {need / _GB:.1f}GB exceeds "
                    f"the memory cap ({room / _GB:.1f}GB free of "
                    f"{self.max_mem / _GB:.1f}GB); split the genome with "
@@ -127,8 +143,7 @@ class MemTracker:
                    f"{max(1, int(room / _GB))}`")
             if self.strict:
                 raise MemCapError(msg)
-            if not self.warned_max:
-                self.warned_max = True
+            if warn:
                 print("my_malloc warning: " + msg, file=sys.stderr)
         return need
 
