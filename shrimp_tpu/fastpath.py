@@ -101,7 +101,8 @@ class _FRParams(ctypes.Structure):
                 ("seq_fwd", ctypes.c_void_p), ("seq_rc", ctypes.c_void_p),
                 ("qual_fwd", ctypes.c_void_p),
                 ("qual_rc", ctypes.c_void_p),
-                ("surv_post", ctypes.c_void_p)]
+                ("surv_post", ctypes.c_void_p),
+                ("ext_z1", ctypes.c_void_p)]
 
 
 class _FRJobs(ctypes.Structure):
@@ -356,6 +357,12 @@ class FastLS:
         # filter1 internal fan-out; multi-lane streams set 1 (the lanes
         # already keep every core busy, inner threads just contend)
         self.f1_threads: Optional[int] = None
+        # sharded-index MQV recombination hook: called with
+        # (posteriors[n_jobs], job_ri, job_rows, n_reads) after the
+        # selection pass; must return the cross-shard-merged z1 [n_reads]
+        # that the render pass then consumes (parallel/meshmap.py)
+        self.z1_merge_hook = None
+        self._last_z1_merged: Optional[np.ndarray] = None
         idx = mapper.index
         blob = b""
         offs = [0]
@@ -367,6 +374,25 @@ class FastLS:
         self.contig_name_off = np.array(offs, np.int32)
         self.contig_lengths32 = np.ascontiguousarray(idx.contig_lengths,
                                                      np.uint32)
+
+    def _filter1(self, codes2: np.ndarray, L: int, wlen: int):
+        """Candidate window generation over the mapper's index;
+        overridable — parallel/meshmap.ShardedIndexMapper swaps in a
+        per-shard-sub-index run with an order-preserving merge."""
+        m = self.m
+        cfg = m.config
+        opts = m._unpaired_opts[0]
+        from .native.filter1_py import generate_candidates_native
+        return generate_candidates_native(
+            m.index, codes2, L, wlen, m.cutoff, opts.hit_list.match_mode,
+            opts.hit_list.threshold, cfg.scores.match,
+            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
+            min_kmer_pos=0,
+            use_region_counts=opts.anchor_list.use_region_counts,
+            region_bits=cfg.region_bits,
+            region_overlap=cfg.region_overlap,
+            collapse=opts.anchor_list.collapse, gapless=False,
+            search_strands=(True, True), threads=self.f1_threads)
 
     # ---------------------------------------------------------- stage A
     def stage_prepare(self, records: Sequence[SeqRecord],
@@ -454,22 +480,11 @@ class FastLS:
         wlen = int(abs_or_pct(cfg.window_len, L))
         m.stats.add_stage("read prep", _time.perf_counter() - t0)
         t1 = _time.perf_counter()
-        opts = m._unpaired_opts[0]
         # interleave strand rows for filter1's owner convention
         codes2 = np.empty((B, 2, L), np.uint8)
         codes2[:, 0] = codes
         codes2[:, 1] = rc
-        from .native.filter1_py import generate_candidates_native
-        fh = generate_candidates_native(
-            m.index, codes2, L, wlen, m.cutoff, opts.hit_list.match_mode,
-            opts.hit_list.threshold, cfg.scores.match,
-            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
-            min_kmer_pos=0,
-            use_region_counts=opts.anchor_list.use_region_counts,
-            region_bits=cfg.region_bits,
-            region_overlap=cfg.region_overlap,
-            collapse=opts.anchor_list.collapse, gapless=False,
-            search_strands=(True, True), threads=self.f1_threads)
+        fh = self._filter1(codes2, L, wlen)
         if fh is None:
             return None
         m.stats.add_stage("filter1", _time.perf_counter() - t1)
@@ -770,7 +785,7 @@ class FastLS:
         if stats_flow:
             win = ctx["win"]
             ctx2 = dict(n_jobs=n_jobs, jobs=jobs, R=ctx["R"], G=ctx["G"],
-                        ctx=ctx, read_tab=ctx["read_tab"],
+                        ctx=ctx, read_tab=ctx["read_tab"], rows=rows,
                         starts=win["starts"][rows],
                         rcmask=win["rcmask"][rows],
                         rx=win["rx"][rows], ry=win["ry"][rows],
@@ -816,6 +831,26 @@ class FastLS:
         frj = _FRJobs(_vp(jobs["ri"]), _vp(jobs["cn"]),
                       _vp(jobs["gen_st"]), _vp(jobs["g_off"]),
                       _vp(jobs["score_max"]), _vp(packed), _vp(ops_pk))
+        if self.z1_merge_hook is not None:
+            # sharded-index MQV recombination (MAPPING_QUALITIES Part
+            # 1c): first finalize pass collects every MQV-contributing
+            # alignment's posterior (the per-shard z1 partials), the
+            # hook merges them across shards with the device collective,
+            # and the render pass below consumes the merged z1
+            sp = np.zeros(n_jobs, np.float64)
+            fr.surv_post = sp.ctypes.data
+            scratch = np.empty(n_jobs * (2 * L + 224) + 4096, np.uint8)
+            nb0 = self.lib.finalize_render(ctypes.byref(fr),
+                                           ctypes.byref(frj),
+                                           _vp(scratch), len(scratch),
+                                           _vp(nhits))
+            assert nb0 >= 0, nb0
+            fr.surv_post = None
+            z1m = np.ascontiguousarray(
+                self.z1_merge_hook(sp, jobs["ri"], rows, B), np.float64)
+            assert z1m.shape == (B,)
+            self._last_z1_merged = z1m
+            fr.ext_z1 = z1m.ctypes.data
         cap = n_jobs * (2 * L + 224) + 4096
         while True:
             buf = np.empty(cap, np.uint8)

@@ -220,10 +220,16 @@ struct FRParams {
   const uint8_t* seq_rc;           // [n_reads, read_len] revcomp-cleaned
   const uint8_t* qual_fwd;         // [n_reads, read_len] PHRED+33 or null
   const uint8_t* qual_rc;          // reversed rows of qual_fwd
-  double* surv_post;               // optional [n_jobs]: emitted survivor
-                                   // posteriors at their job index (the
-                                   // per-shard z1 partials the sharded
-                                   // merge psums, sam_reader.c:417-520)
+  double* surv_post;               // optional [n_jobs]: posteriors of
+                                   // every MQV-contributing alignment at
+                                   // its job index (the per-shard z1
+                                   // partials the sharded merge psums,
+                                   // sam_reader.c:417-520)
+  const double* ext_z1;            // optional [n_reads]: externally
+                                   // merged z1 per read (>0 replaces the
+                                   // local sum — the device-collective
+                                   // recombination of MAPPING_QUALITIES
+                                   // Part 1c feeds the rendered MQV)
 };
 
 struct FRJobs {
@@ -356,7 +362,11 @@ int64_t finalize_render(const FRParams* p, const FRJobs* j,
     if (!sv.empty() && p->compute_mqv) {
       // compute_unpaired_mqv (output.c:777-793)
       double z1 = 0.0;
-      for (auto& s : sv) z1 += s.posterior;
+      for (auto& s : sv) {
+        z1 += s.posterior;
+        if (p->surv_post) p->surv_post[s.job] = s.posterior;
+      }
+      if (p->ext_z1 && p->ext_z1[ri] > 0.0) z1 = p->ext_z1[ri];
       for (auto& s : sv) {
         s.mqv = qv_from_pr_corr(s.posterior / z1);
         if (s.mqv < 4) s.mqv = 0;
@@ -372,7 +382,6 @@ int64_t finalize_render(const FRParams* p, const FRJobs* j,
       // render with shared z1
       for (auto& s : sv) {
         int64_t t = s.job;
-        if (p->surv_post) p->surv_post[t] = s.posterior;
         const int32_t* pk = j->packed + t * 10;
         int rs = pk[4], rmapped = pk[1] - rs + 1;
         int gmapped = pk[2] - pk[5] + 1;

@@ -1,0 +1,519 @@
+"""Multi-host distribution: jax.distributed + per-host sub-indexes.
+
+The reference scales past one machine by running gmapper per genome
+chunk on different machines and recombining SAM + mapping qualities
+offline with mergesam (/root/reference/SPLITTING_AND_MERGING:1-160,
+README:281-303, mergesam/sam_reader.c:417-520). Here that workflow is
+an on-line jax program over a multi-process mesh:
+
+- `jax.distributed.initialize` joins N processes (hosts); the global
+  mesh spans every process's local devices, one genome shard per
+  device. DCN carries the cross-host collectives, ICI the intra-host
+  ones — both expressed with the same `shard_map` program.
+- Each process builds/loads ONLY the sub-indexes of its local shards
+  (`DistIndex` holds just the global contig table — a few KB — plus the
+  local CSR sub-indexes; no process ever materializes the whole-genome
+  postings, the RAM wall that forces sharding at hg18 scale,
+  /root/reference/README:128-150).
+- Each process reads the same read stream (the reference maps the full
+  read set against every chunk, README:236-276) and runs filter 1
+  against its local sub-indexes only.
+- Candidate-window descriptors are allgathered across processes (the
+  on-line analogue of mergesam reading every per-chunk SAM), merged
+  into the global (owner, contig, offset) order, and the fused
+  vector+full-SW launch runs as ONE shard_map program over the global
+  mesh: every device scans only its own genome slice; the jitted body
+  all_gathers the per-window stats so each host sees every shard's
+  results (the DCN data movement).
+- Selection (pass 1/2, dedup, strata) is computed identically on every
+  host from the replicated stats; alignments whose indel-path traceback
+  needs genome bytes are expanded by the shard's OWNING host and
+  exchanged (no host touches a remote shard's genome).
+- The MQV denominator z1 rides a psum over the global mesh and the
+  merged value feeds the rendered MQV (ext_z1 — MAPPING_QUALITIES Part
+  1c recombination as a collective).
+
+Output is byte-identical to the single-process whole-index run, under
+the same two caveats as ShardedIndexMapper (local list cutoffs,
+region-boundary straddle) — the caveats the reference's own split-db
+workflow carries.
+
+Spawning (CPU validation, tests/test_dist.py): per process set
+JAX_PLATFORMS=cpu, jax.config jax_num_cpu_devices=<chips/host> and
+jax_cpu_collectives_implementation=gloo, then
+`init_distributed("localhost:<port>", P, pid)`.
+"""
+from __future__ import annotations
+
+import ctypes
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..config import MapperConfig
+from ..fastpath import (_FSWJobs, _FSWParams, _normalize_win, _pack_args4,
+                        _pack_rtab, _vp, fastpath_supported)
+from ..io.fasta import SeqRecord
+from ..mapper import Mapper, _round_up
+from .meshmap import SHARD_AXIS, CompositeIndex, _ShardedFastLS, halo_for
+
+# re-exported for callers that pre-split contigs
+from .meshmap import split_contig_bins  # noqa: F401
+
+
+def init_distributed(coordinator: str, num_processes: int,
+                     process_id: int,
+                     local_device_count: Optional[int] = None):
+    """jax.distributed.initialize wrapper. On CPU validation meshes set
+    `local_device_count` to the per-host chip count; on real TPU pods
+    leave it None (the plugin reports the local chips)."""
+    import jax
+    if local_device_count is not None:
+        jax.config.update("jax_num_cpu_devices", int(local_device_count))
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def global_mesh():
+    """Mesh over every process's devices, ordered (process, local id) so
+    shard ownership is contiguous per host."""
+    import jax
+    from jax.sharding import Mesh
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    return Mesh(np.array(devs), (SHARD_AXIS,))
+
+
+def _allgather_rows(arr: np.ndarray) -> List[np.ndarray]:
+    """Gather one 1-D/2-D array from every process; returns the list in
+    process order (ragged first dims allowed)."""
+    import jax
+    from jax.experimental import multihost_utils as mhu
+    with jax.enable_x64(True):      # keep int64/f64 dtypes exact
+        n = np.zeros(1, np.int64)
+        n[0] = arr.shape[0]
+        counts = np.asarray(mhu.process_allgather(n)).reshape(-1)
+        mx = int(counts.max())
+        pad_shape = (max(mx, 1),) + arr.shape[1:]
+        padded = np.zeros(pad_shape, arr.dtype)
+        padded[:arr.shape[0]] = arr
+        gathered = np.asarray(mhu.process_allgather(padded))
+    return [gathered[p, :int(counts[p])] for p in range(len(counts))]
+
+
+class DistIndex(CompositeIndex):
+    """CompositeIndex for the multi-host case: the global contig table
+    comes from per-shard metadata (every host has the split manifest),
+    but genome planes and CSR sub-indexes exist only for LOCAL shards.
+    `codes`/`codes_rc` are deliberately absent — remote genome bytes
+    are never addressable from this host."""
+
+    def __init__(self, shard_meta: Sequence[dict], local_subs: Sequence,
+                 local_shard0: int):
+        # shard_meta: per shard {names: [...], lengths: np.ndarray}
+        assert local_subs, "each process owns at least one shard"
+        self.subs = list(local_subs)            # LOCAL only
+        self.local_shard0 = local_shard0
+        ref = local_subs[0]
+        self.mode = ref.mode
+        self.hashed = ref.hashed
+        self.is_rna = ref.is_rna
+        self.contig_names = []
+        offs, lens = [], []
+        base = 0
+        D = len(shard_meta)
+        self.cn_base = np.zeros(D + 1, np.int64)
+        self.pos_base = np.zeros(D + 1, np.int64)
+        for d, mt in enumerate(shard_meta):
+            self.contig_names += list(mt["names"])
+            ln = np.asarray(mt["lengths"], np.uint32)
+            off = np.zeros(len(ln), np.int64)
+            if len(ln) > 1:
+                off[1:] = np.cumsum(ln[:-1])
+            offs.append(off + base)
+            lens.append(ln)
+            self.cn_base[d + 1] = self.cn_base[d] + len(ln)
+            self.pos_base[d + 1] = self.pos_base[d] + int(ln.sum())
+            base += int(ln.sum())
+        self.contig_offsets = np.concatenate(offs).astype(np.uint32)
+        self.contig_lengths = np.concatenate(lens)
+        self.codes = None
+        self.codes_rc = None
+        self.cs_codes = None
+        self.cs_codes_rc = None
+        self._total = base
+        self._max_weight = max(si.seed.weight for si in ref.seeds)
+        self._max_span = max(si.seed.span for si in ref.seeds)
+
+    @property
+    def total_len(self) -> int:
+        return self._total
+
+
+class _DistFastLS(_ShardedFastLS):
+    """_ShardedFastLS across processes: local filter 1, allgathered
+    window merge, global-mesh device step, owner-host traceback
+    exchange, psum'd z1."""
+
+    def _filter1(self, codes2, L: int, wlen: int):
+        from ..core.batch_pipeline import FlatHits, _empty_flat
+        from ..native.filter1_py import generate_candidates_native
+        m = self.m
+        cfg = m.config
+        opts = m._unpaired_opts[0]
+        comp: DistIndex = m.index
+        dm = self.mm
+        # local shards
+        loc_owner, loc_shard = [], []
+        loc_fields = {k: [] for k in
+                      ("g_off", "w_len", "score_window_gen", "matches",
+                       "score_max", "ax", "ay", "alen", "awid")}
+        loc_cn = []
+        for i, sub in enumerate(comp.subs):
+            d = comp.local_shard0 + i
+            fh = generate_candidates_native(
+                sub, codes2, L, wlen, m.cutoff,
+                opts.hit_list.match_mode, opts.hit_list.threshold,
+                cfg.scores.match, cfg.scores.b_gap_open,
+                cfg.scores.b_gap_extend, min_kmer_pos=0,
+                use_region_counts=opts.anchor_list.use_region_counts,
+                region_bits=cfg.region_bits,
+                region_overlap=cfg.region_overlap,
+                collapse=opts.anchor_list.collapse, gapless=False,
+                search_strands=(True, True), threads=self.f1_threads)
+            if fh is None:
+                raise ValueError("batch shape outside fast-path support")
+            loc_owner.append(fh.owner)
+            loc_shard.append(np.full(fh.n, d, np.int64))
+            loc_cn.append(fh.cn.astype(np.int64) + comp.cn_base[d])
+            for k in loc_fields:
+                loc_fields[k].append(getattr(fh, k))
+        # pack the descriptor matrix for the cross-host allgather
+        n_loc = int(sum(len(o) for o in loc_owner))
+        desc = np.empty((n_loc, 12), np.int64)
+        if n_loc:
+            desc[:, 0] = np.concatenate(loc_owner)
+            desc[:, 1] = np.concatenate(loc_shard)
+            desc[:, 2] = np.concatenate(loc_cn)
+            for ci, k in enumerate(("g_off", "w_len", "score_window_gen",
+                                    "matches", "score_max", "ax", "ay",
+                                    "alen", "awid")):
+                desc[:, 3 + ci] = np.concatenate(loc_fields[k])
+        parts = _allgather_rows(desc)
+        allw = np.concatenate(parts, axis=0)
+        n_owners = codes2.shape[0] * 2
+        if allw.shape[0] == 0:
+            self._win_shard = np.zeros(0, np.int64)
+            return _empty_flat(n_owners)
+        D = dm.D
+        order = np.argsort(allw[:, 0] * D + allw[:, 1], kind="stable")
+        allw = allw[order]
+        owner_s = allw[:, 0]
+        seg = np.searchsorted(owner_s, np.arange(n_owners + 1))
+        self._win_shard = allw[:, 1].copy()
+        g = lambda c, dt: np.ascontiguousarray(allw[:, c].astype(dt))
+        return FlatHits(owner=owner_s.copy(), cn=g(2, np.int32),
+                        g_off=g(3, np.int64), w_len=g(4, np.int32),
+                        score_window_gen=g(5, np.int64),
+                        matches=g(6, np.int32),
+                        score_max=g(7, np.int64), ax=g(8, np.int64),
+                        ay=g(9, np.int64), alen=g(10, np.int64),
+                        awid=g(11, np.int64),
+                        seg_start=seg.astype(np.int64))
+
+    def _stats_to_packed(self, stats, ctx2):
+        """Closed-form rows expand locally (genome-free); indel /
+        cross-plane rows are re-run by the banded native DP on the host
+        that OWNS the window's shard, then exchanged — no host reads a
+        remote shard's genome bytes."""
+        m = self.m
+        sc = m.config.scores
+        dm = self.mm
+        comp: DistIndex = m.index
+        n_jobs = ctx2["n_jobs"]
+        jobs = ctx2["jobs"]
+        R, G = ctx2["R"], ctx2["G"]
+        L = ctx2["ctx"]["L"]
+        W = (R + G + 3) // 4
+        packed = np.zeros((n_jobs, 10), np.int32)
+        ops_pk = np.zeros((n_jobs, W), np.uint8)
+        score, mi, mj, plane, run, term, matches = (
+            stats[:, k] for k in range(7))
+        packed[:, 0] = score
+        packed[:, 1] = mi
+        packed[:, 2] = mj
+        pos = score > 0
+        closed = pos & (plane == 0) & (term == 0)
+        packed[closed, 3] = run[closed]
+        packed[closed, 4] = (mi - run + 1)[closed]
+        packed[closed, 5] = (mj - run + 1)[closed]
+        packed[closed, 6] = matches[closed]
+        packed[closed, 7] = (run - matches)[closed]
+        rows = np.nonzero(closed)[0]
+        if rows.size:
+            fb = run[rows] // 4
+            rem = run[rows] % 4
+            sub = np.zeros((rows.size, W), np.uint8)
+            sub[np.arange(W, dtype=np.int32)[None, :] < fb[:, None]] = 255
+            ii = np.nonzero(rem > 0)[0]
+            sub[ii, fb[ii]] = ((1 << (2 * rem[ii])) - 1).astype(np.uint8)
+            ops_pk[rows] = sub
+        need = np.nonzero(pos & ~closed)[0]
+        m.stats.full_host_tb += int(need.size)
+        # owner-host exchange: this host expands `mine`, others theirs
+        job_shard_all = self._win_shard[ctx2["rows"]]
+        job_shard = job_shard_all[need] if need.size \
+            else np.zeros(0, np.int64)
+        lo = comp.local_shard0
+        hi = lo + len(comp.subs)
+        mine = need[(job_shard >= lo) & (job_shard < hi)]
+        pk2 = np.zeros((0, 10), np.int32)
+        op2 = np.zeros((0, W), np.uint8)
+        if mine.size:
+            k2 = mine.size
+            starts = ctx2["starts"][mine]
+            sh = job_shard_all[mine]
+            rc = ctx2["rcmask"][mine]
+            local_start = starts - comp.pos_base[sh]
+            gpos = np.clip(local_start[:, None]
+                           + np.arange(G, dtype=np.int64)[None, :],
+                           0, None)
+            gwin = np.empty((k2, G), np.uint8)
+            for i in range(k2):
+                sub = comp.subs[int(sh[i]) - lo]
+                gp = np.clip(gpos[i], 0, sub.total_len - 1)
+                src = sub.codes_rc if rc[i] else sub.codes
+                gwin[i] = src[gp]
+            read = np.ascontiguousarray(
+                ctx2["read_tab"][jobs["ri"][mine]])
+            glen = np.ascontiguousarray(
+                jobs["w_len"][mine].astype(np.int32))
+            rlen = np.full(k2, L, np.int32)
+            ax = np.ascontiguousarray(ctx2["rx"][mine])
+            ay = np.ascontiguousarray(ctx2["ry"][mine])
+            alen = np.ascontiguousarray(ctx2["rl_"][mine])
+            awid = np.ascontiguousarray(ctx2["rw_"][mine])
+            rev = np.ascontiguousarray(
+                ctx2["rev"][mine].astype(np.uint8))
+            pk2 = np.zeros((k2, 10), np.int32)
+            op2 = np.zeros((k2, W), np.uint8)
+            p = _FSWParams(k2, G, R, W, sc.match, sc.mismatch,
+                           sc.a_gap_open, sc.a_gap_extend,
+                           sc.b_gap_open, sc.b_gap_extend, 0)
+            jb = _FSWJobs(_vp(np.ascontiguousarray(gwin)), _vp(glen),
+                          _vp(read), _vp(rlen), _vp(ax), _vp(ay),
+                          _vp(alen), _vp(awid), _vp(rev))
+            rv = self.lib.sw_full_tb_host(ctypes.byref(p),
+                                          ctypes.byref(jb), _vp(pk2),
+                                          _vp(op2))
+            assert rv == 0, rv
+        # exchange rows [job, packed(10), ops(W)] across hosts
+        res_rows = np.zeros((len(mine), 1 + 10 + W), np.int64)
+        if mine.size:
+            res_rows[:, 0] = mine
+            res_rows[:, 1:11] = pk2
+            res_rows[:, 11:] = op2
+        for part in _allgather_rows(res_rows):
+            if part.shape[0] == 0:
+                continue
+            jr = part[:, 0].astype(np.int64)
+            packed[jr] = part[:, 1:11].astype(np.int32)
+            ops_pk[jr] = part[:, 11:].astype(np.uint8)
+        return packed, ops_pk, W
+
+
+class DistMapper:
+    """Multi-host mapping session (one instance per process). See the
+    module docstring for the wire plan."""
+
+    def __init__(self, shard_meta: Sequence[dict], local_subs: Sequence,
+                 config: Optional[MapperConfig] = None, mesh=None,
+                 halo: Optional[int] = None):
+        import jax
+        from jax.experimental import multihost_utils as mhu
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self.mesh = mesh if mesh is not None else global_mesh()
+        self.D = int(self.mesh.devices.size)
+        self.P = jax.process_count()
+        self.pid = jax.process_index()
+        assert self.D == len(shard_meta), \
+            "one shard per global device"
+        d_local = self.D // self.P
+        assert len(local_subs) == d_local
+        self.local_shard0 = self.pid * d_local
+        cfg = config or MapperConfig()
+        self.halo = halo if halo is not None else halo_for(cfg)
+        comp = DistIndex(shard_meta, local_subs, self.local_shard0)
+        self.comp = comp
+        self.m = Mapper(comp, cfg)
+        self.platform = self.mesh.devices.flat[0].platform
+        S = _round_up(
+            int(max(np.asarray(m["lengths"], np.int64).sum()
+                    for m in shard_meta)) + self.halo, 256)
+        self.S = S
+        rows = np.full((d_local, S), 254, np.uint8)
+        rows_rc = np.full((d_local, S), 254, np.uint8)
+        for i, s in enumerate(local_subs):
+            rows[i, :s.total_len] = s.codes
+            rows_rc[i, :s.total_len] = s.codes_rc
+        self._fwd_sh = mhu.host_local_array_to_global_array(
+            rows, self.mesh, P(SHARD_AXIS))
+        self._rc_sh = mhu.host_local_array_to_global_array(
+            rows_rc, self.mesh, P(SHARD_AXIS))
+        self._step_cache = {}
+        import threading
+        self._lock = threading.Lock()
+        self.last_z1_merged: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------ device step
+    def _get_step(self, G, L, Wcap, kw_key):
+        key = (G, L, Wcap, kw_key)
+        with self._lock:
+            fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..core.sw_full_pallas import pallas_full_ok
+        from ..core.sw_jax import sw_vec_full_stats_packed
+        kw = dict(kw_key)
+        use_pallas = (self.platform == "tpu"
+                      and pallas_full_ok(Wcap, _round_up(L, 8), G))
+        interpret = self.platform != "tpu"
+
+        def body(fwd, rc, args, rtab_pk):
+            pk3, = sw_vec_full_stats_packed.__wrapped__(
+                fwd[0], rc[0], args[0], rtab_pk, G=G, L=L,
+                local_alignment=False, use_pallas=use_pallas,
+                interpret=interpret, phase="fused", **kw)
+            # every host needs every shard's stats: the all_gather IS
+            # the cross-host (DCN) data movement of the merge
+            return jax.lax.all_gather(pk3, SHARD_AXIS)
+
+        fn = jax.jit(
+            jax.shard_map(body, mesh=self.mesh,
+                          in_specs=(P(SHARD_AXIS), P(SHARD_AXIS),
+                                    P(SHARD_AXIS), P()),
+                          out_specs=P(None), check_vma=False),
+            out_shardings=NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()))
+        with self._lock:
+            self._step_cache[key] = fn
+        return fn
+
+    def _dispatch(self, m, fh, read_tab: np.ndarray, L: int, R: int,
+                  rcf: np.ndarray, n_reads=None):
+        import jax
+        from jax.experimental import multihost_utils as mhu
+        from jax.sharding import PartitionSpec as P
+        sc = m.config.scores
+        n = int(fh.n)
+        win, G = _normalize_win(m, fh, L, rcf)
+        if G > self.halo:
+            raise ValueError(f"window {G} exceeds halo {self.halo}")
+        assert G <= 1023 and R <= 1023 and int(fh.w_len.max()) < 4096
+        shard = self._fast._win_shard
+        starts = win["starts"] - self.comp.pos_base[shard]
+        order = np.argsort(shard, kind="stable")
+        counts = np.bincount(shard, minlength=self.D)
+        Wcap = max(2048, 1 << int(np.ceil(np.log2(max(
+            int(counts.max()), 1)))))
+        d_local = self.D // self.P
+        args_loc = np.empty((d_local, Wcap, 4), np.int32)
+        off = 0
+        for d in range(self.D):
+            k = int(counts[d])
+            i = d - self.local_shard0
+            if 0 <= i < d_local:
+                sl = order[off:off + k]
+                args_loc[i] = _pack_args4(
+                    Wcap, k, starts[sl], win["glen"][sl], win["ri"][sl],
+                    win["rcmask"][sl], win["rx"][sl], win["ry"][sl],
+                    win["rl_"][sl], win["rw_"][sl], win["rev"][sl])
+            off += k
+        kw_key = (("match", sc.match), ("mismatch", sc.mismatch),
+                  ("a_gap_open", sc.a_gap_open),
+                  ("a_gap_ext", sc.a_gap_extend),
+                  ("b_gap_open", sc.b_gap_open),
+                  ("b_gap_ext", sc.b_gap_extend))
+        step = self._get_step(G, L, Wcap, kw_key)
+        args_dev = mhu.host_local_array_to_global_array(
+            args_loc, self.mesh, P(SHARD_AXIS))
+        rtab_dev = mhu.host_local_array_to_global_array(
+            _pack_rtab(read_tab), self.mesh, P())
+        pk3_all = step(self._fwd_sh, self._rc_sh, args_dev, rtab_dev)
+        win["packed_io"] = True
+        win["shard"] = shard
+
+        def fetch(futures):
+            pk3 = np.asarray(jax.device_get(pk3_all))
+            flat = np.empty((n, 3), np.int32)
+            off2 = 0
+            for d in range(self.D):
+                k = int(counts[d])
+                flat[order[off2:off2 + k]] = pk3[d, :k]
+                off2 += k
+            return [(flat,)]
+        win["fetch"] = fetch
+        m.stats.vec_invocs += n
+        cells = int(fh.w_len.astype(np.int64).sum()) * L
+        m.stats.vec_cells += cells
+        m.stats.full_invocs += n
+        m.stats.full_cells += cells
+        return [(0, n, None)], win, G, True
+
+    def _z1_hook(self, fast):
+        import jax
+        from jax.experimental import multihost_utils as mhu
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def hook(posteriors, job_ri, job_rows, B):
+            """Cross-host MQV denominator (Part 1c): this host
+            contributes ONLY its own shards' z1 partial rows; the psum
+            over the global mesh assembles the true denominator, and
+            its output is what the render divides by."""
+            d_local = self.D // self.P
+            zloc = np.zeros((d_local, B), np.float64)
+            sh = fast._win_shard[job_rows]
+            loc = (sh >= self.local_shard0) \
+                & (sh < self.local_shard0 + d_local)
+            np.add.at(zloc,
+                      (sh[loc] - self.local_shard0,
+                       job_ri[loc].astype(np.int64)), posteriors[loc])
+            with jax.enable_x64(True):
+                zg = mhu.host_local_array_to_global_array(
+                    zloc, self.mesh, P(SHARD_AXIS))
+                out = jax.jit(
+                    jax.shard_map(
+                        lambda z: jax.lax.psum(z[0], SHARD_AXIS),
+                        mesh=self.mesh, in_specs=(P(SHARD_AXIS),),
+                        out_specs=P(None), check_vma=False),
+                    out_shardings=NamedSharding(self.mesh, P()))(zg)
+                merged = np.asarray(jax.device_get(out))
+            self.last_z1_merged = merged
+            return merged
+        return hook
+
+    # ------------------------------------------------------- public API
+    def map_unpaired_sam(self, records: Sequence[SeqRecord],
+                         batch_size: int = 8192) -> bytes:
+        """Every process returns the identical SAM bytes; emit rank 0's."""
+        if not fastpath_supported(self.m.config):
+            raise ValueError("config outside the fast-path envelope")
+        fast = _DistFastLS(self.m, self)
+        self._fast = fast
+        fast.dispatch_fn = self._dispatch
+        if self.m.config.compute_mapping_qualities:
+            fast.z1_merge_hook = self._z1_hook(fast)
+        out: List[bytes] = []
+        t0 = time.time()
+        for off in range(0, len(records), batch_size):
+            ctx = fast.stage_prepare(records[off:off + batch_size],
+                                     batch_cap=batch_size)
+            if ctx is None:
+                raise ValueError("batch shape outside fast-path support")
+            out.append(fast.stage_finish(ctx)[0])
+        self.last_wall = time.time() - t0
+        return b"".join(out)

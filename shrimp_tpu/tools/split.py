@@ -6,7 +6,7 @@ contigs into RAM-budget chunks (contigs are never split, README:158-166),
 split read files on read/pair boundaries, and pre-build one saved index
 per genome chunk. The per-chunk SAM outputs recombine exactly with
 `shrimp_tpu merge` (mergesam semantics) or on-device with
-parallel.sharded.ShardedMapper.
+parallel.meshmap.ShardedIndexMapper.
 """
 from __future__ import annotations
 

@@ -1,0 +1,131 @@
+"""ShardedIndexMapper: filter 1 runs per shard against that shard's own
+CSR sub-index (no structure anywhere holds the whole-genome CSR), and
+the MQV denominator is recombined across shards with the on-device
+zmerge_psum collective whose output feeds the rendered MQV (ext_z1,
+native/hostpipe.cpp) — the mergesam Z algebra
+(not_in_dist/MAPPING_QUALITIES Part 1c, sam_reader.c:417-520) as a jax
+collective. Output must equal the whole-index run byte for byte.
+
+Contigs here are multiples of 2^region_bits so the region prefilter has
+no cross-contig straddle (the same boundary caveat the reference's
+split-db workflow documents, README:158-166).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from shrimp_tpu.config import MapperConfig
+from shrimp_tpu.core import encode
+from shrimp_tpu.index.build import build_index
+from shrimp_tpu.index.seeds import default_seeds
+from shrimp_tpu.io.fasta import SeqRecord
+from shrimp_tpu.mapper import Mapper
+from shrimp_tpu.fastpath import map_unpaired_sam_stream
+from shrimp_tpu.parallel.meshmap import (CompositeIndex,
+                                         ShardedIndexMapper, halo_for,
+                                         make_mesh, split_contig_bins)
+
+COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
+CLEN = 16 * 2048          # region-aligned contig length
+
+
+def _mk_genome(rng, n_contigs=6, clen=CLEN):
+    contigs, gs = [], []
+    for c in range(n_contigs):
+        g = "".join(rng.choice(list("ACGT"), clen))
+        gs.append(g)
+        contigs.append((f"chr{c}", encode.encode_ls(g)))
+    return contigs, gs
+
+
+def _mk_reads(rng, gs, n, L=36, mut=3):
+    reads = []
+    for k in range(n):
+        src = gs[k % len(gs)]
+        p = int(rng.integers(0, len(src) - L))
+        r = list(src[p:p + L])
+        for _ in range(int(rng.integers(0, mut))):
+            r[int(rng.integers(0, L))] = "ACGT"[int(rng.integers(0, 4))]
+        r = "".join(r)
+        if k % 3 == 0:
+            r = "".join(COMP[c] for c in reversed(r))
+        reads.append(SeqRecord(f"sr{k}", r))
+    return reads
+
+
+def _subs_for(contigs, D):
+    bins = split_contig_bins(contigs, D)
+    return [build_index(b, default_seeds()) for b in bins]
+
+
+def test_sharded_index_byte_identical_and_z1_collective():
+    rng = np.random.default_rng(211)
+    contigs, gs = _mk_genome(rng)
+    reads = _mk_reads(rng, gs, 240)
+    cfg = MapperConfig()
+    # reference: the whole-index fast path (built only for the oracle)
+    idx = build_index(contigs, default_seeds())
+    want = b"".join(map_unpaired_sam_stream(Mapper(idx, cfg), reads,
+                                            batch_size=96, lanes=1))
+    D = 4
+    mesh = make_mesh(jax.devices()[:D])
+    sim = ShardedIndexMapper(_subs_for(contigs, D), cfg, mesh=mesh)
+    got = sim.map_unpaired_sam(reads, batch_size=96)
+    assert got == want
+    # the collective genuinely ran and produced the denominators the
+    # render used (load-bearing, not demonstrative)
+    assert sim.last_z1_merged is not None
+    assert float(np.max(sim.last_z1_merged)) > 0.0
+    # no single structure holds the whole-genome CSR
+    assert not hasattr(sim.comp, "seeds")
+    whole = sum(int(si.positions.nbytes) for si in idx.seeds)
+    per_shard = [sum(int(si.positions.nbytes) for si in s.seeds)
+                 for s in sim.comp.subs]
+    assert max(per_shard) < whole
+
+
+def test_sharded_index_uneven_mesh_sizes():
+    rng = np.random.default_rng(212)
+    contigs, gs = _mk_genome(rng, n_contigs=5)
+    reads = _mk_reads(rng, gs, 100)
+    cfg = MapperConfig()
+    idx = build_index(contigs, default_seeds())
+    want = b"".join(map_unpaired_sam_stream(Mapper(idx, cfg), reads,
+                                            batch_size=100, lanes=1))
+    for D in (2, 3, 5, 8):
+        mesh = make_mesh(jax.devices()[:D])
+        sim = ShardedIndexMapper(_subs_for(contigs, D), cfg, mesh=mesh)
+        assert sim.map_unpaired_sam(reads, batch_size=100) == want, D
+
+
+def test_sharded_index_rejects_unsupported_config():
+    """Outside the fused envelope there is no generic fallback by
+    design: the generic mapper would need the whole-genome CSR, which
+    this mode exists to never materialize — it must fail loudly."""
+    rng = np.random.default_rng(213)
+    contigs, _ = _mk_genome(rng, n_contigs=2)
+    cfg = MapperConfig(compute_mapping_qualities=False)
+    sim = ShardedIndexMapper(_subs_for(contigs, 2), cfg,
+                             mesh=make_mesh(jax.devices()[:2]))
+    with pytest.raises(ValueError, match="fast-path"):
+        sim.map_unpaired_sam([SeqRecord("x", "ACGT" * 9)])
+
+
+def test_halo_for_scales_with_window():
+    assert halo_for(MapperConfig(), read_len=36) == 2048
+    # long-read config: window 140% of 10k reads -> halo grows
+    assert halo_for(MapperConfig(longest_read_len=10000)) >= 14000
+
+
+def test_composite_index_contig_table():
+    rng = np.random.default_rng(214)
+    contigs, _ = _mk_genome(rng, n_contigs=5, clen=4096)
+    subs = _subs_for(contigs, 3)
+    comp = CompositeIndex(subs)
+    idx = build_index(contigs, default_seeds())
+    assert comp.contig_names == idx.contig_names
+    assert np.array_equal(comp.contig_offsets, idx.contig_offsets)
+    assert np.array_equal(comp.codes, idx.codes)
+    assert np.array_equal(comp.codes_rc, idx.codes_rc)
+    assert comp.auto_list_cutoff() == idx.auto_list_cutoff()
