@@ -83,6 +83,7 @@ def build_shard_index(i: int, mode: str, slen: int) -> str:
     os.replace(src, npz)
     log(f"[build] shard {i}: {slen / 1e6:.0f} Mbp {mode} index "
         f"built {t1 - t0:.1f}s saved {time.time() - t1:.1f}s")
+    idx.release()   # hugepage buffers outlive GC without this
     del idx, codes
     return npz
 
@@ -166,6 +167,7 @@ def main():
     assert warm is not None, "fast path rejected the workload"
     for _ in warm:
         pass
+    idx0.release()
     del m0, idx0
     log("[warm] kernels compiled")
 
@@ -195,6 +197,7 @@ def main():
         tspan += dt
         sam_paths.append(sp)
         log(f"[map] shard {i}: {dt:.1f}s ({nb / 1e6:.1f} MB SAM)")
+        idx.release()
         del m, idx
     tmap = time.time()
     mpath = os.path.join(CACHE, f"hg_merged.{mode}.sam")

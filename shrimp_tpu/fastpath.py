@@ -1031,7 +1031,13 @@ class _PPParams(ctypes.Structure):
                 ("cs_read_seq_len", ctypes.c_int32),
                 ("cs_quals", ctypes.c_void_p),
                 ("cs_cq", ctypes.c_void_p),
-                ("cs_cq_len", ctypes.c_int32)]
+                ("cs_cq_len", ctypes.c_int32),
+                # sharded-index MQV recombination (two-pass; see
+                # pairedpipe.cpp PPParams tail)
+                ("win_shard", ctypes.c_void_p),
+                ("n_shards", ctypes.c_int32),
+                ("part_out", ctypes.c_void_p),
+                ("ext_in", ctypes.c_void_p)]
 
 
 class _PPWin(ctypes.Structure):
@@ -1082,6 +1088,33 @@ class FastPaired:
         self.fls = FastLS(mapper)
         self.lib = self.fls.lib
         self.m = mapper
+        # sharded-index paired MQV recombination hook: called with the
+        # per-(pair, shard) partial stats [n_pairs, D, 9]; must return
+        # the merged [n_pairs, 7] rows the render pass consumes
+        # (parallel/meshmap.ShardedIndexMapper wires the collectives)
+        self.zpair_merge_hook = None
+        self.zpair_win_shard = None
+        self.zpair_n_shards = 0
+        self._last_zpair_merged: Optional[np.ndarray] = None
+
+    def _filter1_paired(self, codes2, L: int, wlen: int, ro, mp_kw):
+        """Paired candidate generation (mp region filter included);
+        overridable — parallel/meshmap.ShardedIndexMapper swaps in the
+        per-shard-sub-index run with an order-preserving merge."""
+        m = self.m
+        cfg = m.config
+        from .native.filter1_py import generate_candidates_native
+        return generate_candidates_native(
+            m.index, codes2, L, wlen, m.cutoff, ro.hit_list.match_mode,
+            ro.hit_list.threshold, cfg.scores.match,
+            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
+            min_kmer_pos=0,
+            use_region_counts=ro.anchor_list.use_region_counts,
+            region_bits=cfg.region_bits,
+            region_overlap=cfg.region_overlap,
+            collapse=ro.anchor_list.collapse, gapless=False,
+            search_strands=(True, True), threads=self.fls.f1_threads,
+            **mp_kw)
 
     # ---------------------------------------------------------- stage A
     def stage_prepare(self, records: Sequence[SeqRecord],
@@ -1185,18 +1218,7 @@ class FastPaired:
                 drmax[2 + st::4] = re2.delta_region_max[st]
             mp_kw = dict(mp_mode=ro.anchor_list.use_mp_region_counts,
                          mp_drmin=drmin, mp_drmax=drmax)
-        from .native.filter1_py import generate_candidates_native
-        fh = generate_candidates_native(
-            m.index, codes2, L, wlen, m.cutoff, ro.hit_list.match_mode,
-            ro.hit_list.threshold, cfg.scores.match,
-            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
-            min_kmer_pos=0,
-            use_region_counts=ro.anchor_list.use_region_counts,
-            region_bits=cfg.region_bits,
-            region_overlap=cfg.region_overlap,
-            collapse=ro.anchor_list.collapse, gapless=False,
-            search_strands=(True, True), threads=self.fls.f1_threads,
-            **mp_kw)
+        fh = self._filter1_paired(codes2, L, wlen, ro, mp_kw)
         if fh is None:
             return None
         m.stats.add_stage("filter1", _time.perf_counter() - t1)
@@ -1354,6 +1376,32 @@ class FastPaired:
             0, 0, 0, 0, None, None, None, None, None, None, 0,
             None, None, 0)
         wstruct = _PPWin(**{k: _vp(v) for k, v in arrs.items()})
+        if self.zpair_merge_hook is not None:
+            # sharded-index paired MQV recombination: collect pass
+            # writes per-(pair, shard) partials, the hook merges them
+            # with the device collectives (psum/pmin/argmax), and the
+            # render pass consumes the merged values
+            D = self.zpair_n_shards
+            ws = np.ascontiguousarray(self.zpair_win_shard, np.int32)
+            part = np.zeros((n_pairs, D, 9), np.float64)
+            p.win_shard = ws.ctypes.data
+            p.n_shards = D
+            p.part_out = part.ctypes.data
+            scratch = np.empty(max(1 << 20, n_pairs * 4 * (L + 320)),
+                               np.uint8)
+            rv0 = int(self.lib.paired_finalize_render(
+                ctypes.byref(p), ctypes.byref(wstruct),
+                scratch.ctypes.data_as(ctypes.c_char_p), len(scratch),
+                _vp(pair_nhits), _vp(read_nhits)))
+            assert rv0 >= 0, rv0
+            ext = np.ascontiguousarray(self.zpair_merge_hook(part),
+                                       np.float64)
+            assert ext.shape == (n_pairs, 7)
+            self._last_zpair_merged = ext
+            p.part_out = None
+            p.ext_in = ext.ctypes.data
+            pair_nhits[:] = 0
+            read_nhits[:] = 0
         cap = max(1 << 20, n_pairs * 4 * (L + 320))
         while True:
             out = np.empty(cap, np.uint8)

@@ -102,6 +102,13 @@ class ReadEntry:
     # but its seq STRING was trimmed in place, which only unmapped-style
     # records print (hit_output strcpy, output.c:417-421)
     trimmed_seq: Optional[str] = None
+    # CS paired mate-1 trim quirk: trim_read (gmapper.c:262-281) cuts
+    # qual at an index derived from strlen(seq) — one MORE than the CS
+    # qual length — and mate 1's post_sw runs on the UNTRIMMED colour
+    # encoding, so it indexes past the planted NUL into the original
+    # buffer bytes. qual_buf reproduces that raw C buffer; qual holds
+    # the rendered C string (chars before the first NUL).
+    qual_buf: Optional[str] = None
 
 
 @dataclass
@@ -1238,7 +1245,8 @@ class Mapper:
             return
         cols = []
         for e, h in post_jobs:
-            qual = (e.qual if e.qual is not None and not cfg.ignore_qvs
+            qual = ((e.qual_buf if e.qual_buf is not None else e.qual)
+                    if e.qual is not None and not cfg.ignore_qvs
                     else None)
             cols.append(sw_cs_np.extract_columns(
                 e.codes[h.st], e.initbp[h.st], qual, h.read_start,
@@ -1329,7 +1337,8 @@ class Mapper:
         from .core import sw_cs_np
         cfg = self.config
         cal = self.cal
-        qual = (e.qual if e.qual is not None and not cfg.ignore_qvs
+        qual = ((e.qual_buf if e.qual_buf is not None else e.qual)
+                if e.qual is not None and not cfg.ignore_qvs
                 else None)
         res = sw_cs_np.post_sw(
             e.codes[h.st], e.initbp[h.st], qual, h.read_start,

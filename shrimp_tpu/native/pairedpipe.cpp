@@ -101,6 +101,19 @@ struct PPParams {
   const uint8_t* cs_quals;     // [2B, R] scoring quals or null
   const uint8_t* cs_cq;        // [2B, cs_cq_len] raw CQ chars or null
   int32_t cs_cq_len;
+  // ---- sharded-index MQV recombination (MAPPING_QUALITIES Part 2c,
+  // mergesam/sam_reader.c:417-520 as an on-device collective). Pass 1
+  // (part_out set): per-(pair, shard) partial statistics are written,
+  // columns [z1a, z1b, ins_denom, z3, best_post_a, z4a, best_post_b,
+  // z4b, pr2_min]; additive columns psum across shards, pr2_min pmins,
+  // z4 legs merge by argmax of best_post (first shard wins ties, the
+  // whole-run first-max rule). Pass 2 (ext_in set): the merged values
+  // [z1a, z1b, ins_denom, z3, z4a, z4b, pr2_pre] replace the local
+  // sums in every class denominator and MQV. Null = single-shard.
+  const int32_t* win_shard;    // [n_windows] global shard per window
+  int32_t n_shards;
+  double* part_out;            // [n_pairs, n_shards, 9]
+  const double* ext_in;        // [n_pairs, 7]
 };
 
 struct PPWin {
@@ -759,10 +772,34 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
     double pr2_pre = 1.0;             // Z4 value for paired feet
     std::vector<int> pr_mqv[2];       // mqv per unique foot
 
+    // per-(pair, shard) partials for the cross-shard collective merge
+    double* part = nullptr;
+    if (p->part_out) {
+      part = p->part_out + (int64_t)pi * p->n_shards * 9;
+      for (int s = 0; s < p->n_shards; s++) {
+        double* row = part + s * 9;
+        row[0] = row[1] = row[2] = row[3] = 0.0;   // z1a z1b insden z3
+        row[4] = row[6] = -1.0;                    // best_post sentinels
+        row[5] = row[7] = 1.0;                     // z4 defaults
+        row[8] = 1.0;                              // pr2 min (cap 1.0)
+      }
+    }
+    auto shard_of = [&](int32_t t) {
+      return p->win_shard ? (int)p->win_shard[t] : 0;
+    };
+
     if (p->compute_mqv) {
       for (int nip = 0; nip < 2; nip++)
-        for (int32_t t : hp_out[nip]) up_z1[nip] += S.post[t];
-      for (auto& c : pairs) ins_denom += pp_pr_insert(p, (double)c.isize);
+        for (int32_t t : hp_out[nip]) {
+          up_z1[nip] += S.post[t];
+          if (part) part[shard_of(t) * 9 + nip] += S.post[t];
+        }
+      for (auto& c : pairs) {
+        ins_denom += pp_pr_insert(p, (double)c.isize);
+        if (part)
+          part[shard_of(c.r0) * 9 + 2] +=
+              pp_pr_insert(p, (double)c.isize);
+      }
       // unique feet per leg in first-appearance order
       for (auto& c : pairs) {
         int32_t rr[2] = {c.r0, c.r1};
@@ -785,7 +822,10 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
           tmp *= S.post[t];
           if (tmp < 1e-200) tmp = 1e-200;
           ft_z2[nip].push_back(tmp);
-          if (nip == 0) z3 += tmp;
+          if (nip == 0) {
+            z3 += tmp;
+            if (part) part[shard_of(t) * 9 + 3] += tmp;
+          }
         }
       }
       // class priors
@@ -798,15 +838,51 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
         up_z4[nip] = pr;
         pr_top[nip] = pr * p->total_genome_size;
         if (pr_top[nip] > 1.0) pr_top[nip] = 1.0;
+        if (part) {
+          // per-shard first-max best + its prior (merged externally
+          // by argmax of best_post, lowest shard wins ties)
+          for (int32_t t : hp_out[nip]) {
+            double* row = part + shard_of(t) * 9;
+            if (S.post[t] > row[4 + 2 * nip]) {
+              row[4 + 2 * nip] = S.post[t];
+              row[5 + 2 * nip] = pp_pr_random(p, S.sf[t]);
+            }
+          }
+        }
       }
       for (auto& c : pairs) {
         double tmp = pp_pr_random(p, S.sf[c.r0]) *
                      pp_pr_random(p, S.sf[c.r1]) * 1000.0;
         if (tmp < pr_top[2]) pr_top[2] = tmp;
+        if (part) {
+          double* row = part + shard_of(c.r0) * 9;
+          if (tmp < row[8]) row[8] = tmp;
+        }
       }
       pr2_pre = pr_top[2];
       pr_top[2] = pr_top[2] * p->total_genome_size;
       if (pr_top[2] > 1.0) pr_top[2] = 1.0;
+
+      if (p->ext_in) {
+        // collective-merged statistics replace the local sums
+        // (byte-identity: the merged windows make the local and merged
+        // values mathematically equal; the override makes the
+        // collective's OUTPUT the one the render consumes)
+        const double* e = p->ext_in + (int64_t)pi * 7;
+        up_z1[0] = e[0];
+        up_z1[1] = e[1];
+        ins_denom = e[2];
+        z3 = e[3] > 0.0 ? e[3] : z3;
+        for (int nip = 0; nip < 2; nip++) {
+          if (hp_out[nip].empty()) continue;
+          up_z4[nip] = e[4 + nip];
+          pr_top[nip] = e[4 + nip] * p->total_genome_size;
+          if (pr_top[nip] > 1.0) pr_top[nip] = 1.0;
+        }
+        pr2_pre = e[6];
+        pr_top[2] = e[6] * p->total_genome_size;
+        if (pr_top[2] > 1.0) pr_top[2] = 1.0;
+      }
 
       double denom = 0.0;
       if (!hp_out[0].empty()) denom += pr_top[1] * pr_top[2] * prm;

@@ -332,11 +332,25 @@ class PairedMapper(Mapper):
         e2 = self.prepare_read(rec2, trim=cfg.trim_second)
         if e1 is not None and cfg.trim_first \
                 and (cfg.trim_front or cfg.trim_end):
-            e1.trimmed_seq = e1.seq[cfg.trim_front:
-                                    len(e1.seq) - cfg.trim_end or None]
+            tf, te = cfg.trim_front, cfg.trim_end
+            e1.trimmed_seq = e1.seq[tf:len(e1.seq) - te or None]
             if e1.qual is not None:
-                e1.qual = e1.qual[cfg.trim_front:
-                                  len(e1.qual) - cfg.trim_end or None]
+                # trim_read (gmapper.c:262-281) computes the cut from
+                # strlen(seq); in colour space qual is one char shorter
+                # than seq, so the trimmed C string keeps one extra qv
+                # and mate 1's post_sw (running on the untrimmed
+                # encoding) reads the planted NUL and the untouched
+                # original bytes beyond it. Reproduce the raw buffer.
+                orig = e1.qual
+                nq = len(orig)
+                cut = len(e1.seq) - te - tf
+                buf = [orig[i + tf] if i + tf < nq else "\0"
+                       for i in range(min(cut, nq))]
+                if cut < nq:
+                    buf.append("\0")
+                    buf += list(orig[cut + 1:])
+                e1.qual_buf = "".join(buf[:nq])
+                e1.qual = e1.qual_buf.split("\0", 1)[0]
         if e1 is None or e2 is None:
             return None
         flip1, flip2 = C.PAIR_REVERSE[self.config.pair_mode]

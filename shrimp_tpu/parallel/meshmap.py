@@ -17,11 +17,13 @@ stream is byte-identical to the unsharded run by construction.
 Cross-shard Z statistics ride the same collectives mergesam's algebra
 prescribes (not_in_dist/MAPPING_QUALITIES Parts 1c/2c): z1 (the
 posterior-sum MQV denominator, output.c:777-793) is a `psum` over the
-shard axis; best-score class statistics are `pmax`; the z4/z5 class
-priors are neg-log minima, i.e. `pmin` in neg-log space. `zmerge_psum`
-and `zmerge_min_neglog` below implement exactly those reductions and
-are asserted against the host-exact recombination in the tests and the
-multichip dry run.
+shard axis (`zmerge_psum`); the paired class statistics merge with
+`zpair_merge` (psum for the additive z1/z2/z3/insert terms, pmin for
+the pair prior — "the min becomes a max" in neg-log space — and an
+argmax-of-best-posterior selection for the z4 leg priors). In the
+index-sharded modes these collectives are load-bearing: their outputs
+are the denominators the rendered MQVs divide by (ext_z1 / ext_in
+paths in native/hostpipe.cpp and native/pairedpipe.cpp).
 """
 from __future__ import annotations
 
@@ -65,20 +67,42 @@ def zmerge_psum(mesh, zrows: np.ndarray) -> np.ndarray:
         return np.asarray(out)[0]
 
 
-def zmerge_min_neglog(mesh, zrows: np.ndarray) -> np.ndarray:
-    """Cross-shard class-prior recombination: z4/z5 are probabilities
-    carried in neg-log space, and mergesam takes the class prior from
-    the best (min neg-log) shard — "the min becomes a max"
-    (MAPPING_QUALITIES Part 2c). pmin over the shard axis."""
+def zpair_merge(mesh, zrows: np.ndarray) -> np.ndarray:
+    """Cross-shard paired Z recombination (MAPPING_QUALITIES Part 2c,
+    pairedpipe.cpp PPParams tail): zrows [D, n_pairs, 9] holds each
+    shard's partial rows [z1a, z1b, ins_denom, z3, best_post_a, z4a,
+    best_post_b, z4b, pr2_min]. Additive columns psum; pr2 pmins ("the
+    min becomes a max" in neg-log space); the z4 class priors merge by
+    argmax of best posterior (first shard wins ties — the whole-run
+    first-max rule, output.c:796). Returns merged [n_pairs, 7]:
+    [z1a, z1b, ins_denom, z3, z4a, z4b, pr2_pre]."""
     import jax
+    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     with jax.enable_x64(True):
-        out = jax.jit(jax.shard_map(
-            lambda z: jax.lax.pmin(z[0], SHARD_AXIS)[None], mesh=mesh,
-            in_specs=(P(SHARD_AXIS),), out_specs=P(SHARD_AXIS),
-            check_vma=False))(zrows)
-        return np.asarray(out)[0]
+        def body(z):
+            loc = z[0]                                   # [n, 9]
+            add = jax.lax.psum(loc[:, :4], SHARD_AXIS)
+            pr2 = jax.lax.pmin(loc[:, 8], SHARD_AXIS)
+            ba = jax.lax.all_gather(loc[:, 4], SHARD_AXIS)   # [D, n]
+            za = jax.lax.all_gather(loc[:, 5], SHARD_AXIS)
+            bb = jax.lax.all_gather(loc[:, 6], SHARD_AXIS)
+            zb = jax.lax.all_gather(loc[:, 7], SHARD_AXIS)
+            ia = jnp.argmax(ba, axis=0)
+            ib = jnp.argmax(bb, axis=0)
+            z4a = jnp.where(jnp.max(ba, axis=0) < 0.0, 1.0,
+                            jnp.take_along_axis(za, ia[None], 0)[0])
+            z4b = jnp.where(jnp.max(bb, axis=0) < 0.0, 1.0,
+                            jnp.take_along_axis(zb, ib[None], 0)[0])
+            out = jnp.concatenate([add, z4a[:, None], z4b[:, None],
+                                   pr2[:, None]], axis=1)
+            return out[None]
+
+        res = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(SHARD_AXIS),),
+            out_specs=P(SHARD_AXIS), check_vma=False))(zrows)
+        return np.asarray(res)[0]
 
 
 def halo_for(cfg: MapperConfig, read_len: Optional[int] = None) -> int:
@@ -186,6 +210,40 @@ class CompositeIndex:
         return max(1000, int((100 * self.total_len) // (4 ** max_w)))
 
 
+def merge_shard_flathits(parts, cn_base, n_owners: int):
+    """Order-preserving merge of per-shard FlatHits: per owner,
+    shard-major = ascending global contig number, within a shard the
+    filter's own (cn, g_off) insertion order — exactly the whole-index
+    window order. Returns (merged FlatHits, global shard id per row)."""
+    from ..core.batch_pipeline import FlatHits, _empty_flat
+    tot = sum(p.n for p, _ in parts)
+    if tot == 0:
+        return _empty_flat(n_owners), np.zeros(0, np.int64)
+    owner = np.concatenate([p.owner for p, _ in parts])
+    shard = np.concatenate([np.full(p.n, d, np.int64)
+                            for p, d in parts])
+    D = int(max(d for _, d in parts)) + 1
+    order = np.argsort(owner * D + shard, kind="stable")
+    owner_s = owner[order]
+
+    def cat(field):
+        return np.concatenate(
+            [getattr(p, field) for p, _ in parts])[order]
+
+    cn = np.concatenate(
+        [p.cn.astype(np.int64) + cn_base[d]
+         for p, d in parts])[order].astype(np.int32)
+    seg = np.searchsorted(owner_s, np.arange(n_owners + 1))
+    fh = FlatHits(owner=owner_s, cn=cn, g_off=cat("g_off"),
+                  w_len=cat("w_len"),
+                  score_window_gen=cat("score_window_gen"),
+                  matches=cat("matches"),
+                  score_max=cat("score_max"), ax=cat("ax"),
+                  ay=cat("ay"), alen=cat("alen"),
+                  awid=cat("awid"), seg_start=seg.astype(np.int64))
+    return fh, shard[order]
+
+
 class _ShardedFastLS(FastLS):
     """FastLS whose filter 1 runs per shard against that shard's own
     CSR sub-index, merged back into global (owner, cn, g_off) order."""
@@ -195,7 +253,6 @@ class _ShardedFastLS(FastLS):
         self.mm = owner_mesh
 
     def _filter1(self, codes2, L: int, wlen: int):
-        from ..core.batch_pipeline import FlatHits, _empty_flat
         from ..native.filter1_py import generate_candidates_native
         m = self.m
         cfg = m.config
@@ -215,37 +272,49 @@ class _ShardedFastLS(FastLS):
                 search_strands=(True, True), threads=self.f1_threads)
             if fh is None:
                 return None
-            parts.append(fh)
-        n_owners = codes2.shape[0] * 2
-        tot = sum(p.n for p in parts)
-        if tot == 0:
-            self._win_shard = np.zeros(0, np.int64)
-            return _empty_flat(n_owners)
-        # order-preserving merge: per owner, shard-major = ascending
-        # global contig number, within a shard the filter's own
-        # (cn, g_off) insertion order — exactly the whole-index order
-        owner = np.concatenate([p.owner for p in parts])
-        shard = np.concatenate([np.full(p.n, d, np.int64)
-                                for d, p in enumerate(parts)])
-        order = np.argsort(owner * len(parts) + shard, kind="stable")
-        owner_s = owner[order]
+            parts.append((fh, d))
+        fh, self._win_shard = merge_shard_flathits(
+            parts, comp.cn_base, codes2.shape[0] * 2)
+        return fh
 
-        def cat(field, globalize=None):
-            v = np.concatenate([getattr(p, field) for p in parts])[order]
-            return v
 
-        cn = np.concatenate(
-            [p.cn.astype(np.int64) + comp.cn_base[d]
-             for d, p in enumerate(parts)])[order].astype(np.int32)
-        seg = np.searchsorted(owner_s, np.arange(n_owners + 1))
-        self._win_shard = shard[order]
-        return FlatHits(owner=owner_s, cn=cn, g_off=cat("g_off"),
-                        w_len=cat("w_len"),
-                        score_window_gen=cat("score_window_gen"),
-                        matches=cat("matches"),
-                        score_max=cat("score_max"), ax=cat("ax"),
-                        ay=cat("ay"), alen=cat("alen"),
-                        awid=cat("awid"), seg_start=seg.astype(np.int64))
+class _ShardedFastPaired(FastPaired):
+    """FastPaired whose filter 1 (incl. the mate-pair region filter)
+    runs per shard against that shard's own CSR sub-index. Pairs are
+    insert-size-local, so every pairing decision is intra-shard and the
+    merged window set reproduces the whole-index paired run exactly
+    (same caveats as the unpaired mode)."""
+
+    def __init__(self, mapper, owner_mesh) -> None:
+        super().__init__(mapper)
+        self.mm = owner_mesh
+        self.fls = _ShardedFastLS(mapper, owner_mesh)
+        self.lib = self.fls.lib
+
+    def _filter1_paired(self, codes2, L: int, wlen: int, ro, mp_kw):
+        from ..native.filter1_py import generate_candidates_native
+        m = self.m
+        cfg = m.config
+        comp: CompositeIndex = m.index
+        parts = []
+        for d, sub in enumerate(comp.subs):
+            fh = generate_candidates_native(
+                sub, codes2, L, wlen, m.cutoff,
+                ro.hit_list.match_mode, ro.hit_list.threshold,
+                cfg.scores.match, cfg.scores.b_gap_open,
+                cfg.scores.b_gap_extend, min_kmer_pos=0,
+                use_region_counts=ro.anchor_list.use_region_counts,
+                region_bits=cfg.region_bits,
+                region_overlap=cfg.region_overlap,
+                collapse=ro.anchor_list.collapse, gapless=False,
+                search_strands=(True, True),
+                threads=self.fls.f1_threads, **mp_kw)
+            if fh is None:
+                return None
+            parts.append((fh, d))
+        fh, self.fls._win_shard = merge_shard_flathits(
+            parts, comp.cn_base, codes2.shape[0] * 2)
+        return fh
 
 
 class ShardedIndexMapper:
@@ -284,7 +353,11 @@ class ShardedIndexMapper:
         self.halo = halo if halo is not None else halo_for(cfg)
         comp = CompositeIndex(sub_indexes)
         self.comp = comp
-        self.m = Mapper(comp, cfg)
+        if cfg.pair_mode and cfg.pair_mode != "none":
+            from ..paired import PairedMapper
+            self.m = PairedMapper(comp, cfg)
+        else:
+            self.m = Mapper(comp, cfg)
         self.platform = self.mesh.devices.flat[0].platform
         # per-shard genome planes, padded to a common row length; no
         # cross-shard halo is needed: shards own whole contigs and
@@ -304,6 +377,7 @@ class ShardedIndexMapper:
         self._step_cache = {}
         self._lock = threading.Lock()
         self.last_z1_merged: Optional[np.ndarray] = None
+        self.last_zpair_merged: Optional[np.ndarray] = None
 
     # shared device-step machinery (identical program shape; resolved at
     # call time — MeshMapper is defined below)
@@ -400,6 +474,42 @@ class ShardedIndexMapper:
             if ctx is None:
                 raise ValueError("batch shape outside fast-path support")
             out.append(fast.stage_finish(ctx)[0])
+        return b"".join(out)
+
+    def map_paired_sam(self, records: Sequence[SeqRecord],
+                       batch_size: int = 8192) -> bytes:
+        """Paired mapping with per-shard sub-indexes: filter 1 + the
+        mate-pair region filter run per shard, the fused launch runs as
+        the shard_map program, and the native paired brain consumes the
+        merged windows — byte-identical to the whole-index paired run
+        (pairs never span shards: insert-size windows are intra-contig,
+        mapping.c:405-456)."""
+        if not fastpath_paired_supported(self.m.config):
+            raise ValueError("config outside the paired fast-path"
+                             " envelope")
+        if batch_size % 2:
+            batch_size += 1
+        fp = _ShardedFastPaired(self.m, self)
+        self._fast = fp.fls
+        fp.fls.dispatch_fn = self._dispatch
+        if self.m.config.compute_mapping_qualities:
+            fp.zpair_n_shards = self.D
+
+            def hook(part):
+                merged = zpair_merge(
+                    self.mesh,
+                    np.ascontiguousarray(part.transpose(1, 0, 2)))
+                self.last_zpair_merged = merged
+                return merged
+            fp.zpair_merge_hook = hook
+        out: List[bytes] = []
+        for off in range(0, len(records), batch_size):
+            ctx = fp.stage_prepare(records[off:off + batch_size],
+                                   batch_cap=batch_size)
+            if ctx is None:
+                raise ValueError("batch shape outside fast-path support")
+            fp.zpair_win_shard = fp.fls._win_shard
+            out.append(fp.stage_finish(ctx)[0])
         return b"".join(out)
 
 

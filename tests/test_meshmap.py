@@ -16,8 +16,7 @@ from shrimp_tpu.io.fasta import SeqRecord
 from shrimp_tpu.mapper import Mapper
 from shrimp_tpu.fastpath import (map_paired_sam_stream,
                                  map_unpaired_sam_stream)
-from shrimp_tpu.parallel.meshmap import (MeshMapper, make_mesh,
-                                         zmerge_min_neglog, zmerge_psum)
+from shrimp_tpu.parallel.meshmap import MeshMapper, make_mesh, zmerge_psum
 
 COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
 
@@ -110,10 +109,3 @@ def test_meshmap_uneven_mesh_sizes():
         mm = MeshMapper(idx, cfg, mesh=make_mesh(jax.devices()[:nd]))
         assert mm.map_unpaired_sam(reads, batch_size=64) == want, nd
 
-
-def test_zmerge_min_neglog():
-    mesh = make_mesh(jax.devices()[:4])
-    rng = np.random.default_rng(5)
-    rows = rng.uniform(0.0, 50.0, (4, 17))
-    got = zmerge_min_neglog(mesh, rows)
-    assert np.array_equal(got, rows.min(axis=0))

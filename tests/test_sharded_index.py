@@ -99,6 +99,46 @@ def test_sharded_index_uneven_mesh_sizes():
         assert sim.map_unpaired_sam(reads, batch_size=100) == want, D
 
 
+def test_sharded_index_paired_byte_identical_and_zpair():
+    """Paired mode with per-shard sub-indexes: the paired class
+    statistics (z1/z2/z3/insert denominator, z4 leg priors, pair prior)
+    merge across shards with the zpair_merge collectives and the merged
+    rows are what the native render consumes (ext_in path,
+    pairedpipe.cpp) — asserted byte-identical to the whole-index paired
+    run."""
+    rng = np.random.default_rng(215)
+    contigs, gs = _mk_genome(rng, n_contigs=4)
+    cfg = MapperConfig(pair_mode="opp-in", min_insert_size=60,
+                       max_insert_size=240)
+    reads = []
+    for k in range(120):
+        src = gs[k % len(gs)]
+        isz = int(rng.integers(90, 200))
+        p = int(rng.integers(0, len(src) - isz - 1))
+        r1 = src[p:p + 36]
+        r2 = "".join(COMP[c] for c in reversed(src[p + isz - 36:p + isz]))
+        if k % 11 == 0:   # discordant mate: unpaired fallback exercises
+            q = int(rng.integers(0, len(src) - 36))
+            r2 = src[q:q + 36]
+        reads.append(SeqRecord(f"sp{k}/1", r1))
+        reads.append(SeqRecord(f"sp{k}/2", r2))
+    from shrimp_tpu.fastpath import map_paired_sam_stream
+    from shrimp_tpu.paired import PairedMapper
+    idx = build_index(contigs, default_seeds())
+    want = b"".join(map_paired_sam_stream(PairedMapper(idx, cfg), reads,
+                                          batch_size=80, lanes=1))
+    for D in (2, 4):
+        bins = split_contig_bins(contigs, D)
+        subs = [build_index(b, default_seeds()) for b in bins]
+        sim = ShardedIndexMapper(subs, cfg,
+                                 mesh=make_mesh(jax.devices()[:D]))
+        got = sim.map_paired_sam(reads, batch_size=80)
+        assert got == want, D
+        # the collective's merged rows were produced and consumed
+        assert sim.last_zpair_merged is not None
+        assert float(np.max(sim.last_zpair_merged[:, 3])) > 0.0  # z3
+
+
 def test_sharded_index_rejects_unsupported_config():
     """Outside the fused envelope there is no generic fallback by
     design: the generic mapper would need the whole-genome CSR, which
