@@ -53,10 +53,12 @@ import numpy as np
 
 from ..config import MapperConfig
 from ..fastpath import (_FSWJobs, _FSWParams, _normalize_win, _pack_args4,
-                        _pack_rtab, _vp, fastpath_supported)
+                        _pack_rtab, _vp, FastPaired,
+                        fastpath_paired_supported, fastpath_supported)
 from ..io.fasta import SeqRecord
 from ..mapper import Mapper, _round_up
-from .meshmap import SHARD_AXIS, CompositeIndex, _ShardedFastLS, halo_for
+from .meshmap import (SHARD_AXIS, CompositeIndex, _ShardedFastLS,
+                      halo_for, zpair_collective_body)
 
 # re-exported for callers that pre-split contigs
 from .meshmap import split_contig_bins  # noqa: F401
@@ -158,11 +160,14 @@ class _DistFastLS(_ShardedFastLS):
     exchange, psum'd z1."""
 
     def _filter1(self, codes2, L: int, wlen: int):
+        return self._filter1_dist(codes2, L, wlen,
+                                  self.m._unpaired_opts[0], {})
+
+    def _filter1_dist(self, codes2, L: int, wlen: int, opts, mp_kw):
         from ..core.batch_pipeline import FlatHits, _empty_flat
         from ..native.filter1_py import generate_candidates_native
         m = self.m
         cfg = m.config
-        opts = m._unpaired_opts[0]
         comp: DistIndex = m.index
         dm = self.mm
         # local shards
@@ -182,7 +187,8 @@ class _DistFastLS(_ShardedFastLS):
                 region_bits=cfg.region_bits,
                 region_overlap=cfg.region_overlap,
                 collapse=opts.anchor_list.collapse, gapless=False,
-                search_strands=(True, True), threads=self.f1_threads)
+                search_strands=(True, True), threads=self.f1_threads,
+                **mp_kw)
             if fh is None:
                 raise ValueError("batch shape outside fast-path support")
             loc_owner.append(fh.owner)
@@ -263,7 +269,10 @@ class _DistFastLS(_ShardedFastLS):
         need = np.nonzero(pos & ~closed)[0]
         m.stats.full_host_tb += int(need.size)
         # owner-host exchange: this host expands `mine`, others theirs
-        job_shard_all = self._win_shard[ctx2["rows"]]
+        # (the paired path passes every window, no `rows` subselection)
+        rows_sel = ctx2.get("rows")
+        job_shard_all = (self._win_shard[rows_sel]
+                         if rows_sel is not None else self._win_shard)
         job_shard = job_shard_all[need] if need.size \
             else np.zeros(0, np.int64)
         lo = comp.local_shard0
@@ -324,6 +333,23 @@ class _DistFastLS(_ShardedFastLS):
         return packed, ops_pk, W
 
 
+class _DistFastPaired(FastPaired):
+    """FastPaired across processes: per-shard filter 1 (incl. the
+    mate-pair region filter) on LOCAL sub-indexes, allgathered window
+    merge, global-mesh fused launch, owner-host traceback exchange —
+    all inherited through the _DistFastLS it carries. The paired class
+    statistics ride the zpair collective over the global mesh
+    (DistMapper._zpair_hook)."""
+
+    def __init__(self, mapper, dm) -> None:
+        super().__init__(mapper)
+        self.fls = _DistFastLS(mapper, dm)
+        self.lib = self.fls.lib
+
+    def _filter1_paired(self, codes2, L: int, wlen: int, ro, mp_kw):
+        return self.fls._filter1_dist(codes2, L, wlen, ro, mp_kw)
+
+
 class DistMapper:
     """Multi-host mapping session (one instance per process). See the
     module docstring for the wire plan."""
@@ -347,7 +373,11 @@ class DistMapper:
         self.halo = halo if halo is not None else halo_for(cfg)
         comp = DistIndex(shard_meta, local_subs, self.local_shard0)
         self.comp = comp
-        self.m = Mapper(comp, cfg)
+        if cfg.pair_mode and cfg.pair_mode != "none":
+            from ..paired import PairedMapper
+            self.m = PairedMapper(comp, cfg)
+        else:
+            self.m = Mapper(comp, cfg)
         self.platform = self.mesh.devices.flat[0].platform
         S = _round_up(
             int(max(np.asarray(m["lengths"], np.int64).sum()
@@ -366,6 +396,7 @@ class DistMapper:
         import threading
         self._lock = threading.Lock()
         self.last_z1_merged: Optional[np.ndarray] = None
+        self.last_zpair_merged: Optional[np.ndarray] = None
 
     # ------------------------------------------------------ device step
     def _get_step(self, G, L, Wcap, kw_key):
@@ -515,5 +546,64 @@ class DistMapper:
             if ctx is None:
                 raise ValueError("batch shape outside fast-path support")
             out.append(fast.stage_finish(ctx)[0])
+        self.last_wall = time.time() - t0
+        return b"".join(out)
+
+    def _zpair_hook(self):
+        import jax
+        from jax.experimental import multihost_utils as mhu
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def hook(part):
+            """Cross-host paired Z recombination (Part 2c): every host
+            computed the per-(pair, shard) partials from the replicated
+            stats; each contributes its LOCAL shards' rows and the
+            global-mesh collective (psum/pmin/argmax) assembles the
+            merged class statistics the render consumes."""
+            d_local = self.D // self.P
+            loc = np.ascontiguousarray(
+                part.transpose(1, 0, 2)[self.local_shard0:
+                                        self.local_shard0 + d_local])
+            with jax.enable_x64(True):
+                zg = mhu.host_local_array_to_global_array(
+                    loc, self.mesh, P(SHARD_AXIS))
+                out = jax.jit(
+                    jax.shard_map(
+                        lambda z: zpair_collective_body(z[0]),
+                        mesh=self.mesh, in_specs=(P(SHARD_AXIS),),
+                        out_specs=P(None), check_vma=False),
+                    out_shardings=NamedSharding(self.mesh, P()))(zg)
+                merged = np.asarray(jax.device_get(out))
+            self.last_zpair_merged = merged
+            return merged
+        return hook
+
+    def map_paired_sam(self, records: Sequence[SeqRecord],
+                       batch_size: int = 8192) -> bytes:
+        """Paired mapping across hosts: local-shard filter 1 + mp
+        region filter, allgathered windows, one global-mesh fused
+        launch, and the paired MQV class statistics merged by the
+        zpair collective over DCN — byte-identical on every rank to the
+        single-process whole-index paired run."""
+        if not fastpath_paired_supported(self.m.config):
+            raise ValueError("config outside the paired fast-path"
+                             " envelope")
+        if batch_size % 2:
+            batch_size += 1
+        fp = _DistFastPaired(self.m, self)
+        self._fast = fp.fls
+        fp.fls.dispatch_fn = self._dispatch
+        if self.m.config.compute_mapping_qualities:
+            fp.zpair_n_shards = self.D
+            fp.zpair_merge_hook = self._zpair_hook()
+        out: List[bytes] = []
+        t0 = time.time()
+        for off in range(0, len(records), batch_size):
+            ctx = fp.stage_prepare(records[off:off + batch_size],
+                                   batch_cap=batch_size)
+            if ctx is None:
+                raise ValueError("batch shape outside fast-path support")
+            fp.zpair_win_shard = fp.fls._win_shard
+            out.append(fp.stage_finish(ctx)[0])
         self.last_wall = time.time() - t0
         return b"".join(out)

@@ -77,32 +77,37 @@ def zpair_merge(mesh, zrows: np.ndarray) -> np.ndarray:
     first-max rule, output.c:796). Returns merged [n_pairs, 7]:
     [z1a, z1b, ins_denom, z3, z4a, z4b, pr2_pre]."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
     with jax.enable_x64(True):
-        def body(z):
-            loc = z[0]                                   # [n, 9]
-            add = jax.lax.psum(loc[:, :4], SHARD_AXIS)
-            pr2 = jax.lax.pmin(loc[:, 8], SHARD_AXIS)
-            ba = jax.lax.all_gather(loc[:, 4], SHARD_AXIS)   # [D, n]
-            za = jax.lax.all_gather(loc[:, 5], SHARD_AXIS)
-            bb = jax.lax.all_gather(loc[:, 6], SHARD_AXIS)
-            zb = jax.lax.all_gather(loc[:, 7], SHARD_AXIS)
-            ia = jnp.argmax(ba, axis=0)
-            ib = jnp.argmax(bb, axis=0)
-            z4a = jnp.where(jnp.max(ba, axis=0) < 0.0, 1.0,
-                            jnp.take_along_axis(za, ia[None], 0)[0])
-            z4b = jnp.where(jnp.max(bb, axis=0) < 0.0, 1.0,
-                            jnp.take_along_axis(zb, ib[None], 0)[0])
-            out = jnp.concatenate([add, z4a[:, None], z4b[:, None],
-                                   pr2[:, None]], axis=1)
-            return out[None]
-
         res = jax.jit(jax.shard_map(
-            body, mesh=mesh, in_specs=(P(SHARD_AXIS),),
+            lambda z: zpair_collective_body(z[0])[None], mesh=mesh,
+            in_specs=(P(SHARD_AXIS),),
             out_specs=P(SHARD_AXIS), check_vma=False))(zrows)
         return np.asarray(res)[0]
+
+
+def zpair_collective_body(loc):
+    """shard_map body for the paired Z recombination: `loc` [n, 9] is
+    this shard's partial rows; returns the collective-merged [n, 7]
+    (identical on every shard). Shared by the single-host
+    ShardedIndexMapper and the multi-host DistMapper."""
+    import jax
+    import jax.numpy as jnp
+    add = jax.lax.psum(loc[:, :4], SHARD_AXIS)
+    pr2 = jax.lax.pmin(loc[:, 8], SHARD_AXIS)
+    ba = jax.lax.all_gather(loc[:, 4], SHARD_AXIS)   # [D, n]
+    za = jax.lax.all_gather(loc[:, 5], SHARD_AXIS)
+    bb = jax.lax.all_gather(loc[:, 6], SHARD_AXIS)
+    zb = jax.lax.all_gather(loc[:, 7], SHARD_AXIS)
+    ia = jnp.argmax(ba, axis=0)
+    ib = jnp.argmax(bb, axis=0)
+    z4a = jnp.where(jnp.max(ba, axis=0) < 0.0, 1.0,
+                    jnp.take_along_axis(za, ia[None], 0)[0])
+    z4b = jnp.where(jnp.max(bb, axis=0) < 0.0, 1.0,
+                    jnp.take_along_axis(zb, ib[None], 0)[0])
+    return jnp.concatenate([add, z4a[:, None], z4b[:, None],
+                            pr2[:, None]], axis=1)
 
 
 def halo_for(cfg: MapperConfig, read_len: Optional[int] = None) -> int:

@@ -28,6 +28,7 @@ def main():
     nprocs = int(sys.argv[2])
     port = int(sys.argv[3])
     out_path = sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "unpaired"
 
     # join the cluster before importing shrimp_tpu (whose import chain
     # touches the XLA backend)
@@ -42,9 +43,15 @@ def main():
     from shrimp_tpu.index.seeds import default_seeds
     from shrimp_tpu.io.fasta import SeqRecord
 
-    from test_dist import make_dataset   # same deterministic data
+    from test_dist import make_dataset, make_paired_dataset
 
-    contigs, reads = make_dataset()
+    if mode == "paired":
+        contigs, reads = make_paired_dataset()
+        cfg = MapperConfig(pair_mode="opp-in", min_insert_size=60,
+                           max_insert_size=240)
+    else:
+        contigs, reads = make_dataset()
+        cfg = MapperConfig()
     D = 8
     d_local = D // nprocs
     shard_meta = [dict(names=[contigs[d][0]],
@@ -54,15 +61,19 @@ def main():
     local_subs = [build_index([contigs[d]], default_seeds())
                   for d in range(lo, lo + d_local)]
 
-    cfg = MapperConfig()
     dm = DistMapper(shard_meta, local_subs, cfg)
-    sam = dm.map_unpaired_sam(reads, batch_size=100)
+    if mode == "paired":
+        sam = dm.map_paired_sam(reads, batch_size=100)
+        zmax = (float(np.max(dm.last_zpair_merged[:, 3]))
+                if dm.last_zpair_merged is not None else 0.0)
+    else:
+        sam = dm.map_unpaired_sam(reads, batch_size=100)
+        zmax = (float(np.max(dm.last_z1_merged))
+                if dm.last_z1_merged is not None else 0.0)
     with open(out_path, "wb") as f:
         f.write(sam)
     with open(out_path + ".meta", "w") as f:
-        json.dump({"wall": dm.last_wall,
-                   "z1_max": float(np.max(dm.last_z1_merged))
-                   if dm.last_z1_merged is not None else 0.0}, f)
+        json.dump({"wall": dm.last_wall, "z1_max": zmax}, f)
     print(f"worker {pid}: done, {len(sam)} bytes", flush=True)
 
 
