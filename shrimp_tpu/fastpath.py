@@ -291,11 +291,25 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
                       or n >= LS_TWO_PHASE_WPR * max(n_reads, 1)))
     if two_phase:
         kw["phase"] = "vec"
+    # the traceback flow materializes a [B, R, G] backpointer tensor;
+    # long-read shapes (R*G in the millions) must shrink the window
+    # batch so the flat tensor stays far below int32 indexing / HBM
+    # limits (e.g. R=1200, G=1736 at the default 2048-window bucket is
+    # a 4.3e9-element tensor)
+    eff_batch = FULL_BATCH
+    if not stats_flow:
+        eff_batch = max(8, min(FULL_BATCH, (1 << 28) // max(R * G, 1)))
     futures = []
     off = 0
     while off < n:
-        k = min(n - off, FULL_BATCH)
-        bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS, k))]
+        k = min(n - off, eff_batch)
+        if eff_batch >= FULL_BUCKETS[0]:
+            bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS, k))]
+        else:
+            # long-read shrink active: small pow2 bucket (the Pallas
+            # tiling needs >=1024 rows; pallas_full_ok rejects these
+            # shapes anyway, so the XLA path runs)
+            bucket = 1 << int(np.ceil(np.log2(max(k, 8))))
         sl = slice(off, off + k)
         if packed_io:
             args = _pack_args4(

@@ -406,8 +406,13 @@ class ShardedIndexMapper:
             raise ValueError(
                 f"window {G} exceeds shard halo {self.halo}; construct "
                 f"with halo=halo_for(cfg, read_len)")
-        assert G <= 1023 and R <= 1023 and int(fh.w_len.max()) < 4096, \
-            "mesh dispatch requires packed-IO field ranges"
+        if G > 1023 or R > 1023 or int(fh.w_len.max()) >= 4096:
+            # outside the packed-IO envelope (long reads): run this
+            # batch's launch on a single device — identical output,
+            # no mesh parallelism for the batch
+            from ..fastpath import _fused_dispatch
+            return _fused_dispatch(m, fh, read_tab, L, R, rcf,
+                                   n_reads=n_reads)
         shard = self._fast._win_shard
         starts = win["starts"] - self.comp.pos_base[shard]
         order = np.argsort(shard, kind="stable")
@@ -616,8 +621,12 @@ class MeshMapper:
         win, G = _normalize_win(m, fh, L, rcf)
         if G > self.halo:
             raise ValueError(f"window {G} exceeds shard halo {self.halo}")
-        assert G <= 1023 and R <= 1023 and int(fh.w_len.max()) < 4096, \
-            "mesh dispatch requires packed-IO field ranges"
+        if G > 1023 or R > 1023 or int(fh.w_len.max()) >= 4096:
+            # outside the packed-IO envelope (long reads): single-device
+            # launch for this batch, identical output
+            from ..fastpath import _fused_dispatch
+            return _fused_dispatch(m, fh, read_tab, L, R, rcf,
+                                   n_reads=n_reads)
         starts = win["starts"]
         shard = np.clip(starts // self.S, 0, self.D - 1).astype(np.int64)
         order = np.argsort(shard, kind="stable")

@@ -109,3 +109,33 @@ def test_meshmap_uneven_mesh_sizes():
         mm = MeshMapper(idx, cfg, mesh=make_mesh(jax.devices()[:nd]))
         assert mm.map_unpaired_sam(reads, batch_size=64) == want, nd
 
+
+
+def test_meshmap_long_reads():
+    """Long-read configs map multi-chip: the halo derives from the
+    window length (halo_for), and windows past the packed-IO envelope
+    (G > 1023) fall back to a single-device launch per batch with
+    identical output."""
+    rng = np.random.default_rng(977)
+    contigs, gs = _mk_genome(rng, n_contigs=1, clen=40_000)
+    idx = build_index(contigs, default_seeds())
+    RL = 1200
+    reads = []
+    for k in range(12):
+        p = int(rng.integers(0, len(gs[0]) - RL))
+        r = list(gs[0][p:p + RL])
+        for _ in range(int(rng.integers(0, 6))):
+            r[int(rng.integers(0, RL))] = "ACGT"[int(rng.integers(0, 4))]
+        r = "".join(r)
+        if k % 3 == 0:
+            r = "".join(COMP[c] for c in reversed(r))
+        reads.append(SeqRecord(f"lr{k}", r))
+    cfg = MapperConfig(longest_read_len=2000)
+    m = Mapper(idx, cfg)
+    want = b"".join(map_unpaired_sam_stream(m, reads, batch_size=12,
+                                            lanes=1))
+    assert want.count(b"\n") >= 10     # the long reads actually map
+    mm = MeshMapper(idx, cfg, mesh=make_mesh(jax.devices()[:4]))
+    assert mm.halo >= 2048             # halo grew from the window length
+    got = mm.map_unpaired_sam(reads, batch_size=12)
+    assert got == want
