@@ -131,3 +131,20 @@ def test_cli_E_and_L_flags(tmp_path, capsys):
     out_g = [l for l in capsys.readouterr().out.splitlines()
              if l and not l.startswith("@")]
     assert out_l == out_g and len(out_l) == 1
+
+
+def test_gzipped_inputs(tmp_path):
+    """gz fasta reads and genome map identically to the plain files and
+    to the reference binary (fasta_open is zlib-backed, fasta.h:64)."""
+    import gzip
+    gpath, rpath, g, reads = make_dataset(str(tmp_path), n_reads=40)
+    gz_r = str(tmp_path / "reads.fa.gz")
+    gz_g = str(tmp_path / "genome.fa.gz")
+    with open(rpath, "rb") as f, gzip.open(gz_r, "wb") as z:
+        z.write(f.read())
+    with open(gpath, "rb") as f, gzip.open(gz_g, "wb") as z:
+        z.write(f.read())
+    want = oracle.sam_body(oracle.run_gmapper(["-E", rpath, gpath]))
+    got = [l for l in run_cli([gz_r, gz_g]).splitlines()
+           if not l.startswith("@")]
+    assert got == want and got

@@ -222,16 +222,23 @@ def cs_dataset(tmp_path_factory):
             fq.write(f"@{nm}\n{cs}\n+\n{qs}\n")
     fa.close()
     fq.close()
-    with open(os.path.join(d, "uc.fa"), "w") as f:
-        for r in range(150):
-            pos = rng.randrange(0, len(g) - 36)
-            s = list(g[pos:pos + 36])
-            for _ in range(rng.choice([0, 0, 1, 2])):
-                s[rng.randrange(36)] = rng.choice("ACGT")
-            s = "".join(s)
-            if rng.random() < 0.5:
-                s = s.translate(comp)[::-1]
-            f.write(f">c{r}\n{tocs(s)}\n")
+    ucfa = open(os.path.join(d, "uc.fa"), "w")
+    ucfq = open(os.path.join(d, "uc.fastq"), "w")
+    for r in range(150):
+        pos = rng.randrange(0, len(g) - 36)
+        s = list(g[pos:pos + 36])
+        for _ in range(rng.choice([0, 0, 1, 2])):
+            s[rng.randrange(36)] = rng.choice("ACGT")
+        s = "".join(s)
+        if rng.random() < 0.5:
+            s = s.translate(comp)[::-1]
+        cs = tocs(s)
+        ucfa.write(f">c{r}\n{cs}\n")
+        qs = "".join(chr(33 + rng.randrange(2, 41))
+                     for _ in range(len(cs) - 1))
+        ucfq.write(f"@c{r}\n{cs}\n+\n{qs}\n")
+    ucfa.close()
+    ucfq.close()
     return d
 
 
@@ -288,6 +295,30 @@ CS_UNPAIRED_CASES = [
     ("--local -t", None),
     ("--bfast", None),
 ]
+
+# CS unpaired over fastq: qv-derived crossover scores, QUAL/CQ columns,
+# min-avg-qv drops, per-base post-SW qualities — the native cspipe path
+CS_UNPAIRED_FASTQ_CASES = [
+    ("", None),
+    ("--strata", None),
+    ("--ignore-qvs", None),
+    ("--min-avg-qv 15", None),
+    ("--qv-offset 33", None),
+    ("--trim-end 2", None),
+    ("-o 3", None),
+    ("--max-alignments 2", None),
+    ("--sam-unaligned", None),
+    ("--bfast", None),
+]
+
+
+@pytest.mark.parametrize("gflags,oflags", CS_UNPAIRED_FASTQ_CASES)
+def test_flag_matrix_cs_unpaired_fastq(cs_dataset, gflags, oflags):
+    want = _ref_cs(cs_dataset, gflags, "uc.fastq")
+    got = _ours(cs_dataset, ("--cs " + (oflags or gflags)).strip(),
+                "uc.fastq")
+    assert got == want, (f"[{gflags}]\n" + "\n".join(got[:3])
+                         + "\n---\n" + "\n".join(want[:3]))
 
 
 def _ref_cs(dataset, flags, reads):
