@@ -21,7 +21,9 @@ import time
 import numpy as np
 
 CACHE = "/tmp/shrimp_bench_cache"
-N_READS = int(os.environ.get("SHRIMP_TPU_BENCH_READS", "100000"))
+# enough batches to fill the 32-lane pipeline at the 16k batch size
+# (100k reads = 6 batches left the pipeline mostly empty)
+N_READS = int(os.environ.get("SHRIMP_TPU_BENCH_READS", "400000"))
 READ_LEN = 36
 
 
@@ -95,11 +97,11 @@ def bench_ls(name, glen, seed, fastq=False):
     m = Mapper(idx, MapperConfig())
     rng = np.random.default_rng(7)
     recs = _ls_reads(codes, N_READS, rng, quals=fastq)
-    warm = map_unpaired_sam_stream(m, recs[:8192], batch_size=8192)
+    warm = map_unpaired_sam_stream(m, recs[:16384], batch_size=16384)
     assert warm is not None
     _run_stream(warm)
     t0 = time.time()
-    lines = _run_stream(map_unpaired_sam_stream(m, recs, batch_size=8192))
+    lines = _run_stream(map_unpaired_sam_stream(m, recs, batch_size=16384))
     dt = time.time() - t0
     return len(recs) / dt, lines
 
@@ -125,11 +127,11 @@ def bench_paired(name, glen, seed):
                 r[int(rng.integers(READ_LEN))] = rng.integers(4)
         recs.append(SeqRecord(f"p{k}/1", decode_ls(a)))
         recs.append(SeqRecord(f"p{k}/2", decode_ls(b)))
-    warm = map_paired_sam_stream(m, recs[:8192], batch_size=8192)
+    warm = map_paired_sam_stream(m, recs[:16384], batch_size=16384)
     assert warm is not None
     _run_stream(warm)
     t0 = time.time()
-    lines = _run_stream(map_paired_sam_stream(m, recs, batch_size=8192))
+    lines = _run_stream(map_paired_sam_stream(m, recs, batch_size=16384))
     dt = time.time() - t0
     return len(recs) / dt, lines
 
@@ -155,12 +157,12 @@ def bench_cs(name, glen, seed):
                                         for i in range(READ_LEN - 1)]
         recs.append(SeqRecord(
             f"c{k}", "T" + "".join(str(c) if c <= 3 else "." for c in cols)))
-    warm = map_unpaired_cs_sam_stream(m, recs[:8192], batch_size=8192)
+    warm = map_unpaired_cs_sam_stream(m, recs[:16384], batch_size=16384)
     assert warm is not None
     _run_stream(warm)
     t0 = time.time()
     lines = _run_stream(
-        map_unpaired_cs_sam_stream(m, recs, batch_size=8192))
+        map_unpaired_cs_sam_stream(m, recs, batch_size=16384))
     dt = time.time() - t0
     return len(recs) / dt, lines
 
@@ -194,12 +196,12 @@ def bench_cs_paired(name, glen, seed):
                 r[int(rng.integers(READ_LEN + 1))] = rng.integers(4)
         recs.append(SeqRecord(f"q{k}/1", tocs(a)))
         recs.append(SeqRecord(f"q{k}/2", tocs(b)))
-    warm = map_paired_cs_sam_stream(m, recs[:8192], batch_size=8192)
+    warm = map_paired_cs_sam_stream(m, recs[:16384], batch_size=16384)
     assert warm is not None
     _run_stream(warm)
     t0 = time.time()
     lines = _run_stream(
-        map_paired_cs_sam_stream(m, recs, batch_size=8192))
+        map_paired_cs_sam_stream(m, recs, batch_size=16384))
     dt = time.time() - t0
     return len(recs) / dt, lines
 
@@ -218,6 +220,10 @@ WORKLOADS = {
 
 
 def main():
+    # tuned steady-state config measured for the tunneled v5e
+    # (bench.py sweep 2026-08-20: 32 lanes / 16k batch beats the
+    # 16/8k defaults by ~35%); env overrides win
+    os.environ.setdefault("SHRIMP_TPU_PIPELINE_LANES", "32")
     _force_backend()
     names = sys.argv[1:] or list(WORKLOADS)
     for nm in names:

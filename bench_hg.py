@@ -20,7 +20,9 @@ The timed span is index load + mapping + merge — what the reference's
 reads/hour figure covers (index projection is a separate offline step
 there too, README:115-117).
 
-Usage: python bench_hg.py [ls|cs]     (default: cs — the headline)
+Usage: python bench_hg.py [ls|cs|ls-paired|cs-paired]
+       (default: cs — the headline; *-paired maps opp-in pairs and
+       checks the reference's "paired ~2x faster" claim, README:109-110)
 Env:   SHRIMP_TPU_HG_LEN     total genome bases   (default 3e9)
        SHRIMP_TPU_HG_SHARDS  bins                 (default 4)
        SHRIMP_TPU_BENCH_READS reads               (default 50000)
@@ -88,14 +90,22 @@ def build_shard_index(i: int, mode: str, slen: int) -> str:
     return npz
 
 
+def _render(mode: str, r: np.ndarray) -> str:
+    import shrimp_tpu.constants as C
+    from shrimp_tpu.core.encode import decode_ls
+    if mode == "cs":
+        cm = C.COLOUR_MAT
+        cols = [int(cm[3, r[0]])] + [int(cm[r[j], r[j + 1]])
+                                     for j in range(len(r) - 2)]
+        return "T" + "".join(str(c) if c <= 3 else "." for c in cols)
+    return decode_ls(r)
+
+
 def gen_reads(mode: str, slen: int):
     """36bp reads sampled round-robin from the bins, 0-2 errors, half
     reverse-complement; colour-space reads get a T primer + colours."""
-    import shrimp_tpu.constants as C
-    from shrimp_tpu.core.encode import decode_ls
     from shrimp_tpu.io.fasta import SeqRecord
     rng = np.random.default_rng(SEED)
-    cm = C.COLOUR_MAT
     plen = READ_LEN + (1 if mode == "cs" else 0)
     picks = []   # (shard, pos, revcomp, errors)
     for k in range(N_READS):
@@ -115,14 +125,7 @@ def gen_reads(mode: str, slen: int):
                 r = _COMP[r[::-1]]
             for pos, b in errs:
                 r[pos] = b
-            if mode == "cs":
-                cols = [int(cm[3, r[0]])] + [int(cm[r[j], r[j + 1]])
-                                             for j in range(READ_LEN - 1)]
-                seq = "T" + "".join(str(c) if c <= 3 else "."
-                                    for c in cols)
-            else:
-                seq = decode_ls(r)
-            recs[k] = SeqRecord(f"q{k}", seq)
+            recs[k] = SeqRecord(f"q{k}", _render(mode, r))
         del codes
     rpath = os.path.join(CACHE, f"hg_reads_{mode}_{N_READS}.fa")
     with open(rpath, "w") as f:
@@ -131,9 +134,48 @@ def gen_reads(mode: str, slen: int):
     return recs, rpath
 
 
+def gen_pairs(mode: str, slen: int):
+    """opp-in pairs, insert 100-300, 0-2 errors per foot."""
+    from shrimp_tpu.io.fasta import SeqRecord
+    rng = np.random.default_rng(SEED + 77)
+    plen = READ_LEN + (1 if mode == "cs" else 0)
+    n_pairs = N_READS // 2
+    picks = []
+    for k in range(n_pairs):
+        isz = int(rng.integers(100, 300))
+        picks.append((k % N_SHARDS,
+                      int(rng.integers(0, slen - isz - 2)), isz,
+                      [(int(rng.integers(plen)), int(rng.integers(4)))
+                       for _ in range(int(rng.integers(0, 3)))],
+                      [(int(rng.integers(plen)), int(rng.integers(4)))
+                       for _ in range(int(rng.integers(0, 3)))]))
+    recs = [None] * N_READS
+    for s in range(N_SHARDS):
+        codes = np.asarray(shard_codes(s, slen))
+        for k, (sh, p, isz, e1, e2) in enumerate(picks):
+            if sh != s:
+                continue
+            r1 = codes[p:p + plen].copy()
+            r2 = _COMP[codes[p + isz - plen:p + isz][::-1]].copy()
+            for pos, b in e1:
+                r1[pos] = b
+            for pos, b in e2:
+                r2[pos] = b
+            recs[2 * k] = SeqRecord(f"q{k}/1", _render(mode, r1))
+            recs[2 * k + 1] = SeqRecord(f"q{k}/2", _render(mode, r2))
+        del codes
+    rpath = os.path.join(CACHE, f"hg_pairs_{mode}_{N_READS}.fa")
+    with open(rpath, "w") as f:
+        for r in recs:
+            f.write(f">{r.name}\n{r.seq}\n")
+    return recs, rpath
+
+
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "cs"
-    assert mode in ("ls", "cs")
+    arg = sys.argv[1] if len(sys.argv) > 1 else "cs"
+    assert arg in ("ls", "cs", "ls-paired", "cs-paired")
+    paired = arg.endswith("-paired")
+    mode = arg.split("-")[0]
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -141,28 +183,46 @@ def main():
 
     # offline steps (cached): split-db bins + project-db indexes
     paths = [build_shard_index(i, mode, slen) for i in range(N_SHARDS)]
-    recs, rpath = gen_reads(mode, slen)
-    log(f"[reads] {N_READS} x {READ_LEN}bp {mode} reads ready")
+    if paired:
+        recs, rpath = gen_pairs(mode, slen)
+    else:
+        recs, rpath = gen_reads(mode, slen)
+    log(f"[reads] {N_READS} x {READ_LEN}bp {mode} reads ready"
+        + (" (opp-in pairs)" if paired else ""))
 
     import shrimp_tpu.constants as C
     from shrimp_tpu.config import MapperConfig
-    from shrimp_tpu.fastpath import map_unpaired_sam_stream
-    from shrimp_tpu.fastpath_cs import map_unpaired_cs_sam_stream
+    from shrimp_tpu.fastpath import (map_paired_sam_stream,
+                                     map_unpaired_sam_stream)
+    from shrimp_tpu.fastpath_cs import (map_paired_cs_sam_stream,
+                                        map_unpaired_cs_sam_stream)
     from shrimp_tpu.index.build import GenomeIndex
     from shrimp_tpu.io import sam as samio
     from shrimp_tpu.mapper import Mapper
     from shrimp_tpu.tools.mergesam import merge_sam_files
 
     cfg = MapperConfig(mode=(C.MODE_COLOUR_SPACE if mode == "cs"
-                             else C.MODE_LETTER_SPACE))
-    stream_fn = (map_unpaired_cs_sam_stream if mode == "cs"
-                 else map_unpaired_sam_stream)
+                             else C.MODE_LETTER_SPACE),
+                       **(dict(pair_mode="opp-in", min_insert_size=0,
+                               max_insert_size=1000) if paired else {}))
+    if paired:
+        stream_fn = (map_paired_cs_sam_stream if mode == "cs"
+                     else map_paired_sam_stream)
+    else:
+        stream_fn = (map_unpaired_cs_sam_stream if mode == "cs"
+                     else map_unpaired_sam_stream)
+
+    def make_mapper(idx):
+        if paired:
+            from shrimp_tpu.paired import PairedMapper
+            return PairedMapper(idx, cfg)
+        return Mapper(idx, cfg)
 
     # warm the device kernels on shard 0 so compile time stays out of
     # the measurement (steady-state serving assumption, like every
     # other workload in bench_all.py)
     idx0 = GenomeIndex.load(paths[0])
-    m0 = Mapper(idx0, cfg)
+    m0 = make_mapper(idx0)
     warm = stream_fn(m0, recs[:4096], batch_size=4096)
     assert warm is not None, "fast path rejected the workload"
     for _ in warm:
@@ -180,7 +240,7 @@ def main():
     for i, p in enumerate(paths):
         tl = time.time()
         idx = GenomeIndex.load(p)
-        m = Mapper(idx, cfg)
+        m = make_mapper(idx)
         # prime this shard's genome planes into device HBM (part of the
         # piece-load cost the reference amortizes over ~250M reads,
         # README:113-114 — same bucket as the index load above)
@@ -188,7 +248,7 @@ def main():
             pass
         log(f"[load] shard {i}: {time.time() - tl:.1f}s "
             f"(incl. device planes)")
-        sp = os.path.join(CACHE, f"hg_shard{i}.{mode}.sam")
+        sp = os.path.join(CACHE, f"hg_shard{i}.{arg}.sam")
         nb = 0
         t0 = time.time()
         with open(sp, "wb") as f:
@@ -206,7 +266,7 @@ def main():
         idx.release()
         del m, idx
     tmap = time.time()
-    mpath = os.path.join(CACHE, f"hg_merged.{mode}.sam")
+    mpath = os.path.join(CACHE, f"hg_merged.{arg}.sam")
     with open(mpath, "w") as f:
         merge_sam_files(rpath, sam_paths, f)
     tspan += time.time() - tmap
@@ -215,7 +275,7 @@ def main():
     rate = N_READS / tspan
     print(json.dumps({
         "metric": f"reads_per_sec_hgscale_{HG_LEN / 1e9:g}gbp_36bp_"
-                  f"unpaired_{mode}_splitdb",
+                  f"{'paired' if paired else 'unpaired'}_{mode}_splitdb",
         "value": round(rate, 1),
         "unit": "reads/s",
         "vs_baseline": round(rate / BASELINE_CS, 2),
