@@ -317,10 +317,18 @@ def load_or_build_index(genome_args: List[str], seeds_spec: Optional[str],
     import os
     if len(genome_args) == 1:
         g = genome_args[0]
-        if g.endswith(".genome.npz") or os.path.exists(g + ".genome.npz"):
+        explicit_build = bool(seeds_spec) or mirna or hashed
+        if g.endswith(".genome.npz") or (os.path.exists(g + ".genome.npz")
+                                         and not explicit_build):
             # split-file checkpoint (gmapper -S layout): short-form -L
-            # prefix loads genome + every seed projection
+            # prefix loads genome + every seed projection. A sibling
+            # checkpoint next to a FASTA argument is only auto-loaded
+            # when no explicit seed/mode flags ask for a fresh build —
+            # otherwise the stale index would silently win over -s/-H.
             base = g if g.endswith(".genome.npz") else g + ".genome"
+            if not g.endswith(".genome.npz"):
+                print(f"Loading saved index {base}.npz (pass -s/-H or "
+                      "delete it to rebuild)", file=sys.stderr)
             return GenomeIndex.load_split(base)
         if g.endswith(".npz"):
             return GenomeIndex.load(g)

@@ -736,12 +736,23 @@ class FastLS:
             win = ctx["win"]
             L2, R2 = tp["L"], tp["R"]
             kw2 = dict(tp["kw"], phase="full")
+            # same long-read shrink as _fused_dispatch: without stats
+            # flow, phase B materializes a [bucket, R, G] backpointer
+            # tensor that must stay under int32/HBM limits
+            eff_batch2 = FULL_BATCH
+            if not stats_flow:
+                eff_batch2 = max(8, min(FULL_BATCH,
+                                        (1 << 28)
+                                        // max(R2 * ctx["G"], 1)))
             futures2 = []
             off = 0
             while off < n_jobs:
-                k = min(n_jobs - off, FULL_BATCH)
-                bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS,
-                                                          k))]
+                k = min(n_jobs - off, eff_batch2)
+                if eff_batch2 >= FULL_BUCKETS[0]:
+                    bucket = FULL_BUCKETS[int(
+                        np.searchsorted(FULL_BUCKETS, k))]
+                else:
+                    bucket = 1 << int(np.ceil(np.log2(max(k, 8))))
                 rws = rows[off:off + k]
                 if win.get("packed_io"):
                     args = _pack_args4(
@@ -853,12 +864,16 @@ class FastLS:
             # and the render pass below consumes the merged z1
             sp = np.zeros(n_jobs, np.float64)
             fr.surv_post = sp.ctypes.data
-            scratch = np.empty(n_jobs * (2 * L + 224) + 4096, np.uint8)
-            nb0 = self.lib.finalize_render(ctypes.byref(fr),
-                                           ctypes.byref(frj),
-                                           _vp(scratch), len(scratch),
-                                           _vp(nhits))
-            assert nb0 >= 0, nb0
+            cap0 = n_jobs * (2 * L + 224) + 4096
+            while True:
+                scratch = np.empty(cap0, np.uint8)
+                nb0 = self.lib.finalize_render(ctypes.byref(fr),
+                                               ctypes.byref(frj),
+                                               _vp(scratch), cap0,
+                                               _vp(nhits))
+                if nb0 >= 0:
+                    break
+                cap0 *= 4      # render overflow (long names): grow
             fr.surv_post = None
             z1m = np.ascontiguousarray(
                 self.z1_merge_hook(sp, jobs["ri"], rows, B), np.float64)
@@ -1401,13 +1416,19 @@ class FastPaired:
             p.win_shard = ws.ctypes.data
             p.n_shards = D
             p.part_out = part.ctypes.data
-            scratch = np.empty(max(1 << 20, n_pairs * 4 * (L + 320)),
-                               np.uint8)
-            rv0 = int(self.lib.paired_finalize_render(
-                ctypes.byref(p), ctypes.byref(wstruct),
-                scratch.ctypes.data_as(ctypes.c_char_p), len(scratch),
-                _vp(pair_nhits), _vp(read_nhits)))
-            assert rv0 >= 0, rv0
+            cap0 = max(1 << 20, n_pairs * 4 * (L + 320))
+            while True:
+                scratch = np.empty(cap0, np.uint8)
+                rv0 = int(self.lib.paired_finalize_render(
+                    ctypes.byref(p), ctypes.byref(wstruct),
+                    scratch.ctypes.data_as(ctypes.c_char_p), cap0,
+                    _vp(pair_nhits), _vp(read_nhits)))
+                if rv0 >= 0:
+                    break
+                cap0 *= 4      # render overflow (long names): grow
+                pair_nhits[:] = 0
+                read_nhits[:] = 0
+                part[:] = 0.0
             ext = np.ascontiguousarray(self.zpair_merge_hook(part),
                                        np.float64)
             assert ext.shape == (n_pairs, 7)

@@ -111,6 +111,9 @@ class GenomeIndex:
             a = getattr(self, nm, None)
             if a is not None:
                 hp_release(a)
+            # clear the attribute: a dangling numpy view over munmap'd
+            # hugepages segfaults on touch; None fails loudly instead
+            setattr(self, nm, None)
         self.seeds = []
 
     def auto_list_cutoff(self) -> int:
@@ -223,6 +226,15 @@ class GenomeIndex:
             if not seed_paths:
                 raise FileNotFoundError(
                     f"no {prefix}.seed.*.npz files next to {gp}")
+            want = int(meta.get("n_seeds", len(seed_paths)))
+            if len(seed_paths) != want:
+                # a partially copied checkpoint must not load silently
+                # with fewer seeds (lower sensitivity, no error) — the
+                # reference's -L fails on missing projections too
+                raise FileNotFoundError(
+                    f"index {gp} was saved with {want} seeds but only "
+                    f"{len(seed_paths)} {prefix}.seed.*.npz files are "
+                    "present (partial copy?)")
         seeds = []
         for sp in seed_paths:
             if not os.path.exists(sp) and os.path.exists(sp + ".npz"):
@@ -266,9 +278,29 @@ class GenomeIndex:
             np.cumsum(keep_lens, out=new_off[1:])
             keep_mask = np.repeat(~over, lens)
             new_pos = si.positions[keep_mask]
-            self.seeds[k] = SeedIndex(
-                seed=si.seed, offsets=_compact_offsets(new_off),
-                positions=new_pos)
+            # swap in the trimmed arrays, releasing the old hugepage
+            # buffers and keeping the memory accounting truthful (the
+            # -L x -S y -z c loop would otherwise leak the untrimmed
+            # postings for the process lifetime)
+            from ..utils import memmodel
+            from ..utils.hostmem import release as hp_release
+            from ..utils.hostmem import to_hugepages
+            tr = memmodel.tracker()
+            tracked = getattr(self, "_mem_tracked", [])
+            for old in (si.offsets, si.positions):
+                if any(old is t for t in tracked):
+                    tr.untrack(old, "genomemap")
+                    tracked = [t for t in tracked if t is not old]
+                hp_release(old)
+            new_si = SeedIndex(
+                seed=si.seed,
+                offsets=to_hugepages(_compact_offsets(new_off)),
+                positions=to_hugepages(new_pos))
+            tr.track(new_si.offsets, "genomemap", f"seed{k}_offsets")
+            tr.track(new_si.positions, "genomemap", f"seed{k}_positions")
+            tracked += [new_si.offsets, new_si.positions]
+            self._mem_tracked = tracked
+            self.seeds[k] = new_si
         return dropped
 
     def save_mmap(self, dirpath: str) -> None:

@@ -444,7 +444,14 @@ class DistMapper:
         win, G = _normalize_win(m, fh, L, rcf)
         if G > self.halo:
             raise ValueError(f"window {G} exceeds halo {self.halo}")
-        assert G <= 1023 and R <= 1023 and int(fh.w_len.max()) < 4096
+        if G > 1023 or R > 1023 or int(fh.w_len.max()) >= 4096:
+            # remote shards' genome bytes are unreachable from this
+            # host, so there is no single-device fallback here; fail
+            # loudly and synchronously on every rank
+            raise ValueError(
+                f"window/read shape (G={G}, R={R}) outside the "
+                "packed-IO envelope; multi-host long-read mapping is "
+                "not supported — use MeshMapper or split reads")
         shard = self._fast._win_shard
         starts = win["starts"] - self.comp.pos_base[shard]
         order = np.argsort(shard, kind="stable")

@@ -746,6 +746,9 @@ class MeshMapper:
                 for h in hits:
                     lines.append(render_unpaired(
                         re_, h, self.m.index, cfg, fastq=fq))
+                if not hits and cfg.sam_unaligned:
+                    lines.append(render_unpaired(
+                        re_, None, self.m.index, cfg, fastq=fq))
         return ("\n".join(lines) + "\n").encode() if lines else b""
 
     def map_paired_sam(self, records: Sequence[SeqRecord],

@@ -266,14 +266,17 @@ def merge_sam_files(reads_path: str, sam_paths: List[str], out: TextIO,
                 qn = name
                 break
         if qn is None:
+            # candidate qnames are exactly the proper prefixes of the
+            # read name ending at a ':'/'/' boundary — probe those in
+            # the qname dicts (longest first) instead of scanning every
+            # qname per read, which is O(reads x qnames)
             best = None
-            for groups in per_file:
-                for cand in groups:
-                    if (name.startswith(cand)
-                            and len(cand) < len(name)
-                            and name[len(cand)] in ":/"
-                            and (best is None or len(cand) > len(best))):
+            for i in range(len(name) - 1, 0, -1):
+                if name[i] in ":/":
+                    cand = name[:i]
+                    if any(cand in groups for groups in per_file):
                         best = cand
+                        break
             qn = best
         if qn is None or qn in emitted:
             continue
