@@ -273,28 +273,16 @@ class FastCS:
                     names=nm_blob, name_off=offs, Bcap=Bcap,
                     t_dispatch=_time.perf_counter() - t2)
 
-    def _fused_dispatch_cs(self, fh, codes0, qr_tab, initbp, R, Bcap,
-                           xover_tab=None, rcf=None, thresh_override=None,
-                           n_reads=None):
-        """Normalize window geometry (reverse_hit, mapping.c:254-263) and
-        launch fused CS vec+full chunks against the device planes.
-
-        `rcf` marks windows needing reverse_hit normalization (default:
-        strand-1 windows; paired legs may be pre-flipped).
-        `thresh_override` replaces the per-window full-SW zero-out
-        threshold (the paired flow passes 1 so the raw DP score returns
-        and context thresholds apply natively)."""
-        import jax
-
-        from .core.sw_cs_full_pallas import pallas_cs_full_ok
-        from .core.sw_cs_jax import sw_vec_cs_full_from_index
-        from .core.sw_pallas import pallas_available
+    def _cs_args(self, fh, R, rcf, thresh_override, initbp):
+        """Normalized CS window geometry + packed launch args
+        (reverse_hit, mapping.c:254-263); shared by the single-device
+        dispatch below and the mesh dispatch
+        (parallel/meshmap._MeshFastCS). Returns (args_all [n,12] int32,
+        win dict, G)."""
         m = self.m
         cfg = m.config
-        sc = cfg.scores
         idx = m.index
         aw = cfg.anchor_width
-        planes = m._dev_cs_planes()   # cs, cs_rc, ls, ls_rc (padded)
         n = fh.n
         coff = idx.contig_offsets[fh.cn].astype(np.int64)
         clen = idx.contig_lengths[fh.cn].astype(np.int64)
@@ -318,12 +306,11 @@ class FastCS:
         win = dict(starts=coff + g_off_t, g_off_t=g_off_t, rcmask=rcf)
         G = _round_up(max(int(fh.w_len.max()), 16), 32)
         owner_ri = (fh.owner >> 1).astype(np.int64)
-        ri32 = owner_ri.astype(np.int32)
 
         args_all = np.zeros((n, 12), np.int32)
         args_all[:, 0] = win["starts"]
         args_all[:, 1] = fh.w_len
-        args_all[:, 2] = ri32
+        args_all[:, 2] = owner_ri.astype(np.int32)
         args_all[:, 3] = rcf
         args_all[:, 4] = R
         args_all[:, 5] = ax_t - aw // 2
@@ -333,6 +320,31 @@ class FastCS:
         args_all[:, 9] = rcf & cfg.rev_tiebreak
         args_all[:, 10] = thresh
         args_all[:, 11] = initbp[owner_ri]
+        return args_all, win, G
+
+    def _fused_dispatch_cs(self, fh, codes0, qr_tab, initbp, R, Bcap,
+                           xover_tab=None, rcf=None, thresh_override=None,
+                           n_reads=None):
+        """Normalize window geometry (reverse_hit, mapping.c:254-263) and
+        launch fused CS vec+full chunks against the device planes.
+
+        `rcf` marks windows needing reverse_hit normalization (default:
+        strand-1 windows; paired legs may be pre-flipped).
+        `thresh_override` replaces the per-window full-SW zero-out
+        threshold (the paired flow passes 1 so the raw DP score returns
+        and context thresholds apply natively)."""
+        import jax
+
+        from .core.sw_cs_full_pallas import pallas_cs_full_ok
+        from .core.sw_cs_jax import sw_vec_cs_full_from_index
+        from .core.sw_pallas import pallas_available
+        m = self.m
+        cfg = m.config
+        sc = cfg.scores
+        planes = m._dev_cs_planes()   # cs, cs_rc, ls, ls_rc (padded)
+        n = fh.n
+        args_all, win, G = self._cs_args(fh, R, rcf, thresh_override,
+                                         initbp)
 
         use_pallas = pallas_cs_full_ok(CS_FUSED_BATCH, R, G)
         use_vec_pallas = pallas_available()
@@ -391,7 +403,7 @@ class FastCS:
             win["two_phase"] = dict(args_all=args_all, kw=kw,
                                     rtab_dev=rtab_dev, qr_dev=qr_dev,
                                     xov_dev=xov_dev)
-        cells = int(wl64.sum()) * R
+        cells = int(fh.w_len.astype(np.int64).sum()) * R
         m.stats.vec_invocs += n
         m.stats.vec_cells += cells
         if not two_phase:

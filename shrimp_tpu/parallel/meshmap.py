@@ -523,6 +523,100 @@ class ShardedIndexMapper:
         return b"".join(out)
 
 
+def _MeshFastCS(mapper, mm):
+    """FastCS whose fused colour-space launch runs as ONE shard_map
+    program over the mesh's range-sharded colour+letter genome planes.
+    Each shard scans only its own genome slice; the per-shard results
+    are all_gathered and un-permuted back to the original window order
+    INSIDE the jitted program, so FastCS.stage_finish consumes them
+    unchanged and the SAM bytes match the single-device fast path.
+    (Factory function: FastCS is imported lazily.)"""
+    from ..fastpath_cs import FastCS
+
+    class _Impl(FastCS):
+        def __init__(self, mapper, mm) -> None:
+            super().__init__(mapper)
+            self.mm = mm
+
+        def _fused_dispatch_cs(self, fh, codes0, qr_tab, initbp, R,
+                           Bcap, xover_tab=None, rcf=None,
+                           thresh_override=None, n_reads=None):
+            import jax
+            m = self.m
+            cfg = m.config
+            sc = cfg.scores
+            mm = self.mm
+            n = int(fh.n)
+            args_all, win, G = self._cs_args(fh, R, rcf,
+                                             thresh_override, initbp)
+            if G > mm.halo:
+                raise ValueError(
+                    f"window {G} exceeds shard halo {mm.halo}")
+            starts = win["starts"]
+            shard = np.clip(starts // mm.S, 0,
+                            mm.D - 1).astype(np.int64)
+            order = np.argsort(shard, kind="stable")
+            counts = np.bincount(shard, minlength=mm.D)
+            Wcap = max(2048, 1 << int(np.ceil(np.log2(max(
+                int(counts.max()), 1)))))
+            args = np.zeros((mm.D, Wcap, 12), np.int32)
+            # pad rows: 1-cell windows, threshold 1 zeroes scores
+            args[:, :, 1] = 1
+            args[:, :, 4] = 1
+            args[:, :, 7] = 1
+            args[:, :, 8] = 1
+            args[:, :, 10] = 1
+            slot = np.zeros(n, np.int64)
+            off = 0
+            for d in range(mm.D):
+                k = int(counts[d])
+                sl = order[off:off + k]
+                args[d, :k] = args_all[sl]
+                args[d, :k, 0] = starts[sl] - d * mm.S  # local
+                slot[sl] = d * Wcap + np.arange(k)
+                off += k
+            n_cap = max(2048, 1 << int(np.ceil(np.log2(max(n, 1)))))
+            inv = np.zeros(n_cap, np.int64)
+            inv[:n] = slot
+            rows = _round_up(max(Bcap, 1), 1024)
+            kw_key = (
+                ("xover", sc.crossover), ("match", sc.match),
+                ("mismatch", sc.mismatch),
+                ("a_gap_open", sc.a_gap_open),
+                ("a_gap_ext", sc.a_gap_extend),
+                ("b_gap_open", sc.b_gap_open),
+                ("b_gap_ext", sc.b_gap_extend),
+                ("local_alignment", not cfg.global_alignment),
+                ("indel_taboo_len", cfg.indel_taboo_len))
+            step = mm._get_cs_step(G, R, Wcap, n_cap, rows, kw_key)
+            shd = jax.sharding.NamedSharding(
+                mm.mesh, jax.sharding.PartitionSpec(SHARD_AXIS))
+            repl = mm._repl
+            from .. import constants as C
+            rtab_pad = np.full((rows, R), C.BASE_N, np.uint8)
+            rtab_pad[:codes0.shape[0]] = codes0
+            qr_pad = np.full((rows, 4, R), C.BASE_N, np.uint8)
+            qr_pad[:qr_tab.shape[0]] = qr_tab
+            xov_pad = np.full((rows, R), sc.crossover, np.int32)
+            if xover_tab is not None:
+                xov_pad[:xover_tab.shape[0]] = xover_tab
+            args_dev = jax.device_put(args, shd)
+            res = step(mm._cs_planes_sh[0], mm._cs_planes_sh[1],
+                       mm._cs_planes_sh[2], mm._cs_planes_sh[3],
+                       args_dev, jax.device_put(inv, repl),
+                       jax.device_put(rtab_pad, repl),
+                       jax.device_put(qr_pad, repl),
+                       jax.device_put(xov_pad, repl))
+            cells = int(fh.w_len.astype(np.int64).sum()) * R
+            m.stats.vec_invocs += n
+            m.stats.vec_cells += cells
+            m.stats.full_invocs += n
+            m.stats.full_cells += cells * 4
+            return [(0, n, res)], win, G, False
+
+    return _Impl(mapper, mm)
+
+
 class MeshMapper:
     """Maps read batches against a genome range-sharded over a device
     mesh; SAM output is byte-identical to the unsharded fast path.
@@ -572,6 +666,20 @@ class MeshMapper:
         self._fwd_sh = jax.device_put(rows, shd)
         self._rc_sh = jax.device_put(rows_rc, shd)
         self._repl = NamedSharding(self.mesh, P())
+        # colour-space planes (cs, cs_rc, ls, ls_rc), range-sharded the
+        # same way, for the CS mesh dispatch
+        self._cs_planes_sh = None
+        if getattr(index, "cs_codes", None) is not None:
+            planes = []
+            for src in (index.cs_codes, index.cs_codes_rc,
+                        index.codes, index.codes_rc):
+                padp = Mapper._pad_plane(src)
+                rp = np.full((self.D, S + halo), 254, np.uint8)
+                for d in range(self.D):
+                    seg = padp[d * S: d * S + S + halo]
+                    rp[d, :len(seg)] = seg
+                planes.append(jax.device_put(rp, shd))
+            self._cs_planes_sh = tuple(planes)
         self._step_cache = {}
         self._lock = threading.Lock()
         self.last_zpart: Optional[np.ndarray] = None  # [D, B] z1 partials
@@ -604,6 +712,52 @@ class MeshMapper:
             body, mesh=self.mesh,
             in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
             out_specs=P(SHARD_AXIS), check_vma=False))
+        with self._lock:
+            self._step_cache[key] = fn
+        return fn
+
+    # ---------------------------------------------------- CS device step
+    def _get_cs_step(self, G, R, Wcap, n_cap, rows, kw_key):
+        key = ("cs", G, R, Wcap, n_cap, rows, kw_key)
+        with self._lock:
+            fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..core.sw_cs_full_pallas import pallas_cs_full_ok
+        from ..core.sw_cs_jax import sw_vec_cs_full_from_index
+        from ..core.sw_pallas import pallas_available
+        kw = dict(kw_key)
+        on_tpu = self.platform == "tpu"
+        kw.update(use_pallas=on_tpu and pallas_cs_full_ok(Wcap, R, G),
+                  use_vec_pallas=on_tpu and pallas_available(),
+                  interpret=False, phase="fused", G=G)
+        D = self.D
+
+        def body(p0, p1, p2, p3, args, inv, rtab, qr, xov):
+            vec, pk, st = sw_vec_cs_full_from_index.__wrapped__(
+                p0[0], p1[0], p2[0], p3[0], args[0], rtab, qr, xov,
+                **kw)
+            # gather every shard's rows and restore the original window
+            # order (inv maps original index -> shard-major slot); the
+            # replicated result feeds FastCS.stage_finish unchanged
+            vec_all = jax.lax.all_gather(vec, SHARD_AXIS)
+            pk_all = jax.lax.all_gather(pk, SHARD_AXIS)
+            st_all = jax.lax.all_gather(st, SHARD_AXIS)
+            vec_f = vec_all.reshape(D * Wcap)[inv]
+            pk_f = pk_all.reshape(D * Wcap, pk.shape[-1])[inv]
+            st_f = st_all.reshape(D * Wcap, st.shape[-1])[inv]
+            return vec_f, pk_f, st_f
+
+        fn = jax.jit(
+            jax.shard_map(body, mesh=self.mesh,
+                          in_specs=(P(SHARD_AXIS), P(SHARD_AXIS),
+                                    P(SHARD_AXIS), P(SHARD_AXIS),
+                                    P(SHARD_AXIS), P(), P(), P(), P()),
+                          out_specs=(P(None), P(None), P(None)),
+                          check_vma=False),
+            out_shardings=(NamedSharding(self.mesh, P()),) * 3)
         with self._lock:
             self._step_cache[key] = fn
         return fn
@@ -691,6 +845,9 @@ class MeshMapper:
         Configs or batch shapes outside the fused fast path fall back to
         the generic (unsharded) mapper with a warning instead of
         raising, so exotic-flag runs still complete."""
+        from .. import constants as C
+        if self.m.config.mode == C.MODE_COLOUR_SPACE:
+            return self._map_unpaired_cs(records, batch_size)
         if not fastpath_supported(self.m.config):
             return self._generic_fallback(records)
         fast = FastLS(self.m)
@@ -722,6 +879,27 @@ class MeshMapper:
         if collect_z:
             self.last_zpart = (np.concatenate(zparts, axis=1) if zparts
                                else np.zeros((self.D, 0)))
+        return b"".join(out)
+
+    def _map_unpaired_cs(self, records: Sequence[SeqRecord],
+                         batch_size: int) -> bytes:
+        """Colour-space unpaired mapping over the mesh: the fused CS
+        vector + 4-layer-full launch runs as ONE shard_map program over
+        the range-sharded colour/letter planes; byte-identical to the
+        single-device CS fast path."""
+        from ..fastpath_cs import fastpath_cs_supported
+        if (not fastpath_cs_supported(self.m.config)
+                or self._cs_planes_sh is None):
+            return self._generic_fallback(records)
+        fast = _MeshFastCS(self.m, self)
+        out: List[bytes] = []
+        for off in range(0, len(records), batch_size):
+            batch = records[off:off + batch_size]
+            ctx = fast.stage_prepare(batch, batch_cap=batch_size)
+            if ctx is None:
+                out.append(self._generic_fallback(batch))
+                continue
+            out.append(fast.stage_finish(ctx)[0])
         return b"".join(out)
 
     def _generic_fallback(self, records: Sequence[SeqRecord]) -> bytes:

@@ -139,3 +139,41 @@ def test_meshmap_long_reads():
     assert mm.halo >= 2048             # halo grew from the window length
     got = mm.map_unpaired_sam(reads, batch_size=12)
     assert got == want
+
+
+def test_meshmap_colour_space():
+    """Colour-space unpaired mapping over the mesh: the fused CS
+    vector + 4-layer-full launch runs as one shard_map program over the
+    range-sharded colour/letter planes, byte-identical to the
+    single-device CS fast path."""
+    import shrimp_tpu.constants as C
+    from shrimp_tpu.fastpath_cs import map_unpaired_cs_sam_stream
+    rng = np.random.default_rng(555)
+    contigs, gs = _mk_genome(rng, n_contigs=2, clen=20_000)
+    idx = build_index(contigs, default_seeds(mode="cs"), mode="cs")
+    l2n = {c: i for i, c in enumerate("ACGT")}
+
+    def tocs(s):
+        return "T" + str(l2n["T"] ^ l2n[s[0]]) + "".join(
+            str(l2n[s[i]] ^ l2n[s[i + 1]]) for i in range(len(s) - 1))
+
+    reads = []
+    for k in range(96):
+        src = gs[k % 2]
+        p = int(rng.integers(0, len(src) - 36))
+        s = list(src[p:p + 36])
+        for _ in range(int(rng.integers(0, 2))):
+            s[int(rng.integers(0, 36))] = "ACGT"[int(rng.integers(0, 4))]
+        s = "".join(s)
+        if k % 3 == 0:
+            s = "".join(COMP[c] for c in reversed(s))
+        reads.append(SeqRecord(f"cs{k}", tocs(s)))
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE)
+    m = Mapper(idx, cfg)
+    want = b"".join(map_unpaired_cs_sam_stream(m, reads, batch_size=96,
+                                               lanes=1))
+    assert want.count(b"\n") >= 90
+    for nd in (2, 4, 8):
+        mm = MeshMapper(idx, cfg, mesh=make_mesh(jax.devices()[:nd]))
+        got = mm.map_unpaired_sam(reads, batch_size=96)
+        assert got == want, nd
