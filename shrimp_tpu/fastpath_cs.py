@@ -131,6 +131,24 @@ class FastCS:
         self.lib = self.fls.lib
         self.m = mapper
 
+    def _filter1_cs(self, codes2, R: int, wlen: int, opts):
+        """CS candidate generation (colour-space k-mers start at colour
+        1, min_kmer_pos=1); overridable — the index-sharded mapper
+        swaps in per-shard sub-index runs."""
+        m = self.m
+        cfg = m.config
+        from .native.filter1_py import generate_candidates_native
+        return generate_candidates_native(
+            m.index, codes2, R, wlen, m.cutoff, opts.hit_list.match_mode,
+            opts.hit_list.threshold, cfg.scores.match,
+            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
+            min_kmer_pos=1,
+            use_region_counts=opts.anchor_list.use_region_counts,
+            region_bits=cfg.region_bits,
+            region_overlap=cfg.region_overlap,
+            collapse=opts.anchor_list.collapse, gapless=False,
+            search_strands=(True, True), threads=self.fls.f1_threads)
+
     # ---------------------------------------------------------- stage A
     def stage_prepare(self, records: Sequence[SeqRecord],
                       batch_cap: Optional[int] = None):
@@ -237,17 +255,7 @@ class FastCS:
         codes2 = np.empty((B, 2, R), np.uint8)
         codes2[:, 0] = codes0
         codes2[:, 1] = codes1
-        from .native.filter1_py import generate_candidates_native
-        fh = generate_candidates_native(
-            m.index, codes2, R, wlen, m.cutoff, opts.hit_list.match_mode,
-            opts.hit_list.threshold, cfg.scores.match,
-            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
-            min_kmer_pos=1,
-            use_region_counts=opts.anchor_list.use_region_counts,
-            region_bits=cfg.region_bits,
-            region_overlap=cfg.region_overlap,
-            collapse=opts.anchor_list.collapse, gapless=False,
-            search_strands=(True, True), threads=self.fls.f1_threads)
+        fh = self._filter1_cs(codes2, R, wlen, opts)
         if fh is None:
             return None
         m.stats.add_stage("filter1", _time.perf_counter() - t1)

@@ -379,6 +379,18 @@ class ShardedIndexMapper:
         self._fwd_sh = jax.device_put(rows, shd)
         self._rc_sh = jax.device_put(rows_rc, shd)
         self._repl = NamedSharding(self.mesh, P())
+        # per-shard colour/letter planes for CS mapping: each device row
+        # holds ITS sub-index's planes (not a range slice of the whole)
+        self._cs_planes_sh = None
+        if sub_indexes[0].cs_codes is not None:
+            planes = []
+            for field in ("cs_codes", "cs_codes_rc", "codes",
+                          "codes_rc"):
+                rp = np.full((self.D, S), 254, np.uint8)
+                for d, s in enumerate(sub_indexes):
+                    rp[d, :s.total_len] = getattr(s, field)
+                planes.append(jax.device_put(rp, shd))
+            self._cs_planes_sh = tuple(planes)
         self._step_cache = {}
         self._lock = threading.Lock()
         self.last_z1_merged: Optional[np.ndarray] = None
@@ -388,6 +400,9 @@ class ShardedIndexMapper:
     # call time — MeshMapper is defined below)
     def _get_step(self, *a):
         return MeshMapper._get_step(self, *a)
+
+    def _get_cs_step(self, *a):
+        return MeshMapper._get_cs_step(self, *a)
 
     def _fetch(self, *a):
         return MeshMapper._fetch(self, *a)
@@ -470,6 +485,9 @@ class ShardedIndexMapper:
                          batch_size: int = 8192) -> bytes:
         """Unpaired mapping to SAM bytes; the MQV of every emitted
         alignment is computed from the device-collective-merged z1."""
+        from .. import constants as C
+        if self.m.config.mode == C.MODE_COLOUR_SPACE:
+            return self._map_unpaired_cs(records, batch_size)
         if not fastpath_supported(self.m.config):
             raise ValueError("config outside the fast-path envelope")
         fast = _ShardedFastLS(self.m, self)
@@ -477,6 +495,26 @@ class ShardedIndexMapper:
         fast.dispatch_fn = self._dispatch
         if self.m.config.compute_mapping_qualities:
             fast.z1_merge_hook = self._z1_hook(fast)
+        out: List[bytes] = []
+        for off in range(0, len(records), batch_size):
+            ctx = fast.stage_prepare(records[off:off + batch_size],
+                                     batch_cap=batch_size)
+            if ctx is None:
+                raise ValueError("batch shape outside fast-path support")
+            out.append(fast.stage_finish(ctx)[0])
+        return b"".join(out)
+
+    def _map_unpaired_cs(self, records: Sequence[SeqRecord],
+                         batch_size: int) -> bytes:
+        """Index-sharded colour-space mapping: per-shard CS filter 1
+        against each shard's own sub-index, fused CS launch as the
+        shard_map program over per-shard planes — byte-identical to the
+        whole-index CS fast path (same split-db caveats as LS)."""
+        from ..fastpath_cs import fastpath_cs_supported
+        if not fastpath_cs_supported(self.m.config) \
+                or self._cs_planes_sh is None:
+            raise ValueError("config outside the CS fast-path envelope")
+        fast = _MeshFastCS(self.m, self, sharded_index=True)
         out: List[bytes] = []
         for off in range(0, len(records), batch_size):
             ctx = fast.stage_prepare(records[off:off + batch_size],
@@ -523,20 +561,51 @@ class ShardedIndexMapper:
         return b"".join(out)
 
 
-def _MeshFastCS(mapper, mm):
+def _MeshFastCS(mapper, mm, sharded_index: bool = False):
     """FastCS whose fused colour-space launch runs as ONE shard_map
     program over the mesh's range-sharded colour+letter genome planes.
     Each shard scans only its own genome slice; the per-shard results
     are all_gathered and un-permuted back to the original window order
     INSIDE the jitted program, so FastCS.stage_finish consumes them
     unchanged and the SAM bytes match the single-device fast path.
-    (Factory function: FastCS is imported lazily.)"""
+    With `sharded_index`, filter 1 also runs per shard against that
+    shard's own CSR sub-index (ShardedIndexMapper: no whole-genome CSR
+    anywhere) and windows route to the shard whose sub-index produced
+    them. (Factory function: FastCS is imported lazily.)"""
     from ..fastpath_cs import FastCS
 
     class _Impl(FastCS):
         def __init__(self, mapper, mm) -> None:
             super().__init__(mapper)
             self.mm = mm
+            self._win_shard = None
+
+        def _filter1_cs(self, codes2, R: int, wlen: int, opts):
+            if not sharded_index:
+                return super()._filter1_cs(codes2, R, wlen, opts)
+            from ..native.filter1_py import generate_candidates_native
+            m = self.m
+            cfg = m.config
+            comp: CompositeIndex = m.index
+            parts = []
+            for d, sub in enumerate(comp.subs):
+                fh = generate_candidates_native(
+                    sub, codes2, R, wlen, m.cutoff,
+                    opts.hit_list.match_mode, opts.hit_list.threshold,
+                    cfg.scores.match, cfg.scores.b_gap_open,
+                    cfg.scores.b_gap_extend, min_kmer_pos=1,
+                    use_region_counts=opts.anchor_list.use_region_counts,
+                    region_bits=cfg.region_bits,
+                    region_overlap=cfg.region_overlap,
+                    collapse=opts.anchor_list.collapse, gapless=False,
+                    search_strands=(True, True),
+                    threads=self.fls.f1_threads)
+                if fh is None:
+                    return None
+                parts.append((fh, d))
+            fh, self._win_shard = merge_shard_flathits(
+                parts, comp.cn_base, codes2.shape[0] * 2)
+            return fh
 
         def _fused_dispatch_cs(self, fh, codes0, qr_tab, initbp, R,
                            Bcap, xover_tab=None, rcf=None,
@@ -553,8 +622,14 @@ def _MeshFastCS(mapper, mm):
                 raise ValueError(
                     f"window {G} exceeds shard halo {mm.halo}")
             starts = win["starts"]
-            shard = np.clip(starts // mm.S, 0,
-                            mm.D - 1).astype(np.int64)
+            if sharded_index:
+                comp: CompositeIndex = m.index
+                shard = self._win_shard
+                local_all = starts - comp.pos_base[shard]
+            else:
+                shard = np.clip(starts // mm.S, 0,
+                                mm.D - 1).astype(np.int64)
+                local_all = starts - shard * mm.S
             order = np.argsort(shard, kind="stable")
             counts = np.bincount(shard, minlength=mm.D)
             Wcap = max(2048, 1 << int(np.ceil(np.log2(max(
@@ -572,7 +647,7 @@ def _MeshFastCS(mapper, mm):
                 k = int(counts[d])
                 sl = order[off:off + k]
                 args[d, :k] = args_all[sl]
-                args[d, :k, 0] = starts[sl] - d * mm.S  # local
+                args[d, :k, 0] = local_all[sl]  # shard-local starts
                 slot[sl] = d * Wcap + np.arange(k)
                 off += k
             n_cap = max(2048, 1 << int(np.ceil(np.log2(max(n, 1)))))

@@ -169,3 +169,42 @@ def test_composite_index_contig_table():
     assert np.array_equal(comp.codes, idx.codes)
     assert np.array_equal(comp.codes_rc, idx.codes_rc)
     assert comp.auto_list_cutoff() == idx.auto_list_cutoff()
+
+
+def test_sharded_index_colour_space_byte_identical():
+    """Index-sharded CS: per-shard CS filter 1 on each shard's own
+    sub-index, fused CS launch over per-shard colour/letter planes —
+    byte-identical to the whole-index CS fast path."""
+    import shrimp_tpu.constants as C
+    from shrimp_tpu.fastpath_cs import map_unpaired_cs_sam_stream
+    rng = np.random.default_rng(31)
+    contigs, gs = _mk_genome(rng, n_contigs=4)
+    l2n = {c: i for i, c in enumerate("ACGT")}
+
+    def tocs(s):
+        return "T" + str(l2n["T"] ^ l2n[s[0]]) + "".join(
+            str(l2n[s[i]] ^ l2n[s[i + 1]]) for i in range(len(s) - 1))
+
+    reads = []
+    for k in range(150):
+        src = gs[k % len(gs)]
+        p = int(rng.integers(0, len(src) - 36))
+        s = list(src[p:p + 36])
+        for _ in range(int(rng.integers(0, 2))):
+            s[int(rng.integers(0, 36))] = "ACGT"[int(rng.integers(0, 4))]
+        s = "".join(s)
+        if k % 3 == 0:
+            s = "".join(COMP[c] for c in reversed(s))
+        reads.append(SeqRecord(f"sc{k}", tocs(s)))
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE)
+    idx = build_index(contigs, default_seeds(mode="cs"), mode="cs")
+    want = b"".join(map_unpaired_cs_sam_stream(
+        Mapper(idx, cfg), reads, batch_size=100, lanes=1))
+    assert want.count(b"\n") >= 140
+    for D in (2, 4):
+        bins = split_contig_bins(contigs, D)
+        subs = [build_index(b, default_seeds(mode="cs"), mode="cs")
+                for b in bins]
+        sim = ShardedIndexMapper(subs, cfg,
+                                 mesh=make_mesh(jax.devices()[:D]))
+        assert sim.map_unpaired_sam(reads, batch_size=100) == want, D
