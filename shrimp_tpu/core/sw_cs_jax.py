@@ -514,7 +514,11 @@ def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
     g_row0 = cmat[lswin.astype(jnp.int32) * 16 + initbp[:, None]]
     if phase != "full":
         rwin = rtab[owner]
-        vec_kw = dict(match=match, mismatch=mismatch,
+        # In colour space the vector filter's mismatch is
+        # match + crossover (gmapper.c:2933-2936 f1_setup), NOT the
+        # full-SW mismatch: a colour mismatch at the filter stage is
+        # 'one crossover', so dot-colour (N) reads still clear pass1.
+        vec_kw = dict(match=match, mismatch=match + xover,
                       a_gap_open=a_gap_open, a_gap_ext=a_gap_ext,
                       b_gap_open=b_gap_open, b_gap_ext=b_gap_ext)
         if use_vec_pallas and B % TILE == 0:

@@ -249,7 +249,12 @@ class Mapper:
                        else index.auto_list_cutoff())
         self.cal = cfg.calibration
         sc = cfg.scores
-        self._vec_kw = dict(match=sc.match, mismatch=sc.mismatch,
+        # CS vector filter scores a colour mismatch as match+crossover
+        # (gmapper.c:2933-2936 f1_setup), not the full-SW mismatch —
+        # this keeps dot-colour (N) reads above the pass1 threshold.
+        vec_mm = (sc.match + sc.crossover
+                  if cfg.mode == C.MODE_COLOUR_SPACE else sc.mismatch)
+        self._vec_kw = dict(match=sc.match, mismatch=vec_mm,
                             a_gap_open=sc.a_gap_open,
                             a_gap_ext=sc.a_gap_extend,
                             b_gap_open=sc.b_gap_open,
