@@ -581,7 +581,11 @@ class Mapper:
         rchars = rtab[2 * ri_a] if cs else rtab[2 * ri_a + st_a]
         rdiag = np.take_along_axis(rchars, np.clip(rpos, 0, L - 1), axis=1)
 
-        s = np.where(src == rdiag, sc.match, sc.mismatch).astype(np.int64)
+        # CS gapless scores a colour mismatch as match+crossover, same as
+        # the vector filter (gmapper.c:2933-2936 routes the f1 scores into
+        # sw_gapless_setup via f1-wrapper.h), not the full-SW mismatch.
+        mm = sc.match + sc.crossover if cs else sc.mismatch
+        s = np.where(src == rdiag, sc.match, mm).astype(np.int64)
         if cs:
             # forced first-colour match (sw-gapless.c:83-92)
             first = rl0 == 0

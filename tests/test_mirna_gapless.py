@@ -64,6 +64,32 @@ def test_ungapped_local_matches_reference(tmp_path):
 
 @pytest.mark.skipif(oracle.ensure_gmapper() is None,
                     reason="reference gmapper not available")
+def test_cs_ungapped_matches_reference(tmp_path):
+    """Colour-space -U: the gapless Kadane filter must score a colour
+    mismatch as match+crossover (f1_setup, gmapper.c:2933-2936), not the
+    full-SW mismatch, or pass1 survivors diverge."""
+    from .test_e2e_cs import make_cs_dataset
+    gpath, rpath, g, reads = make_cs_dataset(str(tmp_path), seed=47)
+    want = oracle.sam_body(oracle.run_gmapper(
+        ["-E", "-U", "--local", rpath, gpath], mode="cs"))
+    idx = build_index([("chrC", encode.encode_ls(g))], default_seeds(),
+                      mode=C.MODE_COLOUR_SPACE)
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE, gapless=True,
+                       global_alignment=False)
+    m = Mapper(idx, cfg)
+    got = []
+    for re_, hits in m.map_unpaired([SeqRecord(n, s) for n, s in reads]):
+        for h in hits:
+            got.append(render_unpaired(re_, h, idx, cfg))
+    assert len(got) == len(want), (f"{len(got)} vs {len(want)}\n"
+                                   + "\n".join(got[:4]) + "\n---\n"
+                                   + "\n".join(want[:4]))
+    for gl, wl in zip(got, want):
+        assert gl == wl, f"\n got: {gl}\nwant: {wl}"
+
+
+@pytest.mark.skipif(oracle.ensure_gmapper() is None,
+                    reason="reference gmapper not available")
 def test_mirna_mode_matches_reference(tmp_path):
     rng = np.random.default_rng(43)
     gpath, rpath, g, reads = _mk(str(tmp_path), rng, 22)
