@@ -701,6 +701,35 @@ class FastPairedCS(FastCS):
     mode) for pair-up, paired pass1/pass2 with post-SW foot rescoring,
     half-paired fallback, paired MQV and CS SAM text."""
 
+    def __init__(self, mapper) -> None:
+        super().__init__(mapper)
+        # sharded-index paired MQV recombination (same protocol as
+        # fastpath.FastPaired): the hook gets per-(pair, shard)
+        # partials [n_pairs, D, 9] and returns the merged [n_pairs, 7]
+        self.zpair_merge_hook = None
+        self.zpair_win_shard = None
+        self.zpair_n_shards = 0
+        self._last_zpair_merged: Optional[np.ndarray] = None
+
+    def _filter1_cs_paired(self, codes2, R: int, wlen: int, ro, mp_kw):
+        """Paired CS candidate generation (colour k-mers start at colour
+        1, mate-pair region filter included); overridable — the
+        index-sharded mapper swaps in per-shard sub-index runs."""
+        m = self.m
+        cfg = m.config
+        from .native.filter1_py import generate_candidates_native
+        return generate_candidates_native(
+            m.index, codes2, R, wlen, m.cutoff, ro.hit_list.match_mode,
+            ro.hit_list.threshold, cfg.scores.match,
+            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
+            min_kmer_pos=1,
+            use_region_counts=ro.anchor_list.use_region_counts,
+            region_bits=cfg.region_bits,
+            region_overlap=cfg.region_overlap,
+            collapse=ro.anchor_list.collapse, gapless=False,
+            search_strands=(True, True), threads=self.fls.f1_threads,
+            **mp_kw)
+
     # ---------------------------------------------------------- stage A
     def stage_prepare(self, records: Sequence[SeqRecord],
                       batch_cap: Optional[int] = None):
@@ -814,18 +843,7 @@ class FastPairedCS(FastCS):
                 drmax[2 + st::4] = re2.delta_region_max[st]
             mp_kw = dict(mp_mode=ro.anchor_list.use_mp_region_counts,
                          mp_drmin=drmin, mp_drmax=drmax)
-        from .native.filter1_py import generate_candidates_native
-        fh = generate_candidates_native(
-            m.index, codes2, R, wlen, m.cutoff, ro.hit_list.match_mode,
-            ro.hit_list.threshold, cfg.scores.match,
-            cfg.scores.b_gap_open, cfg.scores.b_gap_extend,
-            min_kmer_pos=1,
-            use_region_counts=ro.anchor_list.use_region_counts,
-            region_bits=cfg.region_bits,
-            region_overlap=cfg.region_overlap,
-            collapse=ro.anchor_list.collapse, gapless=False,
-            search_strands=(True, True), threads=self.fls.f1_threads,
-            **mp_kw)
+        fh = self._filter1_cs_paired(codes2, R, wlen, ro, mp_kw)
         if fh is None:
             return None
         m.stats.add_stage("filter1", _time.perf_counter() - t1)
@@ -966,6 +984,38 @@ class FastPairedCS(FastCS):
         wstruct = _PPWin(
             **{k: _vp(v) for k, v in arrs.items()},
             packed=None, ops_pk=None)
+        if self.zpair_merge_hook is not None:
+            # sharded-index CS paired MQV recombination: identical
+            # two-pass protocol to fastpath.FastPaired.stage_finish —
+            # collect per-(pair, shard) partials, merge with the device
+            # collectives, re-render with the merged values
+            D = self.zpair_n_shards
+            ws = np.ascontiguousarray(self.zpair_win_shard, np.int32)
+            part = np.zeros((n_pairs, D, 9), np.float64)
+            p.win_shard = ws.ctypes.data
+            p.n_shards = D
+            p.part_out = part.ctypes.data
+            cap0 = max(1 << 20, n_pairs * 6 * (3 * R + 320))
+            while True:
+                scratch = np.empty(cap0, np.uint8)
+                rv0 = int(self.lib.paired_finalize_render(
+                    ctypes.byref(p), ctypes.byref(wstruct),
+                    scratch.ctypes.data_as(ctypes.c_char_p), cap0,
+                    _vp(pair_nhits), _vp(read_nhits)))
+                if rv0 >= 0:
+                    break
+                cap0 *= 4
+                pair_nhits[:] = 0
+                read_nhits[:] = 0
+                part[:] = 0.0
+            ext = np.ascontiguousarray(self.zpair_merge_hook(part),
+                                       np.float64)
+            assert ext.shape == (n_pairs, 7)
+            self._last_zpair_merged = ext
+            p.part_out = None
+            p.ext_in = ext.ctypes.data
+            pair_nhits[:] = 0
+            read_nhits[:] = 0
         cap = max(1 << 20, n_pairs * 6 * (3 * R + 320))
         while True:
             out = np.empty(cap, np.uint8)

@@ -531,7 +531,13 @@ class ShardedIndexMapper:
         the shard_map program, and the native paired brain consumes the
         merged windows — byte-identical to the whole-index paired run
         (pairs never span shards: insert-size windows are intra-contig,
-        mapping.c:405-456)."""
+        mapping.c:405-456). Colour space routes to the CS paired fast
+        path (fastpath_cs.FastPairedCS) with the same per-shard filter 1
+        and zpair collectives."""
+        from .. import constants as C
+        if self.m.config.mode == C.MODE_COLOUR_SPACE:
+            return self._map_paired_cs(records, batch_size,
+                                       sharded_index=True)
         if not fastpath_paired_supported(self.m.config):
             raise ValueError("config outside the paired fast-path"
                              " envelope")
@@ -560,21 +566,65 @@ class ShardedIndexMapper:
             out.append(fp.stage_finish(ctx)[0])
         return b"".join(out)
 
+    def _map_paired_cs(self, records: Sequence[SeqRecord],
+                       batch_size: int, sharded_index: bool) -> bytes:
+        """Colour-space paired mapping over the mesh: per-shard CS
+        filter 1 (mate-pair region filter included), the fused CS
+        launch as the shard_map program over per-shard planes, and the
+        paired MQV class statistics merged by the zpair collective —
+        byte-identical to the single-device CS paired fast path
+        (fastpath_cs.FastPairedCS, matching gmapper-cs paired:
+        mapping.c:2502, sw-full-cs.c:1146-1236)."""
+        from ..fastpath_cs import fastpath_cs_paired_supported
+        if not fastpath_cs_paired_supported(self.m.config) \
+                or self._cs_planes_sh is None:
+            raise ValueError("config outside the CS paired fast-path"
+                             " envelope")
+        if batch_size % 2:
+            batch_size += 1
+        fp = _MeshFastCS(self.m, self, sharded_index=sharded_index,
+                         paired=True)
+        if sharded_index and self.m.config.compute_mapping_qualities:
+            fp.zpair_n_shards = self.D
 
-def _MeshFastCS(mapper, mm, sharded_index: bool = False):
-    """FastCS whose fused colour-space launch runs as ONE shard_map
-    program over the mesh's range-sharded colour+letter genome planes.
-    Each shard scans only its own genome slice; the per-shard results
-    are all_gathered and un-permuted back to the original window order
-    INSIDE the jitted program, so FastCS.stage_finish consumes them
+            def hook(part):
+                merged = zpair_merge(
+                    self.mesh,
+                    np.ascontiguousarray(part.transpose(1, 0, 2)))
+                self.last_zpair_merged = merged
+                return merged
+            fp.zpair_merge_hook = hook
+        out: List[bytes] = []
+        for off in range(0, len(records), batch_size):
+            ctx = fp.stage_prepare(records[off:off + batch_size],
+                                   batch_cap=batch_size)
+            if ctx is None:
+                raise ValueError("batch shape outside fast-path support")
+            if sharded_index and fp.zpair_merge_hook is not None:
+                fp.zpair_win_shard = fp._win_shard
+            out.append(fp.stage_finish(ctx)[0])
+        return b"".join(out)
+
+
+def _MeshFastCS(mapper, mm, sharded_index: bool = False,
+                paired: bool = False):
+    """FastCS/FastPairedCS whose fused colour-space launch runs as ONE
+    shard_map program over the mesh's range-sharded colour+letter genome
+    planes. Each shard scans only its own genome slice; the per-shard
+    results are all_gathered and un-permuted back to the original window
+    order INSIDE the jitted program, so stage_finish consumes them
     unchanged and the SAM bytes match the single-device fast path.
     With `sharded_index`, filter 1 also runs per shard against that
     shard's own CSR sub-index (ShardedIndexMapper: no whole-genome CSR
     anywhere) and windows route to the shard whose sub-index produced
-    them. (Factory function: FastCS is imported lazily.)"""
-    from ..fastpath_cs import FastCS
+    them. With `paired`, the base is the CS paired pipeline
+    (fastpath_cs.FastPairedCS — pair-up + paired MQV in the native
+    renderer; the device launch override is shared, sw-full-cs.c:
+    1146-1236 semantics). (Factory function: lazily imported bases.)"""
+    from ..fastpath_cs import FastCS, FastPairedCS
+    base = FastPairedCS if paired else FastCS
 
-    class _Impl(FastCS):
+    class _Impl(base):
         def __init__(self, mapper, mm) -> None:
             super().__init__(mapper)
             self.mm = mm
@@ -600,6 +650,35 @@ def _MeshFastCS(mapper, mm, sharded_index: bool = False):
                     collapse=opts.anchor_list.collapse, gapless=False,
                     search_strands=(True, True),
                     threads=self.fls.f1_threads)
+                if fh is None:
+                    return None
+                parts.append((fh, d))
+            fh, self._win_shard = merge_shard_flathits(
+                parts, comp.cn_base, codes2.shape[0] * 2)
+            return fh
+
+        def _filter1_cs_paired(self, codes2, R: int, wlen: int, ro,
+                               mp_kw):
+            if not sharded_index:
+                return super()._filter1_cs_paired(codes2, R, wlen, ro,
+                                                  mp_kw)
+            from ..native.filter1_py import generate_candidates_native
+            m = self.m
+            cfg = m.config
+            comp: CompositeIndex = m.index
+            parts = []
+            for d, sub in enumerate(comp.subs):
+                fh = generate_candidates_native(
+                    sub, codes2, R, wlen, m.cutoff,
+                    ro.hit_list.match_mode, ro.hit_list.threshold,
+                    cfg.scores.match, cfg.scores.b_gap_open,
+                    cfg.scores.b_gap_extend, min_kmer_pos=1,
+                    use_region_counts=ro.anchor_list.use_region_counts,
+                    region_bits=cfg.region_bits,
+                    region_overlap=cfg.region_overlap,
+                    collapse=ro.anchor_list.collapse, gapless=False,
+                    search_strands=(True, True),
+                    threads=self.fls.f1_threads, **mp_kw)
                 if fh is None:
                     return None
                 parts.append((fh, d))
@@ -1008,8 +1087,18 @@ class MeshMapper:
                        batch_size: int = 8192) -> bytes:
         """Paired mapping to SAM bytes, byte-identical to the unsharded
         paired fast path: same whole-index filter 1 + pair-up, the fused
-        SW launch runs as the shard_map program over the mesh. Falls
-        back to the generic mapper outside the fast-path envelope."""
+        SW launch runs as the shard_map program over the mesh. Colour
+        space routes to the CS paired fast path over the range-sharded
+        planes. Falls back to the generic mapper outside the fast-path
+        envelope."""
+        from .. import constants as C
+        if self.m.config.mode == C.MODE_COLOUR_SPACE:
+            from ..fastpath_cs import fastpath_cs_paired_supported
+            if (not fastpath_cs_paired_supported(self.m.config)
+                    or self._cs_planes_sh is None):
+                return self._generic_fallback(records)
+            return ShardedIndexMapper._map_paired_cs(
+                self, records, batch_size, sharded_index=False)
         if not fastpath_paired_supported(self.m.config):
             return self._generic_fallback(records)
         if batch_size % 2:

@@ -177,3 +177,56 @@ def test_meshmap_colour_space():
         mm = MeshMapper(idx, cfg, mesh=make_mesh(jax.devices()[:nd]))
         got = mm.map_unpaired_sam(reads, batch_size=96)
         assert got == want, nd
+
+
+def mk_cs_pairs(rng, gs, n_pairs, L=36):
+    """Interleaved opp-in colour-space pairs over multiple contigs,
+    with occasional discordant mates (half-paired fallback)."""
+    l2n = {c: i for i, c in enumerate("ACGT")}
+
+    def tocs(s):
+        return "T" + str(l2n["T"] ^ l2n[s[0]]) + "".join(
+            str(l2n[s[i]] ^ l2n[s[i + 1]]) for i in range(len(s) - 1))
+
+    recs = []
+    for k in range(n_pairs):
+        src = gs[k % len(gs)]
+        isz = int(rng.integers(100, 220))
+        p = int(rng.integers(0, len(src) - isz - 1))
+        a = list(src[p:p + L])
+        b = list(src[p + isz - L:p + isz])
+        for s in (a, b):
+            for _ in range(int(rng.integers(0, 3))):
+                s[int(rng.integers(0, L))] = "ACGT"[int(rng.integers(4))]
+        r1 = tocs("".join(a))
+        r2 = tocs("".join(COMP[c] for c in reversed(b)))
+        if k % 9 == 0:   # discordant mate
+            q = int(rng.integers(0, len(src) - L))
+            r2 = tocs(src[q:q + L])
+        recs.append(SeqRecord(f"cp{k}/1", r1))
+        recs.append(SeqRecord(f"cp{k}/2", r2))
+    return recs
+
+
+def test_meshmap_colour_space_paired():
+    """CS paired over the mesh (VERDICT r3 missing #2): the fused CS
+    launch runs as the shard_map program, pair-up + paired MQV in the
+    native renderer — byte-identical to the single-device CS paired
+    fast path (matching gmapper-cs paired, sw-full-cs.c:1146-1236)."""
+    import shrimp_tpu.constants as C
+    from shrimp_tpu.fastpath_cs import map_paired_cs_sam_stream
+    from shrimp_tpu.paired import PairedMapper
+    rng = np.random.default_rng(556)
+    contigs, gs = _mk_genome(rng, n_contigs=2, clen=20_000)
+    idx = build_index(contigs, default_seeds(mode="cs"), mode="cs")
+    recs = mk_cs_pairs(rng, gs, 60)
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE, pair_mode="opp-in")
+    gen = map_paired_cs_sam_stream(PairedMapper(idx, cfg), recs,
+                                   batch_size=60, lanes=1)
+    assert gen is not None
+    want = b"".join(gen)
+    assert want.count(b"\n") >= 60
+    for nd in (2, 4):
+        mm = MeshMapper(idx, cfg, mesh=make_mesh(jax.devices()[:nd]))
+        got = mm.map_paired_sam(recs, batch_size=60)
+        assert got == want, nd

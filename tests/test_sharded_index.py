@@ -208,3 +208,36 @@ def test_sharded_index_colour_space_byte_identical():
         sim = ShardedIndexMapper(subs, cfg,
                                  mesh=make_mesh(jax.devices()[:D]))
         assert sim.map_unpaired_sam(reads, batch_size=100) == want, D
+
+
+def test_sharded_index_colour_space_paired_and_zpair():
+    """Index-sharded CS paired (VERDICT r3 missing #2): per-shard CS
+    filter 1 (mate-pair region filter included), fused CS launch over
+    per-shard planes, and the paired class statistics merged by the
+    zpair collective whose output the native render consumes (ext_in,
+    pairedpipe.cpp in CS mode) — byte-identical to the whole-index CS
+    paired fast path."""
+    import shrimp_tpu.constants as C
+    from shrimp_tpu.fastpath_cs import map_paired_cs_sam_stream
+    from shrimp_tpu.paired import PairedMapper
+    from .test_meshmap import mk_cs_pairs
+    rng = np.random.default_rng(557)
+    contigs, gs = _mk_genome(rng, n_contigs=4)
+    recs = mk_cs_pairs(rng, gs, 80)
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE, pair_mode="opp-in")
+    idx = build_index(contigs, default_seeds(mode="cs"), mode="cs")
+    gen = map_paired_cs_sam_stream(PairedMapper(idx, cfg), recs,
+                                   batch_size=80, lanes=1)
+    assert gen is not None
+    want = b"".join(gen)
+    assert want.count(b"\n") >= 80
+    for D in (2, 4):
+        bins = split_contig_bins(contigs, D)
+        subs = [build_index(b, default_seeds(mode="cs"), mode="cs")
+                for b in bins]
+        sim = ShardedIndexMapper(subs, cfg,
+                                 mesh=make_mesh(jax.devices()[:D]))
+        got = sim.map_paired_sam(recs, batch_size=80)
+        assert got == want, D
+        assert sim.last_zpair_merged is not None
+        assert float(np.max(sim.last_zpair_merged[:, 3])) > 0.0
