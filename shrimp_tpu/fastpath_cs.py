@@ -419,6 +419,19 @@ class FastCS:
             m.stats.full_cells += cells * 4
         return futures, win, G, use_pallas
 
+    def _cs_genome_view(self, rows, ctx):
+        """Letter-plane view the native post-SW eval reads
+        (`eval_hit`'s genome[gbase + jj] accesses, confined to each
+        job's normalized window). Default: the whole-genome planes with
+        absolute offsets. Overridable — the multi-host mapper swaps in a
+        per-job window arena assembled by an owner-host exchange so no
+        host ever addresses a remote shard's plane. Returns
+        (genome_fwd, genome_rc, start_abs[rows], genome_len)."""
+        idx = self.m.index
+        return (idx.codes, idx.codes_rc,
+                np.ascontiguousarray(ctx["win"]["starts"][rows]),
+                int(idx.total_len))
+
     # ---------------------------------------------------------- stage B
     def stage_finish(self, ctx) -> Tuple[bytes, np.ndarray]:
         """Fetch fused device results, native pass1 selection, then one
@@ -548,12 +561,14 @@ class FastCS:
         t1 = _time.perf_counter()
         idx = m.index
         cal = m.cal
+        g_fwd, g_rc, start_abs_sel, g_len = self._cs_genome_view(rows,
+                                                                 ctx)
         job_arrs = dict(
             ri=np.ascontiguousarray(sel["ri"][:n_sel]),
             cn=np.ascontiguousarray(sel["cn"][:n_sel]),
             gen_st=np.ascontiguousarray(sel["gen_st"][:n_sel]),
             g_off=np.ascontiguousarray(sel["g_off"][:n_sel]),
-            start_abs=np.ascontiguousarray(ctx["win"]["starts"][rows]),
+            start_abs=start_abs_sel,
             score_max=np.ascontiguousarray(sel["score_max"][:n_sel]),
             packed=packed_sel,
             steps_rev=steps_sel)
@@ -567,8 +582,8 @@ class FastCS:
             cal.alpha, cal.beta, cal.pr_xover, cal.pr_mismatch,
             cal.pr_del_open, cal.pr_del_extend, cal.pr_ins_open,
             cal.pr_ins_extend,
-            idx.total_len,
-            idx.codes.ctypes.data, idx.codes_rc.ctypes.data,
+            g_len,
+            g_fwd.ctypes.data, g_rc.ctypes.data,
             fls.contig_lengths32.ctypes.data,
             fls.contig_name_off.ctypes.data,
             fls.contig_names_blob.ctypes.data,
@@ -710,6 +725,16 @@ class FastPairedCS(FastCS):
         self.zpair_win_shard = None
         self.zpair_n_shards = 0
         self._last_zpair_merged: Optional[np.ndarray] = None
+
+    def _cs_genome_view_paired(self, ctx):
+        """Letter-plane view for the paired native render's post-SW
+        eval, over ALL windows (the paired brain may eval any plausible
+        window during pair rescoring). Overridable — the multi-host
+        mapper swaps in the owner-host window arena. Returns
+        (genome_fwd, genome_rc, start_abs)."""
+        idx = self.m.index
+        return (idx.codes, idx.codes_rc,
+                np.ascontiguousarray(ctx["win"]["starts"], np.int64))
 
     def _filter1_cs_paired(self, codes2, R: int, wlen: int, ro, mp_kw):
         """Paired CS candidate generation (colour k-mers start at colour
@@ -923,6 +948,7 @@ class FastPairedCS(FastCS):
         owner = np.ascontiguousarray(fh.owner, np.int64)
         seg = np.ascontiguousarray(
             np.searchsorted(owner, np.arange(2 * B + 1)), np.int64)
+        g_fwd, g_rc, start_abs_all = self._cs_genome_view_paired(ctx)
         arrs = dict(
             seg=seg,
             cn=np.ascontiguousarray(fh.cn, np.int32),
@@ -935,7 +961,7 @@ class FastPairedCS(FastCS):
             vec=np.ascontiguousarray(scores, np.int64),
             cs_packed=np.ascontiguousarray(packed_all),
             cs_steps=np.ascontiguousarray(steps_all),
-            start_abs=np.ascontiguousarray(win["starts"], np.int64))
+            start_abs=start_abs_all)
         idx = m.index
         import ctypes
         raw = ctx["raw"]
@@ -975,7 +1001,7 @@ class FastPairedCS(FastCS):
             int(quals is not None),
             int(quals is not None and not cfg.ignore_qvs),
             cfg.qual_delta, 1,
-            idx.codes.ctypes.data, idx.codes_rc.ctypes.data,
+            g_fwd.ctypes.data, g_rc.ctypes.data,
             ctx["codes0"].ctypes.data, ctx["qr_tab"].ctypes.data,
             ctx["initbp"].ctypes.data, raw.ctypes.data, raw.shape[1],
             quals.ctypes.data if quals is not None else None,

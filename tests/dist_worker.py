@@ -43,12 +43,21 @@ def main():
     from shrimp_tpu.index.seeds import default_seeds
     from shrimp_tpu.io.fasta import SeqRecord
 
-    from test_dist import make_dataset, make_paired_dataset
+    from test_dist import (make_cs_dataset_dist, make_cs_paired_dataset,
+                           make_dataset, make_paired_dataset)
+    import shrimp_tpu.constants as C
 
+    cs = mode in ("cs", "cs-paired")
     if mode == "paired":
         contigs, reads = make_paired_dataset()
         cfg = MapperConfig(pair_mode="opp-in", min_insert_size=60,
                            max_insert_size=240)
+    elif mode == "cs":
+        contigs, reads = make_cs_dataset_dist()
+        cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE)
+    elif mode == "cs-paired":
+        contigs, reads = make_cs_paired_dataset()
+        cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE, pair_mode="opp-in")
     else:
         contigs, reads = make_dataset()
         cfg = MapperConfig()
@@ -58,11 +67,16 @@ def main():
                        lengths=np.array([len(contigs[d][1])], np.uint32))
                   for d in range(D)]
     lo = pid * d_local
-    local_subs = [build_index([contigs[d]], default_seeds())
-                  for d in range(lo, lo + d_local)]
+    if cs:
+        local_subs = [build_index([contigs[d]], default_seeds(mode="cs"),
+                                  mode="cs")
+                      for d in range(lo, lo + d_local)]
+    else:
+        local_subs = [build_index([contigs[d]], default_seeds())
+                      for d in range(lo, lo + d_local)]
 
     dm = DistMapper(shard_meta, local_subs, cfg)
-    if mode == "paired":
+    if mode in ("paired", "cs-paired"):
         sam = dm.map_paired_sam(reads, batch_size=100)
         zmax = (float(np.max(dm.last_zpair_merged[:, 3]))
                 if dm.last_zpair_merged is not None else 0.0)

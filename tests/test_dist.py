@@ -71,9 +71,70 @@ def make_paired_dataset():
     return contigs, reads
 
 
+def _tocs(s):
+    l2n = {c: i for i, c in enumerate("ACGT")}
+    return "T" + str(l2n["T"] ^ l2n[s[0]]) + "".join(
+        str(l2n[s[i]] ^ l2n[s[i + 1]]) for i in range(len(s) - 1))
+
+
+def make_cs_dataset_dist():
+    """8-contig genome + 160 colour-space reads (36 colours)."""
+    from shrimp_tpu.core import encode
+    from shrimp_tpu.io.fasta import SeqRecord
+    rng = np.random.default_rng(839)
+    contigs, gs = [], []
+    for c in range(8):
+        g = "".join(rng.choice(list("ACGT"), CLEN))
+        gs.append(g)
+        contigs.append((f"chr{c}", encode.encode_ls(g)))
+    reads = []
+    for k in range(160):
+        src = gs[k % len(gs)]
+        p = int(rng.integers(0, len(src) - 36))
+        s = list(src[p:p + 36])
+        for _ in range(int(rng.integers(0, 2))):
+            s[int(rng.integers(0, 36))] = "ACGT"[int(rng.integers(0, 4))]
+        s = "".join(s)
+        if k % 3 == 0:
+            s = "".join(COMP[c] for c in reversed(s))
+        reads.append(SeqRecord(f"dc{k}", _tocs(s)))
+    return contigs, reads
+
+
+def make_cs_paired_dataset():
+    """8-contig genome + 100 opp-in CS pairs (1 in 9 discordant)."""
+    from shrimp_tpu.core import encode
+    from shrimp_tpu.io.fasta import SeqRecord
+    rng = np.random.default_rng(941)
+    contigs, gs = [], []
+    for c in range(8):
+        g = "".join(rng.choice(list("ACGT"), CLEN))
+        gs.append(g)
+        contigs.append((f"chr{c}", encode.encode_ls(g)))
+    reads = []
+    for k in range(100):
+        src = gs[k % len(gs)]
+        isz = int(rng.integers(100, 220))
+        p = int(rng.integers(0, len(src) - isz - 1))
+        a = list(src[p:p + 36])
+        b = list(src[p + isz - 36:p + isz])
+        for s in (a, b):
+            for _ in range(int(rng.integers(0, 3))):
+                s[int(rng.integers(36))] = "ACGT"[int(rng.integers(4))]
+        r1 = _tocs("".join(a))
+        r2 = _tocs("".join(COMP[c] for c in reversed(b)))
+        if k % 9 == 0:
+            q = int(rng.integers(0, len(src) - 36))
+            r2 = _tocs(src[q:q + 36])
+        reads.append(SeqRecord(f"dcp{k}/1", r1))
+        reads.append(SeqRecord(f"dcp{k}/2", r2))
+    return contigs, reads
+
+
 def _run_workers(tmp_path, mode):
-    port = 11000 + (os.getpid() * 7 + (1 if mode == "paired" else 0)) \
-        % 20000
+    port = 11000 + (os.getpid() * 7
+                    + ["unpaired", "paired", "cs",
+                       "cs-paired"].index(mode) * 131) % 20000
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("XLA_FLAGS", None)
@@ -120,6 +181,55 @@ def test_two_process_dist_paired_byte_identical(tmp_path):
     assert open(outs[1], "rb").read() == want
     meta = json.load(open(outs[0] + ".meta"))
     assert meta["z1_max"] > 0.0   # the cross-host zpair psum ran
+
+
+def test_two_process_dist_cs_byte_identical(tmp_path):
+    """Multi-host colour space (VERDICT r3 missing #1 — the flagship
+    36bp-CS workload on the flagship distribution tier): per-local-shard
+    CS filter 1, cross-host window allgather, global-mesh fused CS
+    launch, owner-host window arena for the post-SW eval. Both ranks'
+    SAM must be byte-identical to the single-process CS fast path."""
+    from shrimp_tpu import constants as C
+    from shrimp_tpu.config import MapperConfig
+    from shrimp_tpu.fastpath_cs import map_unpaired_cs_sam_stream
+    from shrimp_tpu.index.build import build_index
+    from shrimp_tpu.index.seeds import default_seeds
+    from shrimp_tpu.mapper import Mapper
+    contigs, reads = make_cs_dataset_dist()
+    idx = build_index(contigs, default_seeds(mode="cs"), mode="cs")
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE)
+    want = b"".join(map_unpaired_cs_sam_stream(Mapper(idx, cfg), reads,
+                                               batch_size=100, lanes=1))
+    assert want.count(b"\n") >= 150
+    outs = _run_workers(tmp_path, "cs")
+    assert open(outs[0], "rb").read() == want
+    assert open(outs[1], "rb").read() == want
+
+
+def test_two_process_dist_cs_paired_byte_identical(tmp_path):
+    """Multi-host CS paired: the paired class statistics merge via the
+    zpair collective over the global mesh (ext_in, pairedpipe.cpp CS
+    mode); both ranks byte-identical to the single-process CS paired
+    fast path — gmapper-cs per chunk + mergesam as one program."""
+    from shrimp_tpu import constants as C
+    from shrimp_tpu.config import MapperConfig
+    from shrimp_tpu.fastpath_cs import map_paired_cs_sam_stream
+    from shrimp_tpu.index.build import build_index
+    from shrimp_tpu.index.seeds import default_seeds
+    from shrimp_tpu.paired import PairedMapper
+    contigs, reads = make_cs_paired_dataset()
+    idx = build_index(contigs, default_seeds(mode="cs"), mode="cs")
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE, pair_mode="opp-in")
+    gen = map_paired_cs_sam_stream(PairedMapper(idx, cfg), reads,
+                                   batch_size=100, lanes=1)
+    assert gen is not None
+    want = b"".join(gen)
+    assert want.count(b"\n") >= 100
+    outs = _run_workers(tmp_path, "cs-paired")
+    assert open(outs[0], "rb").read() == want
+    assert open(outs[1], "rb").read() == want
+    meta = json.load(open(outs[0] + ".meta"))
+    assert meta["z1_max"] > 0.0   # the cross-host zpair collective ran
 
 
 def test_two_process_dist_byte_identical(tmp_path):
