@@ -377,6 +377,12 @@ class FastLS:
         # that the render pass then consumes (parallel/meshmap.py)
         self.z1_merge_hook = None
         self._last_z1_merged: Optional[np.ndarray] = None
+        # read-axis data parallelism (parallel/dist.py read_sharding):
+        # when set to (lo, hi), finalize + render run ONLY for reads in
+        # [lo, hi) of the batch — selection and the expansion exchange
+        # still cover the full batch so every rank's jobs are complete
+        self.read_slice = None
+        self.last_slice_jobs = 0
         idx = mapper.index
         blob = b""
         offs = [0]
@@ -826,6 +832,27 @@ class FastLS:
             W = ops_all.shape[1]
             packed = np.ascontiguousarray(packed_all[rows])
             ops_pk = np.ascontiguousarray(ops_all[rows])
+        if self.read_slice is not None:
+            # read-axis data parallelism: this rank finalizes + renders
+            # only its read slice. Selection and the owner-host
+            # expansion above ran over the FULL batch (replicated), so
+            # each sliced read's job set spans every shard and its MQV
+            # denominator is complete without a collective
+            # (splitreads recast, /root/reference/README:236-276).
+            assert self.z1_merge_hook is None, \
+                "read_slice and z1_merge_hook are mutually exclusive"
+            lo, hi = self.read_slice
+            smask = (jobs["ri"] >= lo) & (jobs["ri"] < hi)
+            jobs = {k: np.ascontiguousarray(v[smask])
+                    for k, v in jobs.items()}
+            rows = rows[smask]
+            packed = np.ascontiguousarray(packed[smask])
+            ops_pk = np.ascontiguousarray(ops_pk[smask])
+            n_jobs = int(smask.sum())
+            self.last_slice_jobs += n_jobs
+            if n_jobs == 0:
+                m.stats.reads += B
+                return b"", nhits
         t1 = _time.perf_counter()
         cal = m.cal
         fr = _FRParams(
@@ -1125,6 +1152,13 @@ class FastPaired:
         self.zpair_win_shard = None
         self.zpair_n_shards = 0
         self._last_zpair_merged: Optional[np.ndarray] = None
+        # read-axis data parallelism: when set to (plo, phi), the native
+        # paired brain runs ONLY for pairs in [plo, phi) of the batch
+        # (their window rows are a contiguous owner-major span; other
+        # pairs get empty segments). Window expansion still covers the
+        # full batch so each sliced pair's windows span every shard.
+        self.read_slice = None
+        self.last_slice_jobs = 0
 
     def _filter1_paired(self, codes2, L: int, wlen: int, ro, mp_kw):
         """Paired candidate generation (mp region filter included);
@@ -1355,18 +1389,35 @@ class FastPaired:
         owner = np.ascontiguousarray(fh.owner, np.int64)
         seg = np.ascontiguousarray(
             np.searchsorted(owner, np.arange(2 * B + 1)), np.int64)
+        rsl = slice(0, n)
+        if self.read_slice is not None:
+            assert self.zpair_merge_hook is None, \
+                "read_slice and zpair_merge_hook are mutually exclusive"
+            plo, phi = self.read_slice
+            # pair pi owns legs 2pi..2pi+1 -> owners 4pi..4pi+3, whose
+            # window rows are the contiguous span below (owner-major)
+            r0 = int(seg[min(4 * plo, 2 * B)])
+            r1 = int(seg[min(4 * phi, 2 * B)])
+            rsl = slice(r0, r1)
+            seg = np.ascontiguousarray(
+                np.clip(seg, r0, r1) - r0, np.int64)
+            n = r1 - r0
+            self.last_slice_jobs += n
+            if n == 0:
+                return b"", pair_nhits, read_nhits
         arrs = dict(
             seg=seg,
-            cn=np.ascontiguousarray(fh.cn, np.int32),
-            g_off=np.ascontiguousarray(fh.g_off, np.int64),
-            g_off_norm=np.ascontiguousarray(win["g_off_t"], np.int64),
-            gen_st=np.ascontiguousarray(win["rcmask"], np.int8),
-            w_len=np.ascontiguousarray(fh.w_len, np.int32),
-            matches=np.ascontiguousarray(fh.matches, np.int32),
-            score_max=np.ascontiguousarray(fh.score_max, np.int64),
-            vec=np.ascontiguousarray(scores, np.int64),
-            packed=np.ascontiguousarray(packed, np.int32),
-            ops_pk=np.ascontiguousarray(ops_pk, np.uint8))
+            cn=np.ascontiguousarray(fh.cn[rsl], np.int32),
+            g_off=np.ascontiguousarray(fh.g_off[rsl], np.int64),
+            g_off_norm=np.ascontiguousarray(win["g_off_t"][rsl],
+                                            np.int64),
+            gen_st=np.ascontiguousarray(win["rcmask"][rsl], np.int8),
+            w_len=np.ascontiguousarray(fh.w_len[rsl], np.int32),
+            matches=np.ascontiguousarray(fh.matches[rsl], np.int32),
+            score_max=np.ascontiguousarray(fh.score_max[rsl], np.int64),
+            vec=np.ascontiguousarray(scores[rsl], np.int64),
+            packed=np.ascontiguousarray(packed[rsl], np.int32),
+            ops_pk=np.ascontiguousarray(ops_pk[rsl], np.uint8))
         p = _PPParams(
             n_pairs, n, L, ctx["wlen"], W,
             (ctypes.c_int64 * 2)(int(re1.delta_g_off_min[0]),

@@ -88,6 +88,23 @@ def global_mesh():
     return Mesh(np.array(devs), (SHARD_AXIS,))
 
 
+def _allgather_bytes(b: bytes) -> List[bytes]:
+    """Gather one byte string from every process, in process order (the
+    on-line analogue of mergesam concatenating per-machine SAM chunks in
+    read order)."""
+    parts = _allgather_rows(np.frombuffer(b, np.uint8).copy())
+    return [p.tobytes() for p in parts]
+
+
+def _slice_for(pid: int, P: int, n: int):
+    """Rank pid's contiguous slice of n items (splitreads recast:
+    utils/splitreads.py gives machine i every P-th chunk; contiguous
+    slices keep the assembled stream in read order with one concat)."""
+    per = -(-n // P)
+    lo = min(pid * per, n)
+    return lo, min(lo + per, n)
+
+
 def _allgather_rows(arr: np.ndarray) -> List[np.ndarray]:
     """Gather one 1-D/2-D array from every process; returns the list in
     process order (ragged first dims allowed)."""
@@ -610,6 +627,8 @@ class DistMapper:
         self._lock = threading.Lock()
         self.last_z1_merged: Optional[np.ndarray] = None
         self.last_zpair_merged: Optional[np.ndarray] = None
+        self.last_slice_jobs = 0       # read_sharding: jobs this rank
+        self.last_render_wall = 0.0    # read_sharding: render seconds
 
     # ------------------------------------------------------ device step
     def _get_step(self, G, L, Wcap, kw_key):
@@ -757,8 +776,21 @@ class DistMapper:
 
     # ------------------------------------------------------- public API
     def map_unpaired_sam(self, records: Sequence[SeqRecord],
-                         batch_size: int = 8192) -> bytes:
-        """Every process returns the identical SAM bytes; emit rank 0's."""
+                         batch_size: int = 8192,
+                         read_sharding: bool = False) -> bytes:
+        """Every process returns the identical SAM bytes; emit rank 0's.
+
+        With `read_sharding`, the host-side finalize + render runs only
+        for this rank's 1/P read slice of each batch (selection and the
+        owner-host expansion still cover the full batch, so each sliced
+        read's job set spans every shard and its MQV denominator is
+        complete without a collective). The per-rank slice bytes are
+        exchanged and concatenated in rank order, so the returned
+        stream is still the full, identical SAM on every rank — but
+        the dominant host work (selection maths aside) is 1/P per rank,
+        which is what makes reads/s scale with hosts (the reference's
+        cluster recipe shards reads the same way,
+        /root/reference/README:236-276, utils/splitreads.py)."""
         from .. import constants as C
         if self.m.config.mode == C.MODE_COLOUR_SPACE:
             return self._map_unpaired_cs(records, batch_size)
@@ -767,16 +799,26 @@ class DistMapper:
         fast = _DistFastLS(self.m, self)
         self._fast = fast
         fast.dispatch_fn = self._dispatch
-        if self.m.config.compute_mapping_qualities:
+        if self.m.config.compute_mapping_qualities and not read_sharding:
             fast.z1_merge_hook = self._z1_hook(fast)
         out: List[bytes] = []
         t0 = time.time()
+        self.last_render_wall = 0.0
         for off in range(0, len(records), batch_size):
-            ctx = fast.stage_prepare(records[off:off + batch_size],
-                                     batch_cap=batch_size)
+            batch = records[off:off + batch_size]
+            ctx = fast.stage_prepare(batch, batch_cap=batch_size)
             if ctx is None:
                 raise ValueError("batch shape outside fast-path support")
-            out.append(fast.stage_finish(ctx)[0])
+            if read_sharding:
+                fast.read_slice = _slice_for(self.pid, self.P,
+                                             len(batch))
+                t1 = time.time()
+                mine = fast.stage_finish(ctx)[0]
+                self.last_render_wall += time.time() - t1
+                out.append(b"".join(_allgather_bytes(mine)))
+            else:
+                out.append(fast.stage_finish(ctx)[0])
+        self.last_slice_jobs = fast.last_slice_jobs
         self.last_wall = time.time() - t0
         return b"".join(out)
 
@@ -868,12 +910,19 @@ class DistMapper:
         return hook
 
     def map_paired_sam(self, records: Sequence[SeqRecord],
-                       batch_size: int = 8192) -> bytes:
+                       batch_size: int = 8192,
+                       read_sharding: bool = False) -> bytes:
         """Paired mapping across hosts: local-shard filter 1 + mp
         region filter, allgathered windows, one global-mesh fused
         launch, and the paired MQV class statistics merged by the
         zpair collective over DCN — byte-identical on every rank to the
-        single-process whole-index paired run."""
+        single-process whole-index paired run.
+
+        With `read_sharding`, the native paired brain (pair-up, paired
+        pass1/pass2, MQV, render) runs only for this rank's 1/P pair
+        slice; each sliced pair's windows span every shard so the class
+        statistics are complete without the zpair collective. Slice
+        bytes are exchanged and concatenated in rank order."""
         from .. import constants as C
         if self.m.config.mode == C.MODE_COLOUR_SPACE:
             return self._map_paired_cs(records, batch_size)
@@ -885,17 +934,27 @@ class DistMapper:
         fp = _DistFastPaired(self.m, self)
         self._fast = fp.fls
         fp.fls.dispatch_fn = self._dispatch
-        if self.m.config.compute_mapping_qualities:
+        if self.m.config.compute_mapping_qualities and not read_sharding:
             fp.zpair_n_shards = self.D
             fp.zpair_merge_hook = self._zpair_hook()
         out: List[bytes] = []
         t0 = time.time()
+        self.last_render_wall = 0.0
         for off in range(0, len(records), batch_size):
-            ctx = fp.stage_prepare(records[off:off + batch_size],
-                                   batch_cap=batch_size)
+            batch = records[off:off + batch_size]
+            ctx = fp.stage_prepare(batch, batch_cap=batch_size)
             if ctx is None:
                 raise ValueError("batch shape outside fast-path support")
-            fp.zpair_win_shard = fp.fls._win_shard
-            out.append(fp.stage_finish(ctx)[0])
+            if read_sharding:
+                fp.read_slice = _slice_for(self.pid, self.P,
+                                           len(batch) // 2)
+                t1 = time.time()
+                mine = fp.stage_finish(ctx)[0]
+                self.last_render_wall += time.time() - t1
+                out.append(b"".join(_allgather_bytes(mine)))
+            else:
+                fp.zpair_win_shard = fp.fls._win_shard
+                out.append(fp.stage_finish(ctx)[0])
+        self.last_slice_jobs = fp.last_slice_jobs
         self.last_wall = time.time() - t0
         return b"".join(out)

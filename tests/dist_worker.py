@@ -48,6 +48,9 @@ def main():
     import shrimp_tpu.constants as C
 
     cs = mode in ("cs", "cs-paired")
+    rs = mode.startswith("rs")
+    if rs:
+        mode = {"rs": "unpaired", "rs-paired": "paired"}[mode]
     if mode == "paired":
         contigs, reads = make_paired_dataset()
         cfg = MapperConfig(pair_mode="opp-in", min_insert_size=60,
@@ -77,17 +80,21 @@ def main():
 
     dm = DistMapper(shard_meta, local_subs, cfg)
     if mode in ("paired", "cs-paired"):
-        sam = dm.map_paired_sam(reads, batch_size=100)
+        sam = dm.map_paired_sam(reads, batch_size=100,
+                                read_sharding=rs)
         zmax = (float(np.max(dm.last_zpair_merged[:, 3]))
                 if dm.last_zpair_merged is not None else 0.0)
     else:
-        sam = dm.map_unpaired_sam(reads, batch_size=100)
+        sam = dm.map_unpaired_sam(reads, batch_size=100,
+                                  read_sharding=rs)
         zmax = (float(np.max(dm.last_z1_merged))
                 if dm.last_z1_merged is not None else 0.0)
     with open(out_path, "wb") as f:
         f.write(sam)
     with open(out_path + ".meta", "w") as f:
-        json.dump({"wall": dm.last_wall, "z1_max": zmax}, f)
+        json.dump({"wall": dm.last_wall, "z1_max": zmax,
+                   "slice_jobs": dm.last_slice_jobs,
+                   "render_wall": dm.last_render_wall}, f)
     print(f"worker {pid}: done, {len(sam)} bytes", flush=True)
 
 
