@@ -19,3 +19,32 @@ except Exception:
     pass
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+# `pytest -q` runs the FAST subset (<8 min on a 4-core host): core
+# kernels, goldens, e2e basics. The multi-minute e2e/dist/flag-matrix
+# modules are marked `slow` and run with `pytest --runslow` (the full
+# pre-merge gate; ~30 min, tens of GB peak RSS).
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (the full gate)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute e2e/dist case; excluded from the default "
+        "fast subset (run with --runslow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow for the full gate")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -24,8 +24,9 @@ def run_cli(args, cwd=None):
     return r.stdout
 
 
-pytestmark = pytest.mark.skipif(oracle.ensure_gmapper() is None,
-                                reason="reference gmapper not available")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(oracle.ensure_gmapper() is None,
+                                reason="reference gmapper not available")]
 
 
 def test_split_mate_files(tmp_path):

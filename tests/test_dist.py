@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 CLEN = 16 * 2048          # region-aligned (see test_sharded_index)
 COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}

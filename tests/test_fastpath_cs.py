@@ -18,8 +18,9 @@ from shrimp_tpu.native import get_lib
 
 from .test_e2e_cs import make_cs_dataset
 
-pytestmark = pytest.mark.skipif(get_lib() is None,
-                                reason="native library unavailable")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(get_lib() is None,
+                                reason="native library unavailable")]
 
 
 def _generic_sam(mapper, recs):

@@ -17,8 +17,9 @@ from shrimp_tpu.io.fasta import SeqRecord
 from shrimp_tpu.native import get_lib
 from shrimp_tpu.paired import PairedMapper
 
-pytestmark = pytest.mark.skipif(get_lib() is None,
-                                reason="native library unavailable")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(get_lib() is None,
+                                reason="native library unavailable")]
 
 _COMP = str.maketrans("ACGT", "TGCA")
 

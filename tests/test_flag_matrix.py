@@ -11,8 +11,9 @@ import pytest
 
 from . import oracle
 
-pytestmark = pytest.mark.skipif(oracle.ensure_gmapper() is None,
-                                reason="reference gmapper not available")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(oracle.ensure_gmapper() is None,
+                                reason="reference gmapper not available")]
 
 
 @pytest.fixture(scope="module")

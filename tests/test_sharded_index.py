@@ -13,6 +13,8 @@ split-db workflow documents, README:158-166).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from shrimp_tpu.config import MapperConfig
