@@ -94,7 +94,10 @@ def main():
     with open(out_path + ".meta", "w") as f:
         json.dump({"wall": dm.last_wall, "z1_max": zmax,
                    "slice_jobs": dm.last_slice_jobs,
-                   "render_wall": dm.last_render_wall}, f)
+                   "render_wall": dm.last_render_wall,
+                   "merge_bytes": dm.merge_bytes,
+                   "merge_secs": dm.merge_secs,
+                   "n_reads": len(reads)}, f)
     print(f"worker {pid}: done, {len(sam)} bytes", flush=True)
 
 
