@@ -353,6 +353,89 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
     return futures, win, G, stats_flow
 
 
+def _tp_run_full(m, tp, win, G, rows, stats_flow, fh, L):
+    """Two-phase phase B: dispatch the full-SW launch for the selected
+    window rows only and fetch the results. Returns stats_sel [k, 7]
+    (stats flow) or (packed_sel, ops_sel). Shared by the unpaired
+    pass1-survivor flow (FastLS.stage_finish) and the paired
+    select-then-full flow (FastPaired.stage_finish)."""
+    import jax
+    from .core.sw_full_pallas import pallas_full_ok
+    from .mapper import FULL_BATCH, FULL_BUCKETS
+    t2 = _time.perf_counter()
+    n_jobs = len(rows)
+    L2, R2 = tp["L"], tp["R"]
+    kw2 = dict(tp["kw"], phase="full")
+    # same long-read shrink as _fused_dispatch: without stats flow,
+    # phase B materializes a [bucket, R, G] backpointer tensor that
+    # must stay under int32/HBM limits
+    eff_batch2 = FULL_BATCH
+    if not stats_flow:
+        eff_batch2 = max(8, min(FULL_BATCH,
+                                (1 << 28) // max(R2 * G, 1)))
+    futures2 = []
+    off = 0
+    while off < n_jobs:
+        k = min(n_jobs - off, eff_batch2)
+        if eff_batch2 >= FULL_BUCKETS[0]:
+            bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS, k))]
+        else:
+            bucket = 1 << int(np.ceil(np.log2(max(k, 8))))
+        rws = rows[off:off + k]
+        if win.get("packed_io"):
+            args = _pack_args4(
+                bucket, k, win["starts"][rws], win["glen"][rws],
+                win["ri"][rws], win["rcmask"][rws],
+                win["rx"][rws], win["ry"][rws], win["rl_"][rws],
+                win["rw_"][rws], win["rev"][rws])
+        else:
+            args = np.zeros((bucket, 10), np.int32)
+            args[:k, 0] = win["starts"][rws]
+            args[:k, 1] = win["glen"][rws]
+            args[:k, 2] = win["ri"][rws]
+            args[:k, 3] = win["rcmask"][rws]
+            args[:k, 4] = L2
+            args[:k, 5] = win["rx"][rws]
+            args[:k, 6] = win["ry"][rws]
+            args[:k, 7] = win["rl_"][rws]
+            args[:k, 8] = win["rw_"][rws]
+            args[:k, 9] = win["rev"][rws]
+            args[k:, 1] = 1
+            args[k:, 4] = 1
+            args[k:, 7] = 1
+            args[k:, 8] = 1
+        kw2["use_pallas"] = pallas_full_ok(bucket, R2, G)
+        with m._device_ctx():
+            res = tp["fn"](tp["codes_dev"], tp["codes_rc_dev"],
+                           args, tp["rtab_dev"], **kw2)
+        futures2.append((off, k, res))
+        off += k
+    fetched2 = jax.device_get([r for _, _, r in futures2])
+    m.stats.full_invocs += n_jobs
+    m.stats.full_cells += int(
+        fh.w_len[rows].astype(np.int64).sum()) * L
+    m.stats.add_stage("device full (2ph)", _time.perf_counter() - t2)
+    if stats_flow and win.get("packed_io"):
+        stats_sel = np.empty((n_jobs, 7), np.int32)
+        for (off, k, _), (pk3,) in zip(futures2, fetched2):
+            stats_sel[off:off + k] = _unpack_stats3(pk3[:k])[1]
+        return stats_sel
+    if stats_flow:
+        stats_sel = np.empty((n_jobs, 7), np.int32)
+        for (off, k, _), (st,) in zip(futures2, fetched2):
+            s32 = st[:k].astype(np.int32)
+            stats_sel[off:off + k, :6] = s32[:, :6]
+            stats_sel[off:off + k, 6] = s32[:, 6] - s32[:, 7]
+        return stats_sel
+    W_all = fetched2[0][1].shape[1]
+    packed_sel = np.empty((n_jobs, 10), np.int32)
+    ops_sel = np.empty((n_jobs, W_all), np.uint8)
+    for (off, k, _), (pk, opk) in zip(futures2, fetched2):
+        packed_sel[off:off + k] = pk[:k]
+        ops_sel[off:off + k] = opk[:k]
+    return packed_sel, ops_sel
+
+
 class FastLS:
     """Per-Mapper fast-path state (padded genome, contig name blobs)."""
 
@@ -736,82 +819,12 @@ class FastLS:
         if tp is not None:
             # two-phase phase B: full SW only on the pass1 + vec-gate
             # survivors
-            t2 = _time.perf_counter()
-            from .core.sw_full_pallas import pallas_full_ok
-            from .mapper import FULL_BUCKETS
-            win = ctx["win"]
-            L2, R2 = tp["L"], tp["R"]
-            kw2 = dict(tp["kw"], phase="full")
-            # same long-read shrink as _fused_dispatch: without stats
-            # flow, phase B materializes a [bucket, R, G] backpointer
-            # tensor that must stay under int32/HBM limits
-            eff_batch2 = FULL_BATCH
-            if not stats_flow:
-                eff_batch2 = max(8, min(FULL_BATCH,
-                                        (1 << 28)
-                                        // max(R2 * ctx["G"], 1)))
-            futures2 = []
-            off = 0
-            while off < n_jobs:
-                k = min(n_jobs - off, eff_batch2)
-                if eff_batch2 >= FULL_BUCKETS[0]:
-                    bucket = FULL_BUCKETS[int(
-                        np.searchsorted(FULL_BUCKETS, k))]
-                else:
-                    bucket = 1 << int(np.ceil(np.log2(max(k, 8))))
-                rws = rows[off:off + k]
-                if win.get("packed_io"):
-                    args = _pack_args4(
-                        bucket, k, win["starts"][rws], win["glen"][rws],
-                        win["ri"][rws], win["rcmask"][rws],
-                        win["rx"][rws], win["ry"][rws], win["rl_"][rws],
-                        win["rw_"][rws], win["rev"][rws])
-                else:
-                    args = np.zeros((bucket, 10), np.int32)
-                    args[:k, 0] = win["starts"][rws]
-                    args[:k, 1] = win["glen"][rws]
-                    args[:k, 2] = win["ri"][rws]
-                    args[:k, 3] = win["rcmask"][rws]
-                    args[:k, 4] = L2
-                    args[:k, 5] = win["rx"][rws]
-                    args[:k, 6] = win["ry"][rws]
-                    args[:k, 7] = win["rl_"][rws]
-                    args[:k, 8] = win["rw_"][rws]
-                    args[:k, 9] = win["rev"][rws]
-                    args[k:, 1] = 1
-                    args[k:, 4] = 1
-                    args[k:, 7] = 1
-                    args[k:, 8] = 1
-                kw2["use_pallas"] = pallas_full_ok(bucket, R2,
-                                                   ctx["G"])
-                with m._device_ctx():
-                    res = tp["fn"](tp["codes_dev"], tp["codes_rc_dev"],
-                                   args, tp["rtab_dev"], **kw2)
-                futures2.append((off, k, res))
-                off += k
-            fetched2 = jax.device_get([r for _, _, r in futures2])
-            if stats_flow and win.get("packed_io"):
-                stats_sel = np.empty((n_jobs, 7), np.int32)
-                for (off, k, _), (pk3,) in zip(futures2, fetched2):
-                    stats_sel[off:off + k] = _unpack_stats3(pk3[:k])[1]
-            elif stats_flow:
-                stats_sel = np.empty((n_jobs, 7), np.int32)
-                for (off, k, _), (st,) in zip(futures2, fetched2):
-                    s32 = st[:k].astype(np.int32)
-                    stats_sel[off:off + k, :6] = s32[:, :6]
-                    stats_sel[off:off + k, 6] = s32[:, 6] - s32[:, 7]
+            out2 = _tp_run_full(m, tp, ctx["win"], ctx["G"], rows,
+                                stats_flow, fh, L)
+            if stats_flow:
+                stats_sel = out2
             else:
-                W_all = fetched2[0][1].shape[1]
-                packed_sel = np.empty((n_jobs, 10), np.int32)
-                ops_sel = np.empty((n_jobs, W_all), np.uint8)
-                for (off, k, _), (pk, opk) in zip(futures2, fetched2):
-                    packed_sel[off:off + k] = pk[:k]
-                    ops_sel[off:off + k] = opk[:k]
-            m.stats.full_invocs += n_jobs
-            m.stats.full_cells += int(
-                fh.w_len[rows].astype(np.int64).sum()) * L
-            m.stats.add_stage("device full (2ph)",
-                              _time.perf_counter() - t2)
+                packed_sel, ops_sel = out2
         t0 = _time.perf_counter()
         if stats_flow:
             win = ctx["win"]
@@ -1093,7 +1106,12 @@ class _PPParams(ctypes.Structure):
                 ("win_shard", ctypes.c_void_p),
                 ("n_shards", ctypes.c_int32),
                 ("part_out", ctypes.c_void_p),
-                ("ext_in", ctypes.c_void_p)]
+                ("ext_in", ctypes.c_void_p),
+                # select-then-full two-phase (pairedpipe.cpp tail)
+                ("full_valid", ctypes.c_void_p),
+                ("rescue_flag", ctypes.c_void_p),
+                ("select_only", ctypes.c_int32),
+                ("sel_out", ctypes.c_void_p)]
 
 
 class _PPWin(ctypes.Structure):
@@ -1297,8 +1315,17 @@ class FastPaired:
         if fh.n:
             rcf = (fh.owner & 1).astype(np.int8) != \
                 input_strand[(fh.owner >> 1).astype(np.int64)]
+            # n_reads enables the density-gated two-phase dispatch
+            # (vec-only now; full SW later on the rows the native
+            # SELECT pass picks — the reference's lazy full-SW). Only
+            # the plain single-host path takes it: the sharded tiers
+            # override dispatch_fn and keep the fused launch.
+            tp_ok = (self.fls.dispatch_fn is _fused_dispatch
+                     and self.zpair_merge_hook is None
+                     and self.read_slice is None)
             futures, win, G, stats_flow = self.fls.dispatch_fn(
-                m, fh, read_tab, L, R, rcf)
+                m, fh, read_tab, L, R, rcf,
+                **(dict(n_reads=B) if tp_ok else {}))
         m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
         return dict(B=B, L=L, wlen=wlen, fh=fh, win=win, futures=futures,
                     G=G, R=R, stats_flow=stats_flow, codes=codes,
@@ -1326,12 +1353,16 @@ class FastPaired:
             return b"", pair_nhits, read_nhits
         import jax
         n = int(fh.n)
+        tp = (ctx["win"] or {}).get("two_phase")
         t0 = _time.perf_counter()
         fetch = (ctx["win"] or {}).get("fetch")
         fetched = fetch(ctx["futures"]) if fetch else \
             jax.device_get([res for _, _, res in ctx["futures"]])
         scores = np.empty(n, np.int64)
-        if ctx["stats_flow"] and ctx["win"].get("packed_io"):
+        if tp is not None:
+            for (off, k, _), (vec,) in zip(ctx["futures"], fetched):
+                scores[off:off + k] = vec[:k]
+        elif ctx["stats_flow"] and ctx["win"].get("packed_io"):
             stats_all = np.empty((n, 7), np.int32)
             for (off, k, _), (pk3,) in zip(ctx["futures"], fetched):
                 v, st = _unpack_stats3(pk3[:k])
@@ -1359,7 +1390,14 @@ class FastPaired:
 
         t0 = _time.perf_counter()
         win = ctx["win"]
-        if ctx["stats_flow"]:
+        if tp is not None:
+            # select-then-full: alignment expansion happens later, only
+            # for the rows the native SELECT pass picks
+            assert self.read_slice is None \
+                and self.zpair_merge_hook is None
+            W = (ctx["R"] + ctx["G"] + 3) // 4
+            packed = ops_pk = None
+        elif ctx["stats_flow"]:
             ctx2 = dict(n_jobs=n,
                         jobs=dict(ri=win["ri"],
                                   w_len=np.ascontiguousarray(
@@ -1415,9 +1453,10 @@ class FastPaired:
             w_len=np.ascontiguousarray(fh.w_len[rsl], np.int32),
             matches=np.ascontiguousarray(fh.matches[rsl], np.int32),
             score_max=np.ascontiguousarray(fh.score_max[rsl], np.int64),
-            vec=np.ascontiguousarray(scores[rsl], np.int64),
-            packed=np.ascontiguousarray(packed[rsl], np.int32),
-            ops_pk=np.ascontiguousarray(ops_pk[rsl], np.uint8))
+            vec=np.ascontiguousarray(scores[rsl], np.int64))
+        if tp is None:
+            arrs["packed"] = np.ascontiguousarray(packed[rsl], np.int32)
+            arrs["ops_pk"] = np.ascontiguousarray(ops_pk[rsl], np.uint8)
         p = _PPParams(
             n_pairs, n, L, ctx["wlen"], W,
             (ctypes.c_int64 * 2)(int(re1.delta_g_off_min[0]),
@@ -1456,6 +1495,72 @@ class FastPaired:
             0, 0, 0, 0, None, None, None, None, None, None, 0,
             None, None, 0)
         wstruct = _PPWin(**{k: _vp(v) for k, v in arrs.items()})
+        if tp is not None:
+            # ---- select pass: from the vector scores alone, the
+            # native brain picks every row that can need full-SW
+            # results (paired heap feet + the hp heap superset)
+            t2 = _time.perf_counter()
+            hp_tmp = hp.pass1.num_outputs
+            cap_sel = int(n_pairs) * 2 * (
+                pairing.pass1_num_outputs + hp_tmp
+                + pairing.pass2_num_outputs) + 8
+            sel_out = np.zeros(cap_sel, np.int32)
+            p.select_only = 1
+            p.sel_out = sel_out.ctypes.data
+            dummy = np.zeros(8, np.uint8)
+            nsel = int(self.lib.paired_finalize_render(
+                ctypes.byref(p), ctypes.byref(wstruct),
+                dummy.ctypes.data_as(ctypes.c_char_p), 0,
+                _vp(pair_nhits), _vp(read_nhits)))
+            assert 0 <= nsel <= cap_sel
+            p.select_only = 0
+            p.sel_out = None
+            m.stats.add_stage("paired select (2ph)",
+                              _time.perf_counter() - t2)
+
+            keep_alive = {}
+
+            def prepare_full(rows_f):
+                """Full SW + alignment expansion for rows_f only;
+                scatter into full-size arrays the render consumes."""
+                nonlocal W
+                out2 = _tp_run_full(m, tp, win, ctx["G"], rows_f,
+                                    ctx["stats_flow"], fh, L)
+                t3 = _time.perf_counter()
+                if ctx["stats_flow"]:
+                    ctx2 = dict(
+                        n_jobs=len(rows_f),
+                        jobs=dict(ri=win["ri"][rows_f],
+                                  w_len=np.ascontiguousarray(
+                                      fh.w_len[rows_f], np.int32)),
+                        R=ctx["R"], G=ctx["G"], ctx=dict(L=L),
+                        read_tab=ctx["read_tab"], rows=rows_f,
+                        starts=win["starts"][rows_f],
+                        rcmask=win["rcmask"][rows_f],
+                        rx=win["rx"][rows_f], ry=win["ry"][rows_f],
+                        rl_=win["rl_"][rows_f], rw_=win["rw_"][rows_f],
+                        rev=win["rev"][rows_f])
+                    pk_s, ops_s, W = fls._stats_to_packed(out2, ctx2)
+                else:
+                    pk_s, ops_s = out2
+                    W = ops_s.shape[1]
+                p.ops_words = W
+                pk_full = np.zeros((n, 10), np.int32)
+                ops_full = np.zeros((n, W), np.uint8)
+                pk_full[rows_f] = pk_s
+                ops_full[rows_f] = ops_s
+                fv = np.zeros(n, np.uint8)
+                fv[rows_f] = 1
+                keep_alive.update(pk=pk_full, ops=ops_full, fv=fv)
+                wstruct.packed = _vp(pk_full)
+                wstruct.ops_pk = _vp(ops_full)
+                p.full_valid = fv.ctypes.data
+                m.stats.add_stage("alignment expand",
+                                  _time.perf_counter() - t3)
+
+            prepare_full(np.unique(sel_out[:nsel]).astype(np.int64))
+            rescue = np.zeros(1, np.int32)
+            p.rescue_flag = rescue.ctypes.data
         if self.zpair_merge_hook is not None:
             # sharded-index paired MQV recombination: collect pass
             # writes per-(pair, shard) partials, the hook merges them
@@ -1498,6 +1603,26 @@ class FastPaired:
             if rv >= 0:
                 break
             cap *= 4
+        if tp is not None and rescue[0]:
+            # the select superset missed a row the render needed
+            # (possible when saved-anchor suppression diverges):
+            # correctness net — full results for EVERY row, re-render
+            import sys as _sys
+            print("fastpath: paired two-phase rescue (full re-dispatch)",
+                  file=_sys.stderr)
+            prepare_full(np.arange(n, dtype=np.int64))
+            p.full_valid = None
+            pair_nhits[:] = 0
+            read_nhits[:] = 0
+            while True:
+                out = np.empty(cap, np.uint8)
+                rv = int(self.lib.paired_finalize_render(
+                    ctypes.byref(p), ctypes.byref(wstruct),
+                    out.ctypes.data_as(ctypes.c_char_p), cap,
+                    _vp(pair_nhits), _vp(read_nhits)))
+                if rv >= 0:
+                    break
+                cap *= 4
         m.stats.add_stage("paired select + render",
                           _time.perf_counter() - t0)
         m.stats.reads_mapped += int((pair_nhits > 0).sum()) * 2

@@ -419,6 +419,50 @@ class FastCS:
             m.stats.full_cells += cells * 4
         return futures, win, G, use_pallas
 
+    def _cs_run_full_rows(self, tp, rows, fh, R):
+        """Two-phase phase B: the fused CS full launch for the given
+        window rows only. Returns (packed_sel [k,12] int16, steps_sel
+        [k,W] int8, W). Shared by the unpaired pass1-survivor flow and
+        the paired select-then-full flow."""
+        t2 = _time.perf_counter()
+        import jax as _jax
+
+        from .core.sw_cs_jax import sw_vec_cs_full_from_index
+        m = self.m
+        n_sel = len(rows)
+        planes = m._dev_cs_planes()
+        args_sel = tp["args_all"][rows]
+        full_kw = dict(tp["kw"], phase="full")
+        futures2 = []
+        with m._device_ctx():
+            for off in range(0, n_sel, CS_FUSED_BATCH):
+                end = min(off + CS_FUSED_BATCH, n_sel)
+                k = end - off
+                chunk = np.zeros((CS_FUSED_BATCH, 12), np.int32)
+                chunk[:k] = args_sel[off:end]
+                chunk[k:, 1] = 1
+                chunk[k:, 4] = 1
+                chunk[k:, 7] = 1
+                chunk[k:, 8] = 1
+                chunk[k:, 10] = 1
+                res = sw_vec_cs_full_from_index(
+                    *planes, chunk, tp["rtab_dev"], tp["qr_dev"],
+                    tp["xov_dev"], **full_kw)
+                futures2.append((off, k, res))
+        fetched2 = _jax.device_get([res for _, _, res in futures2])
+        W = fetched2[0][1].shape[1] if futures2 else 1
+        packed_sel = np.empty((n_sel, 12), np.int16)
+        steps_sel = np.empty((n_sel, W), np.int8)
+        for (off, k, _), (pk, st) in zip(futures2, fetched2):
+            packed_sel[off:off + k] = pk[:k]
+            steps_sel[off:off + k] = st[:k]
+        m.stats.full_invocs += n_sel
+        m.stats.full_cells += int(
+            fh.w_len[rows].astype(np.int64).sum()) * R * 4
+        m.stats.add_stage("device full (2ph)",
+                          _time.perf_counter() - t2)
+        return packed_sel, steps_sel, W
+
     def _cs_genome_view(self, rows, ctx):
         """Letter-plane view the native post-SW eval reads
         (`eval_hit`'s genome[gbase + jj] accesses, confined to each
@@ -522,42 +566,8 @@ class FastCS:
             steps_sel = np.ascontiguousarray(steps_all[rows])
         else:
             # two-phase: full SW only on the pass1 survivors
-            t2 = _time.perf_counter()
-            import jax as _jax
-
-            from .core.sw_cs_jax import sw_vec_cs_full_from_index
-            planes = m._dev_cs_planes()
-            args_sel = tp["args_all"][rows]
-            full_kw = dict(tp["kw"], phase="full")
-            futures2 = []
-            with m._device_ctx():
-                for off in range(0, n_sel, CS_FUSED_BATCH):
-                    end = min(off + CS_FUSED_BATCH, n_sel)
-                    k = end - off
-                    chunk = np.zeros((CS_FUSED_BATCH, 12), np.int32)
-                    chunk[:k] = args_sel[off:end]
-                    chunk[k:, 1] = 1
-                    chunk[k:, 4] = 1
-                    chunk[k:, 7] = 1
-                    chunk[k:, 8] = 1
-                    chunk[k:, 10] = 1
-                    res = sw_vec_cs_full_from_index(
-                        *planes, chunk, tp["rtab_dev"], tp["qr_dev"],
-                        tp["xov_dev"], **full_kw)
-                    futures2.append((off, k, res))
-            fetched2 = _jax.device_get(
-                [res for _, _, res in futures2])
-            W = fetched2[0][1].shape[1]
-            packed_sel = np.empty((n_sel, 12), np.int16)
-            steps_sel = np.empty((n_sel, W), np.int8)
-            for (off, k, _), (pk, st) in zip(futures2, fetched2):
-                packed_sel[off:off + k] = pk[:k]
-                steps_sel[off:off + k] = st[:k]
-            m.stats.full_invocs += n_sel
-            m.stats.full_cells += int(
-                fh.w_len[rows].astype(np.int64).sum()) * R * 4
-            m.stats.add_stage("device full (2ph)",
-                              _time.perf_counter() - t2)
+            packed_sel, steps_sel, W = self._cs_run_full_rows(
+                tp, rows, fh, R)
         t1 = _time.perf_counter()
         idx = m.index
         cal = m.cal
@@ -886,9 +896,13 @@ class FastPairedCS(FastCS):
             # and the native code applies the context threshold
             rcf = (fh.owner & 1).astype(np.int8) != \
                 input_strand[(fh.owner >> 1).astype(np.int64)]
+            # n_reads enables the density-gated two-phase dispatch
+            # (vec now, full SW later on the native SELECT pass's
+            # rows); the mesh overrides ignore it and stay fused
             futures, win, G, _ = self._fused_dispatch_cs(
                 fh, codes0, qr_tab, initbp, R, Bcap, xover_tab,
-                rcf=np.asarray(rcf, bool), thresh_override=1)
+                rcf=np.asarray(rcf, bool), thresh_override=1,
+                n_reads=B)
         m.stats.add_stage("device dispatch", _time.perf_counter() - t2)
         return dict(B=B, R=R, wlen=wlen, fh=fh, win=win, futures=futures,
                     G=G, codes0=codes0, qr_tab=qr_tab,
@@ -919,16 +933,26 @@ class FastPairedCS(FastCS):
         if fh.n == 0:
             return b"", pair_nhits, read_nhits
         n = int(fh.n)
+        tp = (ctx["win"] or {}).get("two_phase")
         t0 = _time.perf_counter()
         fetched = jax.device_get([res for _, _, res in ctx["futures"]])
         scores = np.empty(n, np.int64)
-        W = fetched[0][2].shape[1]
-        packed_all = np.empty((n, 12), np.int16)
-        steps_all = np.empty((n, W), np.int8)
-        for (off, k, _), (vec, pk, st) in zip(ctx["futures"], fetched):
-            scores[off:off + k] = vec[:k]
-            packed_all[off:off + k] = pk[:k]
-            steps_all[off:off + k] = st[:k]
+        if tp is not None:
+            # select-then-full: only the vector scores exist so far
+            assert self.zpair_merge_hook is None
+            for (off, k, _), (vec,) in zip(ctx["futures"], fetched):
+                scores[off:off + k] = vec[:k]
+            packed_all = steps_all = None
+            W = 1
+        else:
+            W = fetched[0][2].shape[1]
+            packed_all = np.empty((n, 12), np.int16)
+            steps_all = np.empty((n, W), np.int8)
+            for (off, k, _), (vec, pk, st) in zip(ctx["futures"],
+                                                  fetched):
+                scores[off:off + k] = vec[:k]
+                packed_all[off:off + k] = pk[:k]
+                steps_all[off:off + k] = st[:k]
         dev_secs = _time.perf_counter() - t0 + ctx["t_dispatch"]
         m.stats.vec_secs += dev_secs
         m.stats.full_secs += dev_secs
@@ -959,9 +983,10 @@ class FastPairedCS(FastCS):
             matches=np.ascontiguousarray(fh.matches, np.int32),
             score_max=np.ascontiguousarray(fh.score_max, np.int64),
             vec=np.ascontiguousarray(scores, np.int64),
-            cs_packed=np.ascontiguousarray(packed_all),
-            cs_steps=np.ascontiguousarray(steps_all),
             start_abs=start_abs_all)
+        if tp is None:
+            arrs["cs_packed"] = np.ascontiguousarray(packed_all)
+            arrs["cs_steps"] = np.ascontiguousarray(steps_all)
         idx = m.index
         import ctypes
         raw = ctx["raw"]
@@ -1010,6 +1035,49 @@ class FastPairedCS(FastCS):
         wstruct = _PPWin(
             **{k: _vp(v) for k, v in arrs.items()},
             packed=None, ops_pk=None)
+        if tp is not None:
+            # ---- select pass (vector scores only), then CS full SW
+            # for just the selected rows (paired heap feet + hp heap
+            # superset — pairedpipe.cpp select_only)
+            t2 = _time.perf_counter()
+            cap_sel = int(n_pairs) * 2 * (
+                pairing.pass1_num_outputs + hp.pass1.num_outputs
+                + pairing.pass2_num_outputs) + 8
+            sel_out = np.zeros(cap_sel, np.int32)
+            p.select_only = 1
+            p.sel_out = sel_out.ctypes.data
+            dummy = np.zeros(8, np.uint8)
+            nsel = int(self.lib.paired_finalize_render(
+                ctypes.byref(p), ctypes.byref(wstruct),
+                dummy.ctypes.data_as(ctypes.c_char_p), 0,
+                _vp(pair_nhits), _vp(read_nhits)))
+            assert 0 <= nsel <= cap_sel
+            p.select_only = 0
+            p.sel_out = None
+            m.stats.add_stage("cs paired select (2ph)",
+                              _time.perf_counter() - t2)
+
+            keep_alive = {}
+
+            def prepare_full(rows_f):
+                nonlocal W
+                pk_s, st_s, W = self._cs_run_full_rows(tp, rows_f, fh,
+                                                       R)
+                p.ops_words = W
+                pk_full = np.zeros((n, 12), np.int16)
+                st_full = np.zeros((n, W), np.int8)
+                pk_full[rows_f] = pk_s
+                st_full[rows_f] = st_s
+                fv = np.zeros(n, np.uint8)
+                fv[rows_f] = 1
+                keep_alive.update(pk=pk_full, st=st_full, fv=fv)
+                wstruct.cs_packed = _vp(pk_full)
+                wstruct.cs_steps = _vp(st_full)
+                p.full_valid = fv.ctypes.data
+
+            prepare_full(np.unique(sel_out[:nsel]).astype(np.int64))
+            rescue = np.zeros(1, np.int32)
+            p.rescue_flag = rescue.ctypes.data
         if self.zpair_merge_hook is not None:
             # sharded-index CS paired MQV recombination: identical
             # two-pass protocol to fastpath.FastPaired.stage_finish —
@@ -1052,6 +1120,25 @@ class FastPairedCS(FastCS):
             if rv >= 0:
                 break
             cap *= 4
+        if tp is not None and rescue[0]:
+            # select superset missed a row — correctness net: full
+            # results for every row, re-render
+            import sys as _sys
+            print("fastpath_cs: paired two-phase rescue "
+                  "(full re-dispatch)", file=_sys.stderr)
+            prepare_full(np.arange(n, dtype=np.int64))
+            p.full_valid = None
+            pair_nhits[:] = 0
+            read_nhits[:] = 0
+            while True:
+                out = np.empty(cap, np.uint8)
+                rv = int(self.lib.paired_finalize_render(
+                    ctypes.byref(p), ctypes.byref(wstruct),
+                    out.ctypes.data_as(ctypes.c_char_p), cap,
+                    _vp(pair_nhits), _vp(read_nhits)))
+                if rv >= 0:
+                    break
+                cap *= 4
         m.stats.add_stage("cs paired select + render",
                           _time.perf_counter() - t0)
         m.stats.reads_mapped += int((pair_nhits > 0).sum()) * 2

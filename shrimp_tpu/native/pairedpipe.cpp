@@ -114,6 +114,22 @@ struct PPParams {
   int32_t n_shards;
   double* part_out;            // [n_pairs, n_shards, 9]
   const double* ext_in;        // [n_pairs, 7]
+  // ---- select-then-full two-phase (the reference's lazy full-SW: the
+  // vector pass selects the feet, only those run full SW —
+  // mapping.c:1261-1366 only_paired + the hp option set). select_only:
+  // run pair-up + pass1 walks + the extraction heaps from the VECTOR
+  // scores alone and append every row that could need full-SW results
+  // to sel_out (paired heap feet + a superset of the hp heap: size
+  // hp_num_tmp + pair2_num_outputs per leg, since at most
+  // pair2_num_outputs saved rows are excluded in the render pass);
+  // return the count. Render pass: full_valid[t]=0 marks rows whose
+  // full results were not computed — pp_run_full on such a row sets
+  // *rescue_flag (caller re-dispatches full SW for every row and
+  // re-renders; correctness never depends on the superset argument).
+  const uint8_t* full_valid;   // [n_windows] or null
+  int32_t* rescue_flag;        // out: set to 1 on a missing-full row
+  int32_t select_only;
+  int32_t* sel_out;            // [cap from caller] selected rows
 };
 
 struct PPWin {
@@ -255,6 +271,15 @@ static void pp_run_full(const PPParams* p, const PPWin* w, WinState& S,
                         int64_t ri) {
   if (S.ran[t]) return;
   S.ran[t] = 1;
+  if (p->full_valid && !p->full_valid[t]) {
+    // two-phase select missed this row: signal the caller to
+    // re-dispatch full SW for every row and re-render
+    if (p->rescue_flag) *p->rescue_flag = 1;
+    S.sf[t] = 0;
+    S.post[t] = 0.0;
+    S.pct_sf[t] = 0;
+    return;
+  }
   if (p->cs) {
     const int16_t* pk = w->cs_packed + t * 12;
     int raw = pk[0];
@@ -492,10 +517,12 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
   const bool abs_hp_full = p->hp_full_threshold < 0;
   const double prm = (R < 40) ? 1e-10 : (R < 60 ? 1e-14 : 1e-16);
 
-  std::vector<PPHeapEnt> heap(std::max(p->pair1_num_outputs,
-                                       p->hp_num_tmp) + 1);
+  std::vector<PPHeapEnt> heap(std::max(
+      std::max(p->pair1_num_outputs, p->hp_num_tmp),
+      p->hp_num_tmp + p->pair2_num_outputs) + 1);
   std::vector<PairC> sel, pairs;
   std::vector<int32_t> hp_out[2];
+  int64_t nsel = 0;
 
   for (int64_t pi = 0; pi < p->n_pairs; pi++) {
     int64_t o0 = 4 * pi;          // leg0 st0 owner
@@ -562,6 +589,43 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
           }
         }
       }
+    }
+
+    if (p->select_only) {
+      // record the paired heap feet, then the hp heap SUPERSET per leg
+      // (header comment: hp_num_tmp + pair2_num_outputs covers every
+      // row the render-pass hp heap can keep after saved exclusions)
+      for (int h = 0; h < load; h++) {
+        p->sel_out[nsel++] = heap[h].a;
+        p->sel_out[nsel++] = heap[h].b;
+      }
+      if (p->hp_enabled) {
+        for (int nip = 0; nip < 2; nip++) {
+          int64_t os = nip == 0 ? o0 : o1;
+          pp_pass1_walk(p, w, S, os, false, pair_min, p->hp_min_matches,
+                        p->hp_threshold, p->hp_overlap);
+          int hcap = p->hp_num_tmp + p->pair2_num_outputs;
+          int hload = 0;
+          for (int st = 0; st < 2; st++) {
+            int64_t lo = w->seg[os + st], hi = w->seg[os + st + 1];
+            for (int64_t t = lo; t < hi; t++) {
+              int64_t key = abs_hp ? S.sv[t] : S.pct_sv[t];
+              if (S.sv[t] < (int64_t)pp_abs_or_pct(
+                      p->hp_threshold, (double)w->score_max[t]))
+                continue;
+              if (hload < hcap)
+                pp_heap_insert(heap.data(), hload,
+                               {key, (int32_t)t, 0});
+              else if (key > heap[0].key)
+                pp_heap_replace_min(heap.data(), hload,
+                                    {key, (int32_t)t, 0});
+            }
+          }
+          for (int h = 0; h < hload; h++)
+            p->sel_out[nsel++] = heap[h].a;
+        }
+      }
+      continue;
     }
 
     // ---- full SW on selected feet (speculative results + gate)
@@ -1198,6 +1262,7 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
       }
     }
   }
+  if (p->select_only) return nsel;
   return wp - out_buf;
 }
 

@@ -208,3 +208,23 @@ def test_cs_paired_fastpath_fastq(tmp_path):
     gen = map_paired_cs_sam_stream(m2, recs, batch_size=32, lanes=1)
     assert gen is not None
     assert b"".join(gen) == want
+
+
+def test_cs_paired_two_phase_select_full_identical(monkeypatch):
+    """CS paired select-then-full (vector pass picks the feet via the
+    native select pass, only those run the 4-layer full CS SW) must be
+    byte-identical to the fused speculative launch."""
+    from shrimp_tpu.fastpath_cs import map_paired_cs_sam_stream
+    from shrimp_tpu.paired import PairedMapper
+    g, recs = _make_cs_pairs(99, 70)
+    idx = build_index([("chrP", encode.encode_ls(g))],
+                      default_seeds(mode="cs"), mode="cs")
+    cfg = MapperConfig(mode=C.MODE_COLOUR_SPACE, pair_mode="opp-in")
+    monkeypatch.setenv("SHRIMP_TPU_CS_TWO_PHASE", "0")
+    want = b"".join(map_paired_cs_sam_stream(
+        PairedMapper(idx, cfg), recs, batch_size=64, lanes=1))
+    assert want.count(b"\n") >= 70
+    monkeypatch.setenv("SHRIMP_TPU_CS_TWO_PHASE", "1")
+    got = b"".join(map_paired_cs_sam_stream(
+        PairedMapper(idx, cfg), recs, batch_size=64, lanes=1))
+    assert got == want

@@ -141,3 +141,22 @@ def test_paired_fastpath_fastq_quals():
     gen = map_paired_sam_stream(m2, recs, batch_size=64, lanes=1)
     assert gen is not None
     assert b"".join(gen) == want
+
+
+def test_paired_two_phase_select_full_identical(monkeypatch):
+    """Select-then-full paired dispatch (the reference's lazy full-SW:
+    vector pass picks the feet, only those run full SW —
+    mapping.c:1261-1366 only_paired + the hp option set) must be
+    byte-identical to the fused speculative launch, including the
+    half-paired fallback for discordant pairs."""
+    g, recs = make_pairs(77, 80, "opp-in")
+    idx = build_index([("chrP", encode.encode_ls(g))], default_seeds())
+    cfg = MapperConfig(pair_mode="opp-in")
+    monkeypatch.setenv("SHRIMP_TPU_LS_TWO_PHASE", "0")
+    want = b"".join(map_paired_sam_stream(PairedMapper(idx, cfg), recs,
+                                          batch_size=64, lanes=1))
+    assert want.count(b"\n") >= 80
+    monkeypatch.setenv("SHRIMP_TPU_LS_TWO_PHASE", "1")
+    got = b"".join(map_paired_sam_stream(PairedMapper(idx, cfg), recs,
+                                         batch_size=64, lanes=1))
+    assert got == want
