@@ -38,18 +38,17 @@ CS_TWO_PHASE_WPR = 8
 
 def fastpath_cs_supported(cfg: MapperConfig) -> bool:
     """Gate: the native CS renderer covers the default CS unpaired SAM
-    flow (single option set, global alignment, MQV on)."""
+    flow (single option set, global alignment, MQV on) plus the
+    renderer-level flags (--all-contigs, --sam-unaligned, --read-group,
+    --sam-r2 — output-side only, they must not evict the device fast
+    path)."""
     return (cfg.mode == C.MODE_COLOUR_SPACE
             and cfg.pair_mode == C.PAIR_NONE
             and len(cfg.unpaired_options()) == 1
             and not cfg.gapless
             and cfg.global_alignment
             and cfg.compute_mapping_qualities
-            and not cfg.all_contigs
             and not cfg.extra_sam_fields
-            and not cfg.sam_r2
-            and cfg.read_group_name is None
-            and not cfg.sam_unaligned
             and not cfg.shrimp_format
             and not cfg.bfast
             and cfg.search_forward and cfg.search_reverse)
@@ -85,7 +84,11 @@ class _CSFRParams(ctypes.Structure):
                 ("qual_delta", ctypes.c_int32),
                 ("use_sanger_qvs", ctypes.c_int32),
                 ("quals", ctypes.c_void_p), ("cq", ctypes.c_void_p),
-                ("cq_len", ctypes.c_int32)]
+                ("cq_len", ctypes.c_int32),
+                # renderer-level flags (cspipe.cpp tail)
+                ("rg", ctypes.c_void_p), ("rg_len", ctypes.c_int32),
+                ("all_contigs", ctypes.c_int32),
+                ("sam_unaligned", ctypes.c_int32)]
 
 
 class _CSFRJobs(ctypes.Structure):
@@ -419,6 +422,31 @@ class FastCS:
             m.stats.full_cells += cells * 4
         return futures, win, G, use_pallas
 
+    def _unaligned_block_cs(self, ctx, nhits) -> bytes:
+        """--sam-unaligned CS records for reads with no alignments, for
+        the early-return paths (same bytes cspipe emits)."""
+        cfg = self.m.config
+        if not cfg.sam_unaligned:
+            return b""
+        rg = (f"\tRG:Z:{cfg.read_group_name}".encode()
+              if cfg.read_group_name else b"")
+        name_off = ctx["name_off"]
+        names = ctx["names"].tobytes()
+        raw = ctx["raw"]
+        cq = ctx.get("cq")
+        fastq = ctx.get("quals") is not None
+        parts = []
+        for r in range(ctx["B"]):
+            if nhits[r]:
+                continue
+            cqs = (cq[r].tobytes() if fastq and cq is not None
+                   else b"*")
+            parts.append(names[name_off[r]:name_off[r + 1]]
+                         + b"\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\tCQ:Z:"
+                         + cqs + b"\tCS:Z:" + raw[r].tobytes() + rg
+                         + b"\n")
+        return b"".join(parts)
+
     def _cs_run_full_rows(self, tp, rows, fh, R):
         """Two-phase phase B: the fused CS full launch for the given
         window rows only. Returns (packed_sel [k,12] int16, steps_sel
@@ -494,7 +522,7 @@ class FastCS:
         nhits = np.zeros(B, np.int32)
         m.stats.reads += B
         if fh.n == 0:
-            return b"", nhits
+            return self._unaligned_block_cs(ctx, nhits), nhits
         n = int(fh.n)
         tp = (ctx["win"] or {}).get("two_phase")
         t0 = _time.perf_counter()
@@ -556,7 +584,7 @@ class FastCS:
         assert n_sel >= 0
         m.stats.add_stage("pass1 select", _time.perf_counter() - t0)
         if n_sel == 0:
-            return b"", nhits
+            return self._unaligned_block_cs(ctx, nhits), nhits
 
         # CS pass2 runs the full SW on every selected hit (no vector
         # gate, hit_run_full_sw mapping.c:375-379): keep all rows
@@ -608,6 +636,15 @@ class FastCS:
             ctx["cq"].ctypes.data
             if ctx.get("cq") is not None else None,
             ctx["cq"].shape[1] if ctx.get("cq") is not None else 0)
+        # renderer-level flags (kept out of the gate)
+        rg_bytes = None
+        if cfg.read_group_name:
+            rg_bytes = f"\tRG:Z:{cfg.read_group_name}".encode()
+            fr.rg = ctypes.cast(ctypes.c_char_p(rg_bytes),
+                                ctypes.c_void_p)
+            fr.rg_len = len(rg_bytes)
+        fr.all_contigs = int(cfg.all_contigs)
+        fr.sam_unaligned = int(cfg.sam_unaligned)
         frj = _CSFRJobs(**{k: _vp(v) for k, v in job_arrs.items()})
         cap_b = n_sel * (3 * R + 256) + 4096
         while True:
@@ -707,11 +744,9 @@ def fastpath_cs_paired_supported(cfg: MapperConfig) -> bool:
         return False
     if not cfg.compute_mapping_qualities:
         return False
-    if cfg.single_best_mapping or cfg.all_contigs:
+    if cfg.single_best_mapping:
         return False
-    if cfg.extra_sam_fields or cfg.sam_r2 or cfg.sam_unaligned:
-        return False
-    if cfg.read_group_name is not None or cfg.shrimp_format:
+    if cfg.extra_sam_fields or cfg.shrimp_format:
         return False
     if cfg.bfast:
         return False
@@ -735,6 +770,40 @@ class FastPairedCS(FastCS):
         self.zpair_win_shard = None
         self.zpair_n_shards = 0
         self._last_zpair_merged: Optional[np.ndarray] = None
+
+    def _cs_paired_unaligned_block(self, ctx) -> bytes:
+        """--sam-unaligned records for every pair of a CS batch with no
+        candidate windows (same bytes pairedpipe emits in CS mode)."""
+        cfg = self.m.config
+        if not cfg.sam_unaligned:
+            return b""
+        from .io.sam import _pair_qname
+        name_off = ctx["name_off"]
+        names = ctx["names"].tobytes()
+        raw = ctx["raw"]
+        cq = ctx.get("cq")
+        fastq = ctx.get("quals") is not None
+        rg = (f"\tRG:Z:{cfg.read_group_name}".encode()
+              if cfg.read_group_name else b"")
+        parts = []
+        for pi in range(ctx["B"] // 2):
+            nms = [names[name_off[2 * pi + k]:
+                         name_off[2 * pi + k + 1]].decode()
+                   for k in (0, 1)]
+            q = _pair_qname(nms[0], nms[1]).encode()
+            for nip in (0, 1):
+                ri = 2 * pi + nip
+                flags = 0x1 | 0x4 | 0x8 | (0x40 if nip == 0 else 0x80)
+                cqs = (cq[ri].tobytes() if fastq and cq is not None
+                       else b"*")
+                line = (q + f"\t{flags}\t*\t0\t0\t*\t*\t0\t0\t*\t*"
+                        .encode() + b"\tCQ:Z:" + cqs + b"\tCS:Z:"
+                        + raw[ri].tobytes())
+                if cfg.sam_r2:
+                    line += (b"\tX2:Z:"
+                             + raw[2 * pi + 1 - nip].tobytes())
+                parts.append(line + rg + b"\n")
+        return b"".join(parts)
 
     def _cs_genome_view_paired(self, ctx):
         """Letter-plane view for the paired native render's post-SW
@@ -931,7 +1000,8 @@ class FastPairedCS(FastCS):
         read_nhits = np.zeros(B, np.int32)
         m.stats.reads += B
         if fh.n == 0:
-            return b"", pair_nhits, read_nhits
+            return (self._cs_paired_unaligned_block(ctx), pair_nhits,
+                    read_nhits)
         n = int(fh.n)
         tp = (ctx["win"] or {}).get("two_phase")
         t0 = _time.perf_counter()
@@ -1032,6 +1102,19 @@ class FastPairedCS(FastCS):
             quals.ctypes.data if quals is not None else None,
             cq.ctypes.data if cq is not None else None,
             cq.shape[1] if cq is not None else 0)
+        # renderer-level flags (RG suffix, all-contigs, sam-unaligned,
+        # X2 mate seq)
+        rg_keep = None
+        if cfg.read_group_name:
+            rg_keep = f"\tRG:Z:{cfg.read_group_name}".encode()
+            p.rg = ctypes.cast(ctypes.c_char_p(rg_keep),
+                               ctypes.c_void_p)
+            p.rg_len = len(rg_keep)
+        p.all_contigs = int(cfg.all_contigs)
+        p.sam_unaligned = int(cfg.sam_unaligned)
+        p.sam_r2 = int(cfg.sam_r2)
+        p.una_lo = 0
+        p.una_hi = n_pairs
         wstruct = _PPWin(
             **{k: _vp(v) for k, v in arrs.items()},
             packed=None, ops_pk=None)

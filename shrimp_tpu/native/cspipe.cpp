@@ -61,6 +61,11 @@ struct CSFRParams {
   const uint8_t* quals;        // [n_reads, R] scoring quality chars
   const uint8_t* cq;           // [n_reads, cq_len] raw chars for CQ:Z
   int32_t cq_len;
+  // renderer-level flags (must not evict the device fast path)
+  const char* rg;              // "\tRG:Z:<name>" suffix or null
+  int32_t rg_len;
+  int32_t all_contigs;         // omit Z fields
+  int32_t sam_unaligned;       // emit flag-4 records for unmapped
 };
 
 struct CSFRJobs {
@@ -125,10 +130,39 @@ int64_t cs_finalize_render(const CSFRParams* p, const CSFRJobs* j,
   std::vector<CSHit> sv;
   sv.reserve(32);
 
+  // CS unmapped record (render_hit unmapped branch): SEQ/QUAL are '*',
+  // CQ:Z raw quals (or '*'), CS:Z the raw colour read, then RG
+  auto emit_unmapped = [&](int64_t ri) -> bool {
+    int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
+    if (end - w < 64 + nl + p->read_seq_len + p->cq_len + p->rg_len)
+      return false;
+    memcpy(w, p->names + p->name_off[ri], nl);
+    w += nl;
+    memcpy(w, "\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\tCQ:Z:", 26);
+    w += 26;
+    if (p->fastq && p->cq) {
+      memcpy(w, p->cq + (int64_t)ri * p->cq_len, p->cq_len);
+      w += p->cq_len;
+    } else {
+      *w++ = '*';
+    }
+    memcpy(w, "\tCS:Z:", 6);
+    w += 6;
+    memcpy(w, p->readseq + ri * p->read_seq_len, p->read_seq_len);
+    w += p->read_seq_len;
+    if (p->rg_len) {
+      memcpy(w, p->rg, p->rg_len);
+      w += p->rg_len;
+    }
+    *w++ = '\n';
+    return true;
+  };
+
   int64_t a = 0;
-  while (a < p->n_jobs) {
-    int64_t ri = j->ri[a];
+  for (int64_t ri = 0; ri < p->n_reads; ri++) {
     int64_t b = a;
+    while (b < p->n_jobs && j->ri[b] < ri) b++;   // (defensive)
+    a = b;
     while (b < p->n_jobs && j->ri[b] == ri) b++;
 
     sv.clear();
@@ -228,7 +262,8 @@ int64_t cs_finalize_render(const CSFRParams* p, const CSFRJobs* j,
         int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
         int64_t need = 512 + nl + (int64_t)ev.xx.size() + ev.seq.size()
                        + ev.qual.size() + (int64_t)p->read_seq_len
-                       + p->cq_len + 12 * (int64_t)ev.cig_n.size();
+                       + p->cq_len + p->rg_len
+                       + 12 * (int64_t)ev.cig_n.size();
         if (end - w < need) return -1;
         memcpy(w, p->names + p->name_off[ri], nl);
         w += nl;
@@ -274,9 +309,10 @@ int64_t cs_finalize_render(const CSFRParams* p, const CSFRJobs* j,
           *w++ = '*';
         }
         w += sprintf(w, "\tAS:i:%d", s.score_full);
-        w += sprintf(w, "\tZ0:i:%d\tZ1:i:%d",
-                     (int)(1000.0 * -log(s.ev.posterior)),
-                     (int)(1000.0 * -log(z1)));
+        if (!p->all_contigs)
+          w += sprintf(w, "\tZ0:i:%d\tZ1:i:%d",
+                       (int)(1000.0 * -log(s.ev.posterior)),
+                       (int)(1000.0 * -log(z1)));
         w += sprintf(w, "\tNM:i:%d", ev.mismatches + ev.dele + ev.ins);
         if (p->fastq && p->cq) {
           // CQ:Z raw colour quality string (output.c:688-690)
@@ -295,9 +331,16 @@ int64_t cs_finalize_render(const CSFRParams* p, const CSFRJobs* j,
         w += 6;
         memcpy(w, ev.xx.data(), ev.xx.size());
         w += ev.xx.size();
+        if (p->rg_len) {
+          memcpy(w, p->rg, p->rg_len);
+          w += p->rg_len;
+        }
         *w++ = '\n';
       }
       read_nhits[ri] = (int32_t)sv.size();
+    }
+    if (p->sam_unaligned && read_nhits[ri] == 0) {
+      if (!emit_unmapped(ri)) return -1;
     }
     a = b;
   }

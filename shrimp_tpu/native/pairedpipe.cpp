@@ -130,6 +130,17 @@ struct PPParams {
   int32_t* rescue_flag;        // out: set to 1 on a missing-full row
   int32_t select_only;
   int32_t* sel_out;            // [cap from caller] selected rows
+  // ---- renderer-level flags (must not evict the fast path)
+  const char* rg;              // "\tRG:Z:<name>" suffix or null
+  int32_t rg_len;
+  int32_t all_contigs;         // omit Z fields
+  int32_t sam_unaligned;       // emit flag-4 records for silent pairs
+  int32_t sam_r2;              // append R2:Z (LS) / X2:Z (CS) mate seq
+  const uint8_t* seq_raw;      // [2B, R] raw read chars (LS R2 +
+                               // unaligned SEQ uses seq_fwd; R2 uses
+                               // the RAW characters, output.c:758-766)
+  int64_t una_lo, una_hi;      // unaligned emission pair range
+                               // (read-sharded ranks restrict to slice)
 };
 
 struct PPWin {
@@ -979,8 +990,8 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
                          double z5or6, bool z56_is_6) -> bool {
       int64_t ri = 2 * pi + nip;
       int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
-      if (end - wp < 640 + 11 * (int64_t)R + 2 * nl
-                     + (p->cs ? 3 * (int64_t)R + 2 * p->cs_read_seq_len
+      if (end - wp < 640 + 12 * (int64_t)R + 2 * nl + p->rg_len
+                     + (p->cs ? 3 * (int64_t)R + 3 * p->cs_read_seq_len
                               : 0))
         return false;
       const char* nm = p->names + p->name_off[ri];
@@ -1120,7 +1131,7 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
         }
       }
       wp += sprintf(wp, "\tAS:i:%d", S.sf[t]);
-      if (p->compute_mqv) {
+      if (p->compute_mqv && !p->all_contigs) {
         if (paired) {
           wp += sprintf(wp, "\tZ2:i:%d\tZ3:i:%d\tZ4:i:%d\tZ6:i:%d",
                         pp_neglog(zA), pp_neglog(zB), pp_neglog(z4v),
@@ -1154,6 +1165,25 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
       } else {
         wp += sprintf(wp, "\tNM:i:%d", g.mm + g.dele + g.ins);
       }
+      if (p->sam_r2) {
+        int64_t ri_mp = 2 * pi + (1 - nip);
+        if (p->cs) {
+          memcpy(wp, "\tX2:Z:", 6);
+          wp += 6;
+          memcpy(wp, p->cs_readseq + ri_mp * p->cs_read_seq_len,
+                 p->cs_read_seq_len);
+          wp += p->cs_read_seq_len;
+        } else {
+          memcpy(wp, "\tR2:Z:", 6);
+          wp += 6;
+          memcpy(wp, p->seq_raw + ri_mp * R, R);
+          wp += R;
+        }
+      }
+      if (p->rg_len) {
+        memcpy(wp, p->rg, p->rg_len);
+        wp += p->rg_len;
+      }
       *wp++ = '\n';
       (void)z56_is_6;
       return true;
@@ -1164,8 +1194,8 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
     auto emit_unmapped = [&](int nip, int32_t mate_t) -> bool {
       int64_t ri = 2 * pi + nip;
       int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
-      if (end - wp < 256 + 3 * (int64_t)R + 2 * nl
-                     + (p->cs ? 2 * p->cs_read_seq_len : 0))
+      if (end - wp < 256 + 4 * (int64_t)R + 2 * nl + p->rg_len
+                     + (p->cs ? 3 * p->cs_read_seq_len : 0))
         return false;
       const char* nm = p->names + p->name_off[ri];
       int64_t ri_mp = 2 * pi + (1 - nip);
@@ -1218,10 +1248,99 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
           *wp++ = '*';
         }
       }
+      if (p->sam_r2) {
+        if (p->cs) {
+          memcpy(wp, "\tX2:Z:", 6);
+          wp += 6;
+          memcpy(wp, p->cs_readseq + ri_mp * p->cs_read_seq_len,
+                 p->cs_read_seq_len);
+          wp += p->cs_read_seq_len;
+        } else {
+          memcpy(wp, "\tR2:Z:", 6);
+          wp += 6;
+          memcpy(wp, p->seq_raw + ri_mp * R, R);
+          wp += R;
+        }
+      }
+      if (p->rg_len) {
+        memcpy(wp, p->rg, p->rg_len);
+        wp += p->rg_len;
+      }
       *wp++ = '\n';
       return true;
     };
 
+    // --sam-unaligned: both-legs-unmapped records for a pair that
+    // emitted nothing (render_pair_entry tail, output.c:417-474)
+    auto emit_unaligned = [&](int nip) -> bool {
+      int64_t ri = 2 * pi + nip;
+      int64_t ri_mp = 2 * pi + (1 - nip);
+      int64_t nl = p->name_off[ri + 1] - p->name_off[ri];
+      if (end - wp < 128 + 3 * (int64_t)R + nl + p->rg_len
+                     + (p->cs ? 3 * p->cs_read_seq_len + p->cs_cq_len
+                              : 0))
+        return false;
+      const char* nm = p->names + p->name_off[ri];
+      const char* nm_mp = p->names + p->name_off[ri_mp];
+      int64_t nl_mp = p->name_off[ri_mp + 1] - p->name_off[ri_mp];
+      int64_t ci = 0, cn_ = std::min(nl, nl_mp);
+      while (ci < cn_ && nm[ci] == nm_mp[ci]) ci++;
+      if (ci > 0 && (nm[ci - 1] == ':' || nm[ci - 1] == '/')) ci--;
+      memcpy(wp, nm, ci);
+      wp += ci;
+      int flags = 0x1 | 0x4 | 0x8 | (nip == 0 ? 0x40 : 0x80);
+      wp += sprintf(wp, "\t%d\t*\t0\t0\t*\t*\t0\t0\t", flags);
+      if (p->cs) {
+        memcpy(wp, "*\t*", 3);
+        wp += 3;
+        memcpy(wp, "\tCQ:Z:", 6);
+        wp += 6;
+        if (p->cs_fastq && p->cs_cq) {
+          memcpy(wp, p->cs_cq + (int64_t)ri * p->cs_cq_len,
+                 p->cs_cq_len);
+          wp += p->cs_cq_len;
+        } else {
+          *wp++ = '*';
+        }
+        memcpy(wp, "\tCS:Z:", 6);
+        wp += 6;
+        memcpy(wp, p->cs_readseq + (int64_t)ri * p->cs_read_seq_len,
+               p->cs_read_seq_len);
+        wp += p->cs_read_seq_len;
+      } else {
+        memcpy(wp, p->seq_fwd + ri * R, R);
+        wp += R;
+        *wp++ = '\t';
+        if (p->qual_raw) {
+          memcpy(wp, p->qual_raw + ri * R, R);
+          wp += R;
+        } else {
+          *wp++ = '*';
+        }
+      }
+      if (p->sam_r2) {
+        if (p->cs) {
+          memcpy(wp, "\tX2:Z:", 6);
+          wp += 6;
+          memcpy(wp, p->cs_readseq + ri_mp * p->cs_read_seq_len,
+                 p->cs_read_seq_len);
+          wp += p->cs_read_seq_len;
+        } else {
+          memcpy(wp, "\tR2:Z:", 6);
+          wp += 6;
+          memcpy(wp, p->seq_raw + ri_mp * R, R);
+          wp += R;
+        }
+      }
+      if (p->rg_len) {
+        memcpy(wp, p->rg, p->rg_len);
+        wp += p->rg_len;
+      }
+      *wp++ = '\n';
+      return true;
+    };
+
+    bool any_out = !pairs.empty();
     for (auto& c : pairs) {
       int q0 = foot_index(0, c.r0), q1 = foot_index(1, c.r1);
       int m0 = p->compute_mqv ? pr_mqv[0][q0] : 255;
@@ -1241,6 +1360,7 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
       for (int nip = 0; nip < 2; nip++) {
         for (size_t q = 0; q < hp_out[nip].size(); q++) {
           int32_t t = hp_out[nip][q];
+          any_out = true;
           double pc = (pr_top[1 - nip] * pr_top[2] * prm / denom) *
                       (S.post[t] / up_z1[nip]);
           int m = pp_qv_from_pr_corr(pc);
@@ -1260,6 +1380,11 @@ int64_t paired_finalize_render(const PPParams* p, const PPWin* w,
           }
         }
       }
+    }
+    if (p->sam_unaligned && !any_out &&
+        pi >= p->una_lo && pi < p->una_hi) {
+      if (!emit_unaligned(0)) return -1;
+      if (!emit_unaligned(1)) return -1;
     }
   }
   if (p->select_only) return nsel;

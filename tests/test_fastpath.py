@@ -30,6 +30,9 @@ def _generic_sam(mapper, recs):
         for h in hits:
             lines.append(render_unpaired(re_, h, mapper.index,
                                          mapper.config))
+        if not hits and mapper.config.sam_unaligned:
+            lines.append(render_unpaired(re_, None, mapper.index,
+                                         mapper.config))
     return ("\n".join(lines) + "\n").encode() if lines else b""
 
 
@@ -93,11 +96,21 @@ def test_fastpath_mixed_length_fallback(tmp_path):
 def test_fastpath_gate_configs(tmp_path):
     idx, reads, _, _ = _build(tmp_path, n_reads=8)
     recs = [SeqRecord(n, s) for n, s in reads]
-    for kw in (dict(shrimp_format=True), dict(sam_unaligned=True),
-               dict(all_contigs=True), dict(compute_mapping_qualities=False),
+    for kw in (dict(shrimp_format=True),
+               dict(compute_mapping_qualities=False),
                dict(extra_sam_fields=True)):
         cfg = MapperConfig(**kw)
         assert map_unpaired_sam_stream(Mapper(idx, cfg), recs) is None
+    # renderer-level flags are INSIDE the gate (r4) and byte-identical
+    # to the generic path
+    for kw in (dict(sam_unaligned=True), dict(all_contigs=True),
+               dict(read_group_name="g", sam_sample_name="s"),
+               dict(sam_unaligned=True, read_group_name="g2",
+                    sam_sample_name="s2")):
+        cfg = MapperConfig(**kw)
+        gen = map_unpaired_sam_stream(Mapper(idx, cfg), recs)
+        assert gen is not None, kw
+        assert b"".join(gen) == _generic_sam(Mapper(idx, cfg), recs), kw
 
 
 def test_fastpath_option_variants(tmp_path):

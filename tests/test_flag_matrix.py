@@ -99,6 +99,12 @@ UNPAIRED_CASES = [
     ("-s 111101011,110011011 -o 2", None),
     ("--single-best-mapping --strata", None),
     ("--all-contigs -o 3", None),
+    # renderer-level flags now INSIDE the fast gate (r4): these cases
+    # exercise the native renderer, not the generic fallback
+    ("--read-group rg1,smp1", None),
+    ("--read-group grp2,s2 --sam-unaligned", None),
+    ("--all-contigs --sam-unaligned", None),
+    ("--read-group g3,s3 -o 3 --strata", None),
     ("--extra-sam-fields --strata", None),
     ("-g -45 -e -5 -q -35 -f -9", None),
     ("-F", None),
@@ -136,6 +142,11 @@ PAIRED_CASES = [
     ("-p col-bw -o 2", None),
     ("-p opp-in -m 11 -i -20", None),
     ("-p opp-in --extra-sam-fields", None),
+    # renderer-level flags inside the paired fast gate (r4)
+    ("-p opp-in --sam-r2", None),
+    ("-p opp-in --read-group prg,psm", None),
+    ("-p opp-in --sam-r2 --sam-unaligned", None),
+    ("-p opp-in --all-contigs --read-group pg2,ps2", None),
 ]
 
 
@@ -277,6 +288,10 @@ CS_PAIRED_FASTQ_CASES = [
     ("-p opp-in --min-avg-qv 15", None),
     ("-p opp-in --qv-offset 33", None),
     ("-p col-fw --ignore-qvs", None),
+    # renderer-level flags inside the CS paired fast gate (r4)
+    ("-p opp-in --sam-r2", None),
+    ("-p opp-in --read-group cpg,cps --sam-unaligned", None),
+    ("-p opp-in --all-contigs", None),
 ]
 
 CS_UNPAIRED_CASES = [
@@ -295,6 +310,10 @@ CS_UNPAIRED_CASES = [
     ("--sam-unaligned", None),
     ("--local -t", None),
     ("--bfast", None),
+    # renderer-level flags inside the CS fast gate (r4)
+    ("--all-contigs", None),
+    ("--read-group csg,css", None),
+    ("--read-group csg2,cs2 --sam-unaligned", None),
 ]
 
 # CS unpaired over fastq: qv-derived crossover scores, QUAL/CQ columns,
