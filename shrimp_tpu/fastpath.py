@@ -1036,8 +1036,13 @@ def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
         lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
     if lanes > 1 and len(records) > batch_size:
         # lanes keep every host core busy; filter1's inner fan-out only
-        # contends (measured: 139k -> 215k reads/s on the 4-core host)
-        fast.f1_threads = 1
+        # contends on small hosts (measured: 139k -> 215k reads/s on the
+        # 4-core host) — but on many-core hosts the f1 wall at
+        # large-genome density wants both; SHRIMP_TPU_F1_THREADS
+        # overrides for tuning
+        import os as _os1
+        fast.f1_threads = int(_os1.environ.get("SHRIMP_TPU_F1_THREADS",
+                                               "1"))
         # lazy init of the device genome planes happens once, up front,
         # so worker threads never race the device_put
         mapper._dev_codes()
@@ -1789,7 +1794,9 @@ def map_paired_sam_stream(mapper, records: Sequence[SeqRecord],
         import os as _os
         lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
     if lanes > 1:
-        fast.fls.f1_threads = 1
+        import os as _os2
+        fast.fls.f1_threads = int(_os2.environ.get(
+            "SHRIMP_TPU_F1_THREADS", "1"))
 
     def work(off: int, pre) -> bytes:
         a = pre if pre is not None else fast.stage_prepare(

@@ -695,7 +695,8 @@ def map_unpaired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
         import os as _os
         lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
     if lanes > 1:
-        fast.fls.f1_threads = 1
+        fast.fls.f1_threads = int(_os.environ.get(
+            "SHRIMP_TPU_F1_THREADS", "1"))
     if records:
         mapper._dev_cs_planes()
 
@@ -1264,7 +1265,8 @@ def map_paired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
         import os as _os
         lanes = int(_os.environ.get("SHRIMP_TPU_PIPELINE_LANES", "16"))
     if lanes > 1:
-        fast.fls.f1_threads = 1
+        fast.fls.f1_threads = int(_os.environ.get(
+            "SHRIMP_TPU_F1_THREADS", "1"))
     if records:
         mapper._dev_cs_planes()
 
