@@ -451,7 +451,6 @@ class _DistCSMixin:
         args_loc = np.zeros((d_local, Wcap, 12), np.int32)
         for c in (1, 4, 7, 8, 10):   # pad rows: 1-cell windows
             args_loc[:, :, c] = 1
-        slot = np.zeros(n, np.int64)
         off = 0
         for d in range(dm.D):
             k = int(counts[d])
@@ -460,11 +459,7 @@ class _DistCSMixin:
             if 0 <= i < d_local:
                 args_loc[i, :k] = args_all[sl]
                 args_loc[i, :k, 0] = local_all[sl]
-            slot[sl] = d * Wcap + np.arange(k)
             off += k
-        n_cap = max(2048, 1 << int(np.ceil(np.log2(max(n, 1)))))
-        inv = np.zeros(n_cap, np.int64)
-        inv[:n] = slot
         rows = _round_up(max(Bcap, 1), 1024)
         kw_key = (
             ("xover", sc.crossover), ("match", sc.match),
@@ -475,7 +470,7 @@ class _DistCSMixin:
             ("b_gap_ext", sc.b_gap_extend),
             ("local_alignment", not cfg.global_alignment),
             ("indel_taboo_len", cfg.indel_taboo_len))
-        step = dm._get_cs_step(G, R, Wcap, n_cap, rows, kw_key)
+        step = dm._get_cs_step(G, R, Wcap, rows, kw_key)
         rtab_pad = np.full((rows, R), C.BASE_N, np.uint8)
         rtab_pad[:codes0.shape[0]] = codes0
         qr_pad = np.full((rows, 4, R), C.BASE_N, np.uint8)
@@ -488,14 +483,35 @@ class _DistCSMixin:
             return mhu.host_local_array_to_global_array(a, dm.mesh, P())
         args_dev = mhu.host_local_array_to_global_array(
             args_loc, dm.mesh, P(SHARD_AXIS))
-        res = step(dm._cs_planes_sh[0], dm._cs_planes_sh[1],
-                   dm._cs_planes_sh[2], dm._cs_planes_sh[3],
-                   args_dev, repl(inv), repl(rtab_pad), repl(qr_pad),
-                   repl(xov_pad))
-        # the CS step's in-program all_gather moves padded per-shard
-        # rows (vec4 + pk24 + steps~(R+G+4) bytes each); recorded as an
-        # estimate for the bytes/read model
-        dm.merge_bytes += dm.D * Wcap * (4 + 24 + (R + G + 4))
+        vec_sh, pk_sh, st_sh = step(
+            dm._cs_planes_sh[0], dm._cs_planes_sh[1],
+            dm._cs_planes_sh[2], dm._cs_planes_sh[3],
+            args_dev, repl(rtab_pad), repl(qr_pad), repl(xov_pad))
+        # ragged cross-host merge: trim each LOCAL shard's rows to its
+        # true count, exchange only valid rows (process order == shard
+        # order), scatter back to the global window order — the same
+        # no-padding protocol as the LS stats merge
+        import time as _t
+        t1 = _t.time()
+        loc = {}
+        for name, arr in (("vec", vec_sh), ("pk", pk_sh),
+                          ("st", st_sh)):
+            parts_loc = []
+            for s in arr.addressable_shards:
+                d = int(s.index[0].start or 0)
+                parts_loc.append(
+                    (d, np.asarray(s.data)[0, :int(counts[d])]))
+            parts_loc.sort(key=lambda x: x[0])
+            cat = (np.concatenate([pp for _, pp in parts_loc])
+                   if parts_loc else None)
+            gathered = _allgather_rows(np.ascontiguousarray(cat))
+            allrows = np.concatenate(gathered, axis=0)
+            dm.merge_bytes += int(allrows.nbytes)
+            full = np.zeros((n,) + allrows.shape[1:], allrows.dtype)
+            full[order] = allrows
+            loc[name] = full
+        dm.merge_secs += _t.time() - t1
+        res = (loc["vec"], loc["pk"], loc["st"])
         cells = int(fh.w_len.astype(np.int64).sum()) * R
         m.stats.vec_invocs += n
         m.stats.vec_cells += cells
@@ -674,13 +690,45 @@ class DistMapper:
             self._step_cache[key] = fn
         return fn
 
-    def _get_cs_step(self, *a):
-        """CS device step over the GLOBAL mesh — the identical
-        shard_map program MeshMapper builds (in-program all_gather +
-        un-permute; replicated outputs), just spanning every process's
-        devices so the gather rides DCN between hosts."""
-        from .meshmap import MeshMapper
-        return MeshMapper._get_cs_step(self, *a)
+    def _get_cs_step(self, G, R, Wcap, rows, kw_key):
+        """CS device step over the GLOBAL mesh with PER-SHARD outputs:
+        each host fetches only its local shards' (vec, packed, steps)
+        rows, and the cross-host merge is the same ragged host exchange
+        the LS path uses (no O(D*Wcap) padded all_gather over DCN)."""
+        key = ("csd", G, R, Wcap, rows, kw_key)
+        with self._lock:
+            fn = self._step_cache.get(key)
+        if fn is not None:
+            return fn
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..core.sw_cs_full_pallas import pallas_cs_full_ok
+        from ..core.sw_cs_jax import sw_vec_cs_full_from_index
+        from ..core.sw_pallas import pallas_available
+        kw = dict(kw_key)
+        on_tpu = self.platform == "tpu"
+        kw.update(use_pallas=on_tpu and pallas_cs_full_ok(Wcap, R, G),
+                  use_vec_pallas=on_tpu and pallas_available(),
+                  interpret=False, phase="fused", G=G)
+
+        def body(p0, p1, p2, p3, args, rtab, qr, xov):
+            vec, pk, st = sw_vec_cs_full_from_index.__wrapped__(
+                p0[0], p1[0], p2[0], p3[0], args[0], rtab, qr, xov,
+                **kw)
+            return vec[None], pk[None], st[None]
+
+        fn = jax.jit(
+            jax.shard_map(body, mesh=self.mesh,
+                          in_specs=(P(SHARD_AXIS), P(SHARD_AXIS),
+                                    P(SHARD_AXIS), P(SHARD_AXIS),
+                                    P(SHARD_AXIS), P(), P(), P()),
+                          out_specs=(P(SHARD_AXIS),) * 3,
+                          check_vma=False),
+            out_shardings=(NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(SHARD_AXIS)),) * 3)
+        with self._lock:
+            self._step_cache[key] = fn
+        return fn
 
     def _dispatch(self, m, fh, read_tab: np.ndarray, L: int, R: int,
                   rcf: np.ndarray, n_reads=None):
