@@ -30,6 +30,25 @@ from .io.fasta import SeqRecord
 from .mapper import _round_up
 
 CS_FUSED_BATCH = 2048
+# At hg-scale candidate density (hundreds of windows/read) a batch has
+# millions of windows; fixed 2048-row chunks mean thousands of device
+# launches per batch and the Python dispatch loop + per-launch overhead
+# become the wall. Chunk size adapts to the window count, bucketed so
+# only a few kernel shapes ever compile.
+CS_CHUNK_BUCKETS = (2048, 8192, 32768)
+
+
+def _cs_chunk(n: int) -> int:
+    import os as _o
+    env = _o.environ.get("SHRIMP_TPU_CS_FUSED_BATCH")
+    if env:
+        return int(env)
+    for b in CS_CHUNK_BUCKETS:
+        if n <= b * 4:     # <=4 launches at this bucket
+            return b
+    return CS_CHUNK_BUCKETS[-1]
+
+
 # windows/read at or above which the unpaired dispatch switches from the
 # fused speculative launch to two-phase (vec, then full on survivors);
 # override with SHRIMP_TPU_CS_TWO_PHASE=0/1/auto
@@ -357,7 +376,8 @@ class FastCS:
         args_all, win, G = self._cs_args(fh, R, rcf, thresh_override,
                                          initbp)
 
-        use_pallas = pallas_cs_full_ok(CS_FUSED_BATCH, R, G)
+        CB = _cs_chunk(int(n))
+        use_pallas = pallas_cs_full_ok(CB, R, G)
         use_vec_pallas = pallas_available()
         import os as _os
         interpret = _os.environ.get("SHRIMP_TPU_PALLAS_INTERPRET") == "1"
@@ -396,10 +416,10 @@ class FastCS:
             qr_dev = jax.device_put(qr_pad, m.device)
             xov_dev = jax.device_put(xov_pad, m.device)
             phase_kw = dict(kw, phase="vec") if two_phase else kw
-            for off in range(0, n, CS_FUSED_BATCH):
-                end = min(off + CS_FUSED_BATCH, n)
+            for off in range(0, n, CB):
+                end = min(off + CB, n)
                 k = end - off
-                chunk = np.zeros((CS_FUSED_BATCH, 12), np.int32)
+                chunk = np.zeros((CB, 12), np.int32)
                 chunk[:k] = args_all[off:end]
                 chunk[k:, 1] = 1   # pad rows: 1-cell windows
                 chunk[k:, 4] = 1
@@ -461,12 +481,17 @@ class FastCS:
         planes = m._dev_cs_planes()
         args_sel = tp["args_all"][rows]
         full_kw = dict(tp["kw"], phase="full")
+        CB = _cs_chunk(int(n_sel))
+        from .core.sw_cs_full_pallas import pallas_cs_full_ok
+        if full_kw.get("use_pallas"):
+            full_kw["use_pallas"] = pallas_cs_full_ok(
+                CB, R, full_kw["G"])
         futures2 = []
         with m._device_ctx():
-            for off in range(0, n_sel, CS_FUSED_BATCH):
-                end = min(off + CS_FUSED_BATCH, n_sel)
+            for off in range(0, n_sel, CB):
+                end = min(off + CB, n_sel)
                 k = end - off
-                chunk = np.zeros((CS_FUSED_BATCH, 12), np.int32)
+                chunk = np.zeros((CB, 12), np.int32)
                 chunk[:k] = args_sel[off:end]
                 chunk[k:, 1] = 1
                 chunk[k:, 4] = 1
