@@ -303,6 +303,12 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
     # limits (e.g. R=1200, G=1736 at the default 2048-window bucket is
     # a 4.3e9-element tensor)
     eff_batch = FULL_BATCH
+    if two_phase:
+        # vec-only phase: rows are cheap, so at hg-scale density use
+        # big chunks — thousands of 8k launches per batch made the
+        # Python dispatch loop + per-launch overhead the wall
+        eff_batch = int(_os.environ.get("SHRIMP_TPU_LS_VEC_BATCH",
+                                        "32768"))
     if not stats_flow:
         eff_batch = max(8, min(FULL_BATCH, (1 << 28) // max(R * G, 1)))
     futures = []

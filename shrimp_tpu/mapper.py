@@ -55,7 +55,7 @@ CS_FULL_BATCH = 2048
 # power-of-two launch buckets (kernel tiling is 1024): small batches pad
 # to the nearest bucket instead of the full VEC_BATCH/FULL_BATCH width
 VEC_BUCKETS = (2048, 4096, 8192, 16384)
-FULL_BUCKETS = (2048, 4096, 8192)
+FULL_BUCKETS = (2048, 4096, 8192, 16384, 32768)
 
 
 def _gather_rows(src: np.ndarray, starts: np.ndarray, width: int
