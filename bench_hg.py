@@ -370,6 +370,10 @@ def main():
         wpr = m.stats.vec_invocs / max(m.stats.reads, 1)
         log(f"[map] shard {i}: {dt:.1f}s ({nb / 1e6:.1f} MB SAM, "
             f"{wpr:.1f} candidate windows/read)")
+        if os.environ.get("SHRIMP_TPU_HG_STAGES"):
+            for nm2, secs in sorted(m.stats.stage_secs.items(),
+                                    key=lambda kv: -kv[1]):
+                log(f"    [stage] {nm2}: {secs:.1f}s (sum over lanes)")
         idx.release()
         del m, idx
     tmap = time.time()
