@@ -58,7 +58,11 @@ READ_LEN = 36
 BASELINE_CS = 44.4   # 160k reads/hour/core, README:107-109
 SEED = 20260818
 
-_COMP = np.array([3, 2, 1, 0], np.uint8)
+# 16-entry complement LUT: codes 0-3 complement, BASE_N (15) maps to
+# itself so a pair sampled across an N gap survives until the resample
+# check instead of indexing out of bounds
+_COMP = np.arange(16, dtype=np.uint8)
+_COMP[:4] = [3, 2, 1, 0]
 
 
 def log(msg):
