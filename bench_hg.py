@@ -264,6 +264,8 @@ def gen_pairs(mode: str, slen: int):
 def main():
     arg = sys.argv[1] if len(sys.argv) > 1 else "cs"
     assert arg in ("ls", "cs", "ls-paired", "cs-paired")
+    # tuned steady-state config (same sweep as bench_all; env wins)
+    os.environ.setdefault("SHRIMP_TPU_PIPELINE_LANES", "32")
     paired = arg.endswith("-paired")
     mode = arg.split("-")[0]
     if os.environ.get("JAX_PLATFORMS") == "cpu":
