@@ -1185,7 +1185,8 @@ class _PPParams(ctypes.Structure):
                 ("sam_r2", ctypes.c_int32),
                 ("seq_raw", ctypes.c_void_p),
                 ("una_lo", ctypes.c_int64),
-                ("una_hi", ctypes.c_int64)]
+                ("una_hi", ctypes.c_int64),
+                ("rescue_cap", ctypes.c_int64)]
 
 
 class _PPWin(ctypes.Structure):
@@ -1654,10 +1655,15 @@ class FastPaired:
 
             keep_alive = {}
 
-            def prepare_full(rows_f):
-                """Full SW + alignment expansion for rows_f only;
-                scatter into full-size arrays the render consumes."""
+            def add_full(rows_f):
+                """Full SW + alignment expansion for rows_f, merged
+                into the accumulated full-size arrays the render
+                consumes (incremental: rescue rounds add rows)."""
                 nonlocal W
+                if keep_alive:
+                    rows_f = rows_f[keep_alive["fv"][rows_f] == 0]
+                if len(rows_f) == 0:
+                    return
                 out2 = _tp_run_full(m, tp, win, ctx["G"], rows_f,
                                     ctx["stats_flow"], fh, L)
                 t3 = _time.perf_counter()
@@ -1674,27 +1680,32 @@ class FastPaired:
                         rx=win["rx"][rows_f], ry=win["ry"][rows_f],
                         rl_=win["rl_"][rows_f], rw_=win["rw_"][rows_f],
                         rev=win["rev"][rows_f])
-                    pk_s, ops_s, W = fls._stats_to_packed(out2, ctx2)
+                    pk_s, ops_s, W2 = fls._stats_to_packed(out2, ctx2)
                 else:
                     pk_s, ops_s = out2
-                    W = ops_s.shape[1]
-                p.ops_words = W
-                pk_full = np.zeros((n, 10), np.int32)
-                ops_full = np.zeros((n, W), np.uint8)
-                pk_full[rows_f] = pk_s
-                ops_full[rows_f] = ops_s
-                fv = np.zeros(n, np.uint8)
-                fv[rows_f] = 1
-                keep_alive.update(pk=pk_full, ops=ops_full, fv=fv)
-                wstruct.packed = _vp(pk_full)
-                wstruct.ops_pk = _vp(ops_full)
-                p.full_valid = fv.ctypes.data
+                    W2 = ops_s.shape[1]
+                if not keep_alive:
+                    W = W2
+                    p.ops_words = W
+                    keep_alive.update(
+                        pk=np.zeros((n, 10), np.int32),
+                        ops=np.zeros((n, W), np.uint8),
+                        fv=np.zeros(n, np.uint8))
+                    wstruct.packed = _vp(keep_alive["pk"])
+                    wstruct.ops_pk = _vp(keep_alive["ops"])
+                    p.full_valid = keep_alive["fv"].ctypes.data
+                assert W2 == W
+                keep_alive["pk"][rows_f] = pk_s
+                keep_alive["ops"][rows_f] = ops_s
+                keep_alive["fv"][rows_f] = 1
                 m.stats.add_stage("alignment expand",
                                   _time.perf_counter() - t3)
 
-            prepare_full(np.unique(sel_out[:nsel]).astype(np.int64))
+            add_full(np.unique(sel_out[:nsel]).astype(np.int64))
             rescue = np.zeros(1, np.int32)
             p.rescue_flag = rescue.ctypes.data
+            p.sel_out = sel_out.ctypes.data
+            p.rescue_cap = cap_sel
         if self.zpair_merge_hook is not None:
             # sharded-index paired MQV recombination: collect pass
             # writes per-(pair, shard) partials, the hook merges them
@@ -1737,26 +1748,50 @@ class FastPaired:
             if rv >= 0:
                 break
             cap *= 4
-        if tp is not None and rescue[0]:
-            # the select superset missed a row the render needed
-            # (possible when saved-anchor suppression diverges):
-            # correctness net — full results for EVERY row, re-render
-            import sys as _sys
-            print("fastpath: paired two-phase rescue (full re-dispatch)",
-                  file=_sys.stderr)
-            prepare_full(np.arange(n, dtype=np.int64))
-            p.full_valid = None
-            pair_nhits[:] = 0
-            read_nhits[:] = 0
-            while True:
-                out = np.empty(cap, np.uint8)
-                rv = int(self.lib.paired_finalize_render(
-                    ctypes.byref(p), ctypes.byref(wstruct),
-                    out.ctypes.data_as(ctypes.c_char_p), cap,
-                    _vp(pair_nhits), _vp(read_nhits)))
-                if rv >= 0:
-                    break
-                cap *= 4
+        if tp is not None:
+            # incremental rescue: the select superset can miss hp rows
+            # when saved-anchor suppression diverges (common at hg
+            # density); fetch full SW for exactly the recorded missing
+            # rows and re-render, iterating (each round strictly grows
+            # the valid set), with an all-rows final net
+            rounds = 0
+            while rescue[0] and rounds < 4:
+                missing = np.unique(
+                    sel_out[:min(int(rescue[0]), cap_sel)]
+                ).astype(np.int64)
+                self.last_rescue_rows = getattr(
+                    self, "last_rescue_rows", 0) + len(missing)
+                add_full(missing)
+                rescue[0] = 0
+                pair_nhits[:] = 0
+                read_nhits[:] = 0
+                while True:
+                    out = np.empty(cap, np.uint8)
+                    rv = int(self.lib.paired_finalize_render(
+                        ctypes.byref(p), ctypes.byref(wstruct),
+                        out.ctypes.data_as(ctypes.c_char_p), cap,
+                        _vp(pair_nhits), _vp(read_nhits)))
+                    if rv >= 0:
+                        break
+                    cap *= 4
+                rounds += 1
+            if rescue[0]:
+                import sys as _sys
+                print("fastpath: paired two-phase full-rows rescue",
+                      file=_sys.stderr)
+                add_full(np.arange(n, dtype=np.int64))
+                p.full_valid = None
+                pair_nhits[:] = 0
+                read_nhits[:] = 0
+                while True:
+                    out = np.empty(cap, np.uint8)
+                    rv = int(self.lib.paired_finalize_render(
+                        ctypes.byref(p), ctypes.byref(wstruct),
+                        out.ctypes.data_as(ctypes.c_char_p), cap,
+                        _vp(pair_nhits), _vp(read_nhits)))
+                    if rv >= 0:
+                        break
+                    cap *= 4
         m.stats.add_stage("paired select + render",
                           _time.perf_counter() - t0)
         m.stats.reads_mapped += int((pair_nhits > 0).sum()) * 2

@@ -1168,25 +1168,36 @@ class FastPairedCS(FastCS):
 
             keep_alive = {}
 
-            def prepare_full(rows_f):
+            def add_full(rows_f):
+                """Incremental full-SW accumulation (rescue rounds add
+                rows to the same arrays)."""
                 nonlocal W
-                pk_s, st_s, W = self._cs_run_full_rows(tp, rows_f, fh,
-                                                       R)
-                p.ops_words = W
-                pk_full = np.zeros((n, 12), np.int16)
-                st_full = np.zeros((n, W), np.int8)
-                pk_full[rows_f] = pk_s
-                st_full[rows_f] = st_s
-                fv = np.zeros(n, np.uint8)
-                fv[rows_f] = 1
-                keep_alive.update(pk=pk_full, st=st_full, fv=fv)
-                wstruct.cs_packed = _vp(pk_full)
-                wstruct.cs_steps = _vp(st_full)
-                p.full_valid = fv.ctypes.data
+                if keep_alive:
+                    rows_f = rows_f[keep_alive["fv"][rows_f] == 0]
+                if len(rows_f) == 0:
+                    return
+                pk_s, st_s, W2 = self._cs_run_full_rows(tp, rows_f, fh,
+                                                        R)
+                if not keep_alive:
+                    W = W2
+                    p.ops_words = W
+                    keep_alive.update(
+                        pk=np.zeros((n, 12), np.int16),
+                        st=np.zeros((n, W), np.int8),
+                        fv=np.zeros(n, np.uint8))
+                    wstruct.cs_packed = _vp(keep_alive["pk"])
+                    wstruct.cs_steps = _vp(keep_alive["st"])
+                    p.full_valid = keep_alive["fv"].ctypes.data
+                assert W2 == W
+                keep_alive["pk"][rows_f] = pk_s
+                keep_alive["st"][rows_f] = st_s
+                keep_alive["fv"][rows_f] = 1
 
-            prepare_full(np.unique(sel_out[:nsel]).astype(np.int64))
+            add_full(np.unique(sel_out[:nsel]).astype(np.int64))
             rescue = np.zeros(1, np.int32)
             p.rescue_flag = rescue.ctypes.data
+            p.sel_out = sel_out.ctypes.data
+            p.rescue_cap = cap_sel
         if self.zpair_merge_hook is not None:
             # sharded-index CS paired MQV recombination: identical
             # two-pass protocol to fastpath.FastPaired.stage_finish —
@@ -1229,25 +1240,45 @@ class FastPairedCS(FastCS):
             if rv >= 0:
                 break
             cap *= 4
-        if tp is not None and rescue[0]:
-            # select superset missed a row — correctness net: full
-            # results for every row, re-render
-            import sys as _sys
-            print("fastpath_cs: paired two-phase rescue "
-                  "(full re-dispatch)", file=_sys.stderr)
-            prepare_full(np.arange(n, dtype=np.int64))
-            p.full_valid = None
-            pair_nhits[:] = 0
-            read_nhits[:] = 0
-            while True:
-                out = np.empty(cap, np.uint8)
-                rv = int(self.lib.paired_finalize_render(
-                    ctypes.byref(p), ctypes.byref(wstruct),
-                    out.ctypes.data_as(ctypes.c_char_p), cap,
-                    _vp(pair_nhits), _vp(read_nhits)))
-                if rv >= 0:
-                    break
-                cap *= 4
+        if tp is not None:
+            # incremental rescue (see fastpath.FastPaired): fetch full
+            # SW for exactly the recorded missing rows and re-render
+            rounds = 0
+            while rescue[0] and rounds < 4:
+                missing = np.unique(
+                    sel_out[:min(int(rescue[0]), cap_sel)]
+                ).astype(np.int64)
+                add_full(missing)
+                rescue[0] = 0
+                pair_nhits[:] = 0
+                read_nhits[:] = 0
+                while True:
+                    out = np.empty(cap, np.uint8)
+                    rv = int(self.lib.paired_finalize_render(
+                        ctypes.byref(p), ctypes.byref(wstruct),
+                        out.ctypes.data_as(ctypes.c_char_p), cap,
+                        _vp(pair_nhits), _vp(read_nhits)))
+                    if rv >= 0:
+                        break
+                    cap *= 4
+                rounds += 1
+            if rescue[0]:
+                import sys as _sys
+                print("fastpath_cs: paired two-phase full-rows rescue",
+                      file=_sys.stderr)
+                add_full(np.arange(n, dtype=np.int64))
+                p.full_valid = None
+                pair_nhits[:] = 0
+                read_nhits[:] = 0
+                while True:
+                    out = np.empty(cap, np.uint8)
+                    rv = int(self.lib.paired_finalize_render(
+                        ctypes.byref(p), ctypes.byref(wstruct),
+                        out.ctypes.data_as(ctypes.c_char_p), cap,
+                        _vp(pair_nhits), _vp(read_nhits)))
+                    if rv >= 0:
+                        break
+                    cap *= 4
         m.stats.add_stage("cs paired select + render",
                           _time.perf_counter() - t0)
         m.stats.reads_mapped += int((pair_nhits > 0).sum()) * 2

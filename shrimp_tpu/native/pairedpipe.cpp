@@ -127,9 +127,10 @@ struct PPParams {
   // *rescue_flag (caller re-dispatches full SW for every row and
   // re-renders; correctness never depends on the superset argument).
   const uint8_t* full_valid;   // [n_windows] or null
-  int32_t* rescue_flag;        // out: set to 1 on a missing-full row
+  int32_t* rescue_flag;        // out: COUNT of missing-full rows hit
   int32_t select_only;
-  int32_t* sel_out;            // [cap from caller] selected rows
+  int32_t* sel_out;            // [cap] selected rows (select mode) /
+                               // missing rows (render mode rescue)
   // ---- renderer-level flags (must not evict the fast path)
   const char* rg;              // "\tRG:Z:<name>" suffix or null
   int32_t rg_len;
@@ -141,6 +142,7 @@ struct PPParams {
                                // the RAW characters, output.c:758-766)
   int64_t una_lo, una_hi;      // unaligned emission pair range
                                // (read-sharded ranks restrict to slice)
+  int64_t rescue_cap;          // capacity of sel_out in render mode
 };
 
 struct PPWin {
@@ -283,9 +285,13 @@ static void pp_run_full(const PPParams* p, const PPWin* w, WinState& S,
   if (S.ran[t]) return;
   S.ran[t] = 1;
   if (p->full_valid && !p->full_valid[t]) {
-    // two-phase select missed this row: signal the caller to
-    // re-dispatch full SW for every row and re-render
-    if (p->rescue_flag) *p->rescue_flag = 1;
+    // two-phase select missed this row: record it (sel_out doubles as
+    // the rescue-row buffer in render mode) so the caller can fetch
+    // full SW for just the missing rows and re-render
+    if (p->rescue_flag) {
+      int32_t k = (*p->rescue_flag)++;
+      if (p->sel_out && k < p->rescue_cap) p->sel_out[k] = (int32_t)t;
+    }
     S.sf[t] = 0;
     S.post[t] = 0.0;
     S.pct_sf[t] = 0;
