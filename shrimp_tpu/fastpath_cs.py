@@ -39,14 +39,22 @@ CS_CHUNK_BUCKETS = (2048, 8192, 32768)
 
 
 def _cs_chunk(n: int) -> int:
+    """Pick the chunk bucket minimizing launches*overhead + pad rows
+    (overhead ~1024 rows' worth of dispatch+latency per launch). A
+    too-big bucket pays up to bucket-1 padded rows of the 4-5x-vec
+    full DP (halved E. coli CS when 44k windows ran as 2x32768); a
+    too-small one pays thousands of launches at hg density."""
     import os as _o
     env = _o.environ.get("SHRIMP_TPU_CS_FUSED_BATCH")
     if env:
         return int(env)
+    best, best_cost = CS_CHUNK_BUCKETS[0], None
     for b in CS_CHUNK_BUCKETS:
-        if n <= b * 4:     # <=4 launches at this bucket
-            return b
-    return CS_CHUNK_BUCKETS[-1]
+        launches = -(-n // b) if n else 1
+        cost = launches * 1024 + (launches * b - n)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = b, cost
+    return best
 
 
 # windows/read at or above which the unpaired dispatch switches from the
