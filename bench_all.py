@@ -88,10 +88,25 @@ def _run_stream(gen) -> int:
     return n
 
 
-def bench_ls(name, glen, seed, fastq=False):
+def bench_ls(name, glen, seed, fastq=False, env=None):
     from shrimp_tpu.config import MapperConfig
     from shrimp_tpu.fastpath import map_unpaired_sam_stream
     from shrimp_tpu.mapper import Mapper
+    saved = {k: os.environ.get(k) for k in (env or {})}
+    os.environ.update(env or {})
+    try:
+        return _bench_ls_inner(name, glen, seed, fastq, MapperConfig,
+                               map_unpaired_sam_stream, Mapper)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _bench_ls_inner(name, glen, seed, fastq, MapperConfig,
+                    map_unpaired_sam_stream, Mapper):
     codes = _genome(name, glen, seed)
     idx = _index(name, codes)
     m = Mapper(idx, MapperConfig())
@@ -265,7 +280,12 @@ WORKLOADS = {
     "ecoli-cs": lambda: bench_cs("ecoli_synth2", 4_600_000, 20260816),
     "ecoli-cs-paired": lambda: bench_cs_paired("ecoli_synth2",
                                                4_600_000, 20260816),
-    "chr21-ls": lambda: bench_ls("chr21", 47_000_000, 777),
+    # chr21: the 47Mbp density wants deeper lanes + threaded f1
+    # (sweep 2026-08-21: 48 lanes / 4 f1 threads 103.4k vs 90.3k at
+    # the 32/1 default on the 4-core driver host)
+    "chr21-ls": lambda: bench_ls("chr21", 47_000_000, 777,
+                                 env={"SHRIMP_TPU_PIPELINE_LANES": "48",
+                                      "SHRIMP_TPU_F1_THREADS": "2"}),
     "ecoli-ls-flags": lambda: bench_ls_flags("ecoli_synth2", 4_600_000,
                                              20260816),
     "ecoli-ls-generic": lambda: bench_ls_generic("ecoli_synth2",
