@@ -298,6 +298,12 @@ def main():
     # (bench.py sweep 2026-08-20: 32 lanes / 16k batch beats the
     # 16/8k defaults by ~35%); env overrides win
     os.environ.setdefault("SHRIMP_TPU_PIPELINE_LANES", "32")
+    # persistent XLA compile cache: fresh processes otherwise pay
+    # minutes of Mosaic/XLA compiles before the first mapped read
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/shrimp_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _force_backend()
     names = sys.argv[1:] or list(WORKLOADS)
     for nm in names:

@@ -265,6 +265,12 @@ def main():
     arg = sys.argv[1] if len(sys.argv) > 1 else "cs"
     assert arg in ("ls", "cs", "ls-paired", "cs-paired")
     # tuned steady-state config (same sweep as bench_all; env wins)
+    # persistent XLA compile cache: fresh processes otherwise pay
+    # minutes of Mosaic/XLA compiles before the first mapped read
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/shrimp_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     os.environ.setdefault("SHRIMP_TPU_PIPELINE_LANES", "32")
     paired = arg.endswith("-paired")
     mode = arg.split("-")[0]
