@@ -320,6 +320,15 @@ int64_t filter1_batch(
                                     S.csr_positions});
             }
         }
+        // bulk-write the packed keys: total size is known up front, so
+        // one resize + raw-pointer stores replace per-element
+        // push_back capacity checks (the long posting lists of dense
+        // genomes stream through here)
+        int64_t total_pos = 0;
+        for (auto& LRc : sc.lists) total_pos += LRc.hi - LRc.lo;
+        pos_out.resize((size_t)total_pos);
+        uint64_t* po = pos_out.data();
+        size_t pn_out = 0;
         for (size_t li = 0; li < sc.lists.size(); li++) {
             if (li + 1 < sc.lists.size())
                 __builtin_prefetch(
@@ -335,7 +344,7 @@ int64_t filter1_batch(
                     marks_out->push_back(r);
                     if ((pos & region_mask) < p->region_overlap && r > 0)
                         marks_out->push_back(r - 1);
-                    pos_out.push_back(((uint64_t)pos << 20) | sbase);
+                    po[pn_out++] = ((uint64_t)pos << 20) | sbase;
                 }
             } else if (p->use_region_counts) {
                 for (int64_t k = lo; k < hi; k++) {
@@ -352,11 +361,11 @@ int64_t filter1_batch(
                             ? ((v2 & 3) < 2 ? (v2 & 3) + 1 : 2) : 1;
                         sc.region_map[(size_t)(r - 1)] = gen_tag | m2;
                     }
-                    pos_out.push_back(((uint64_t)pos << 20) | sbase);
+                    po[pn_out++] = ((uint64_t)pos << 20) | sbase;
                 }
             } else {
                 for (int64_t k = lo; k < hi; k++)
-                    pos_out.push_back(((uint64_t)plist[k] << 20) | sbase);
+                    po[pn_out++] = ((uint64_t)plist[k] << 20) | sbase;
             }
         }
         ProfScope _ps2(2);
