@@ -160,3 +160,51 @@ def test_paired_two_phase_select_full_identical(monkeypatch):
     got = b"".join(map_paired_sam_stream(PairedMapper(idx, cfg), recs,
                                          batch_size=64, lanes=1))
     assert got == want
+
+
+def test_paired_two_phase_dense_genome_identical(monkeypatch):
+    """Repeat-dense genome (SINE-library copies at 5-25% divergence →
+    hundreds of candidate windows/read): the density-gated
+    select-then-full dispatch auto-activates, the hp-superset rescue
+    machinery exercises for real, and the output must stay
+    byte-identical to the fused launch."""
+    import numpy as np
+    from shrimp_tpu.core.encode import decode_ls
+    rng = np.random.default_rng(777)
+    slen = 8_000_000
+    lib = np.random.default_rng(3)
+    sine = lib.integers(0, 4, 300).astype(np.uint8)
+    codes = rng.integers(0, 4, slen, dtype=np.int64).astype(np.uint8)
+    n_sine = int(0.25 * slen) // 300
+    starts = rng.integers(0, slen - 300, n_sine)
+    cp = np.tile(sine, (n_sine, 1))
+    div = rng.uniform(0.05, 0.25, n_sine)
+    msk = rng.random((n_sine, 300)) < div[:, None]
+    cp[msk] = rng.integers(0, 4, int(msk.sum()),
+                           dtype=np.int64).astype(np.uint8)
+    pos = starts[:, None] + np.arange(300)[None, :]
+    codes[pos.ravel()] = cp.ravel()
+    idx = build_index([("dense", codes)], default_seeds())
+    cfg = MapperConfig(pair_mode="opp-in")
+    COMP = np.array([3, 2, 1, 0], np.uint8)
+    recs = []
+    for k in range(400):
+        isz = int(rng.integers(120, 280))
+        p = int(rng.integers(0, slen - isz - 36))
+        a = codes[p:p + 36].copy()
+        b = COMP[codes[p + isz - 36:p + isz][::-1]].copy()
+        for r in (a, b):
+            for _ in range(int(rng.integers(0, 3))):
+                r[int(rng.integers(36))] = rng.integers(4)
+        recs += [SeqRecord(f"d{k}/1", decode_ls(a)),
+                 SeqRecord(f"d{k}/2", decode_ls(b))]
+    monkeypatch.setenv("SHRIMP_TPU_LS_TWO_PHASE", "0")
+    want = b"".join(map_paired_sam_stream(PairedMapper(idx, cfg), recs,
+                                          batch_size=400, lanes=1))
+    monkeypatch.setenv("SHRIMP_TPU_LS_TWO_PHASE", "auto")
+    m2 = PairedMapper(idx, cfg)
+    got = b"".join(map_paired_sam_stream(m2, recs, batch_size=400,
+                                         lanes=1))
+    assert got == want
+    # density really was in the two-phase regime
+    assert m2.stats.vec_invocs / max(m2.stats.reads, 1) >= 8
