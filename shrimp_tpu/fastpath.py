@@ -474,9 +474,13 @@ class FastLS:
         self._last_z1_merged: Optional[np.ndarray] = None
         # read-axis data parallelism (parallel/dist.py read_sharding):
         # when set to (lo, hi), finalize + render run ONLY for reads in
-        # [lo, hi) of the batch — selection and the expansion exchange
-        # still cover the full batch so every rank's jobs are complete
+        # [lo, hi) of the batch. With slice_select additionally set,
+        # pass1 selection, the vec gate and alignment expansion are
+        # sliced too (full-depth read sharding; the owner-host
+        # expansion then uses the request/response exchange so remote
+        # shards' windows still expand on their owning host)
         self.read_slice = None
+        self.slice_select = False
         self.last_slice_jobs = 0
         idx = mapper.index
         blob = b""
@@ -804,6 +808,26 @@ class FastLS:
 
         # ---- native pass1 selection over vector scores
         t0 = _time.perf_counter()
+        sel_base = 0
+        sel_sl = slice(0, n)
+        if self.read_slice is not None and self.slice_select:
+            # read-axis data parallelism, full-depth: pass1 selection,
+            # the vec gate, alignment expansion AND finalize/render all
+            # run only on this rank's read slice. Window rows are
+            # owner-major, so the slice's rows are one contiguous span
+            # of the candidate arrays (seg_start bounds). Selection is
+            # per-read top-k, so per-read results are unchanged; the
+            # windows of each sliced read still span every index shard
+            # (the cross-host allgather ran before this), so MQV
+            # denominators stay complete without a collective.
+            lo_s, hi_s = self.read_slice
+            sel_base = int(fh.seg_start[min(2 * lo_s, 2 * B)])
+            r1_s = int(fh.seg_start[min(2 * hi_s, 2 * B)])
+            sel_sl = slice(sel_base, r1_s)
+            n = r1_s - sel_base
+            if n == 0:
+                m.stats.reads += B
+                return self._unaligned_block(ctx, nhits), nhits
         opts = m._unpaired_opts[0].pass1
         cap = max(n, 1)
         sel = {k: np.empty(cap, dt) for k, dt in
@@ -818,17 +842,19 @@ class FastLS:
             int(abs_or_pct(opts.window_overlap, wlen)),
             float(opts.threshold), opts.min_matches, opts.num_outputs,
             1, self.contig_lengths32.ctypes.data)
-        arrs = dict(owner=np.ascontiguousarray(fh.owner, np.int64),
-                    cn=np.ascontiguousarray(fh.cn, np.int32),
-                    g_off=np.ascontiguousarray(fh.g_off, np.int64),
-                    w_len=np.ascontiguousarray(fh.w_len, np.int32),
-                    matches=np.ascontiguousarray(fh.matches, np.int32),
-                    score_max=np.ascontiguousarray(fh.score_max, np.int64),
-                    ax=np.ascontiguousarray(fh.ax, np.int64),
-                    ay=np.ascontiguousarray(fh.ay, np.int64),
-                    alen=np.ascontiguousarray(fh.alen, np.int64),
-                    awid=np.ascontiguousarray(fh.awid, np.int64),
-                    scores=scores)
+        arrs = dict(owner=np.ascontiguousarray(fh.owner[sel_sl], np.int64),
+                    cn=np.ascontiguousarray(fh.cn[sel_sl], np.int32),
+                    g_off=np.ascontiguousarray(fh.g_off[sel_sl], np.int64),
+                    w_len=np.ascontiguousarray(fh.w_len[sel_sl], np.int32),
+                    matches=np.ascontiguousarray(fh.matches[sel_sl],
+                                                 np.int32),
+                    score_max=np.ascontiguousarray(fh.score_max[sel_sl],
+                                                   np.int64),
+                    ax=np.ascontiguousarray(fh.ax[sel_sl], np.int64),
+                    ay=np.ascontiguousarray(fh.ay[sel_sl], np.int64),
+                    alen=np.ascontiguousarray(fh.alen[sel_sl], np.int64),
+                    awid=np.ascontiguousarray(fh.awid[sel_sl], np.int64),
+                    scores=scores[sel_sl])
         p1in = _P1In(**{k: _vp(v) for k, v in arrs.items()})
         p1out = _P1Out(cap, *[_vp(sel[k]) for k in
                               ("ri", "gen_st", "cn", "g_off", "w_len",
@@ -859,7 +885,7 @@ class FastLS:
         jobs = {k: np.ascontiguousarray(sel[k][:n_sel][jsel]) for k in
                 ("ri", "gen_st", "cn", "g_off", "w_len", "score_max",
                  "ax", "ay", "alen", "awid")}
-        rows = sel["src"][:n_sel][jsel]
+        rows = sel["src"][:n_sel][jsel] + sel_base
         if tp is not None:
             # two-phase phase B: full SW only on the pass1 + vec-gate
             # survivors
@@ -874,6 +900,8 @@ class FastLS:
             win = ctx["win"]
             ctx2 = dict(n_jobs=n_jobs, jobs=jobs, R=ctx["R"], G=ctx["G"],
                         ctx=ctx, read_tab=ctx["read_tab"], rows=rows,
+                        rank_local_jobs=(self.read_slice is not None
+                                         and self.slice_select),
                         starts=win["starts"][rows],
                         rcmask=win["rcmask"][rows],
                         rx=win["rx"][rows], ry=win["ry"][rows],
@@ -889,13 +917,20 @@ class FastLS:
             W = ops_all.shape[1]
             packed = np.ascontiguousarray(packed_all[rows])
             ops_pk = np.ascontiguousarray(ops_all[rows])
-        if self.read_slice is not None:
-            # read-axis data parallelism: this rank finalizes + renders
-            # only its read slice. Selection and the owner-host
-            # expansion above ran over the FULL batch (replicated), so
-            # each sliced read's job set spans every shard and its MQV
-            # denominator is complete without a collective
-            # (splitreads recast, /root/reference/README:236-276).
+        if self.read_slice is not None and self.slice_select:
+            # slice-at-selection mode: every job already belongs to this
+            # rank's read slice — just count them for the scaling test
+            assert self.z1_merge_hook is None, \
+                "read_slice and z1_merge_hook are mutually exclusive"
+            self.last_slice_jobs += n_jobs
+        elif self.read_slice is not None:
+            # read-axis data parallelism (legacy shallow mode): this
+            # rank finalizes + renders only its read slice. Selection
+            # and the owner-host expansion above ran over the FULL
+            # batch (replicated), so each sliced read's job set spans
+            # every shard and its MQV denominator is complete without a
+            # collective (splitreads recast,
+            # /root/reference/README:236-276).
             assert self.z1_merge_hook is None, \
                 "read_slice and z1_merge_hook are mutually exclusive"
             lo, hi = self.read_slice
@@ -1249,9 +1284,12 @@ class FastPaired:
         # read-axis data parallelism: when set to (plo, phi), the native
         # paired brain runs ONLY for pairs in [plo, phi) of the batch
         # (their window rows are a contiguous owner-major span; other
-        # pairs get empty segments). Window expansion still covers the
-        # full batch so each sliced pair's windows span every shard.
+        # pairs get empty segments). With slice_select additionally
+        # set, the alignment expansion is sliced to the pair span too
+        # (full-depth read sharding; remote shards' windows expand via
+        # the request/response exchange in _stats_to_packed).
         self.read_slice = None
+        self.slice_select = False
         self.last_slice_jobs = 0
 
     def _set_render_flags(self, p, ctx, n_pairs):
@@ -1521,8 +1559,32 @@ class FastPaired:
         m.stats.vec_secs += dev_secs
         m.stats.full_secs += dev_secs
 
+        owner = np.ascontiguousarray(fh.owner, np.int64)
+        seg = np.ascontiguousarray(
+            np.searchsorted(owner, np.arange(2 * B + 1)), np.int64)
+        rsl = slice(0, n)
+        sliced_expand = False
+        if self.read_slice is not None:
+            assert self.zpair_merge_hook is None, \
+                "read_slice and zpair_merge_hook are mutually exclusive"
+            plo, phi = self.read_slice
+            # pair pi owns legs 2pi..2pi+1 -> owners 4pi..4pi+3, whose
+            # window rows are the contiguous span below (owner-major)
+            r0 = int(seg[min(4 * plo, 2 * B)])
+            r1 = int(seg[min(4 * phi, 2 * B)])
+            rsl = slice(r0, r1)
+            seg = np.ascontiguousarray(
+                np.clip(seg, r0, r1) - r0, np.int64)
+            n = r1 - r0
+            self.last_slice_jobs += n
+            sliced_expand = self.slice_select
+            if n == 0:
+                return (self._paired_unaligned_block(ctx), pair_nhits,
+                        read_nhits)
+
         t0 = _time.perf_counter()
         win = ctx["win"]
+        ex = rsl if sliced_expand else slice(0, None)
         if tp is not None:
             # select-then-full: alignment expansion happens later, only
             # for the rows the native SELECT pass picks
@@ -1531,16 +1593,26 @@ class FastPaired:
             W = (ctx["R"] + ctx["G"] + 3) // 4
             packed = ops_pk = None
         elif ctx["stats_flow"]:
-            ctx2 = dict(n_jobs=n,
-                        jobs=dict(ri=win["ri"],
+            # with sliced_expand, expansion (incl. the owner-host
+            # exchange in the dist tier) runs only on this rank's pair
+            # span — _stats_to_packed's request/response exchange keeps
+            # remote shards' windows expanding on their owning host
+            ctx2 = dict(n_jobs=n if sliced_expand else int(fh.n),
+                        jobs=dict(ri=win["ri"][ex],
                                   w_len=np.ascontiguousarray(
-                                      fh.w_len, np.int32)),
+                                      fh.w_len[ex], np.int32)),
                         R=ctx["R"], G=ctx["G"], ctx=dict(L=L),
                         read_tab=ctx["read_tab"],
-                        starts=win["starts"], rcmask=win["rcmask"],
-                        rx=win["rx"], ry=win["ry"], rl_=win["rl_"],
-                        rw_=win["rw_"], rev=win["rev"])
-            packed, ops_pk, W = fls._stats_to_packed(stats_all, ctx2)
+                        starts=win["starts"][ex], rcmask=win["rcmask"][ex],
+                        rx=win["rx"][ex], ry=win["ry"][ex],
+                        rl_=win["rl_"][ex],
+                        rw_=win["rw_"][ex], rev=win["rev"][ex])
+            if sliced_expand:
+                ctx2["rows"] = np.arange(rsl.start, rsl.stop,
+                                         dtype=np.int64)
+                ctx2["rank_local_jobs"] = True
+            packed, ops_pk, W = fls._stats_to_packed(
+                stats_all[ex], ctx2)
         else:
             W = ops_pk.shape[1]
         m.stats.add_stage("alignment expand", _time.perf_counter() - t0)
@@ -1557,26 +1629,6 @@ class FastPaired:
         m._compute_mp_ranges(re1, re2, pairing)
         cal = m.cal
         sc = cfg.scores
-        owner = np.ascontiguousarray(fh.owner, np.int64)
-        seg = np.ascontiguousarray(
-            np.searchsorted(owner, np.arange(2 * B + 1)), np.int64)
-        rsl = slice(0, n)
-        if self.read_slice is not None:
-            assert self.zpair_merge_hook is None, \
-                "read_slice and zpair_merge_hook are mutually exclusive"
-            plo, phi = self.read_slice
-            # pair pi owns legs 2pi..2pi+1 -> owners 4pi..4pi+3, whose
-            # window rows are the contiguous span below (owner-major)
-            r0 = int(seg[min(4 * plo, 2 * B)])
-            r1 = int(seg[min(4 * phi, 2 * B)])
-            rsl = slice(r0, r1)
-            seg = np.ascontiguousarray(
-                np.clip(seg, r0, r1) - r0, np.int64)
-            n = r1 - r0
-            self.last_slice_jobs += n
-            if n == 0:
-                return (self._paired_unaligned_block(ctx), pair_nhits,
-                        read_nhits)
         arrs = dict(
             seg=seg,
             cn=np.ascontiguousarray(fh.cn[rsl], np.int32),
@@ -1589,8 +1641,9 @@ class FastPaired:
             score_max=np.ascontiguousarray(fh.score_max[rsl], np.int64),
             vec=np.ascontiguousarray(scores[rsl], np.int64))
         if tp is None:
-            arrs["packed"] = np.ascontiguousarray(packed[rsl], np.int32)
-            arrs["ops_pk"] = np.ascontiguousarray(ops_pk[rsl], np.uint8)
+            psl = slice(0, None) if sliced_expand else rsl
+            arrs["packed"] = np.ascontiguousarray(packed[psl], np.int32)
+            arrs["ops_pk"] = np.ascontiguousarray(ops_pk[psl], np.uint8)
         p = _PPParams(
             n_pairs, n, L, ctx["wlen"], W,
             (ctypes.c_int64 * 2)(int(re1.delta_g_off_min[0]),

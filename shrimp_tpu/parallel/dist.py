@@ -210,6 +210,10 @@ def _dist_filter1(m, dm, codes2, L: int, wlen: int, opts, mp_kw,
             loc_fields[k].append(getattr(fh, k))
     # pack the descriptor matrix for the cross-host allgather
     n_loc = int(sum(len(o) for o in loc_owner))
+    # per-rank f1 work counter: windows generated from LOCAL shards
+    # (the shard axis is what splits filter-1 work across hosts)
+    dm.last_f1_local_windows = getattr(dm, "last_f1_local_windows",
+                                       0) + n_loc
     desc = np.empty((n_loc, 12), np.int64)
     if n_loc:
         desc[:, 0] = np.concatenate(loc_owner)
@@ -336,13 +340,17 @@ class _DistFastLS(_ShardedFastLS):
         lo = comp.local_shard0
         hi = lo + len(comp.subs)
         mine = need[(job_shard >= lo) & (job_shard < hi)]
-        pk2 = np.zeros((0, 10), np.int32)
-        op2 = np.zeros((0, W), np.uint8)
-        if mine.size:
-            k2 = mine.size
-            starts = ctx2["starts"][mine]
-            sh = job_shard_all[mine]
-            rc = ctx2["rcmask"][mine]
+
+        def expand_local(sh, starts, rc, ri, glen32, ax, ay, alen, awid,
+                         rev):
+            """Banded native DP on windows of LOCALLY-owned shards:
+            gather the genome bytes from this host's sub-indexes and
+            run sw_full_tb_host. All args are per-row arrays."""
+            k2 = len(sh)
+            pk2 = np.zeros((k2, 10), np.int32)
+            op2 = np.zeros((k2, W), np.uint8)
+            if k2 == 0:
+                return pk2, op2
             local_start = starts - comp.pos_base[sh]
             gpos = np.clip(local_start[:, None]
                            + np.arange(G, dtype=np.int64)[None, :],
@@ -353,41 +361,97 @@ class _DistFastLS(_ShardedFastLS):
                 gp = np.clip(gpos[i], 0, sub.total_len - 1)
                 src = sub.codes_rc if rc[i] else sub.codes
                 gwin[i] = src[gp]
-            read = np.ascontiguousarray(
-                ctx2["read_tab"][jobs["ri"][mine]])
-            glen = np.ascontiguousarray(
-                jobs["w_len"][mine].astype(np.int32))
+            read = np.ascontiguousarray(ctx2["read_tab"][ri])
+            glen = np.ascontiguousarray(glen32.astype(np.int32))
             rlen = np.full(k2, L, np.int32)
-            ax = np.ascontiguousarray(ctx2["rx"][mine])
-            ay = np.ascontiguousarray(ctx2["ry"][mine])
-            alen = np.ascontiguousarray(ctx2["rl_"][mine])
-            awid = np.ascontiguousarray(ctx2["rw_"][mine])
-            rev = np.ascontiguousarray(
-                ctx2["rev"][mine].astype(np.uint8))
-            pk2 = np.zeros((k2, 10), np.int32)
-            op2 = np.zeros((k2, W), np.uint8)
             p = _FSWParams(k2, G, R, W, sc.match, sc.mismatch,
                            sc.a_gap_open, sc.a_gap_extend,
                            sc.b_gap_open, sc.b_gap_extend, 0)
             jb = _FSWJobs(_vp(np.ascontiguousarray(gwin)), _vp(glen),
-                          _vp(read), _vp(rlen), _vp(ax), _vp(ay),
-                          _vp(alen), _vp(awid), _vp(rev))
+                          _vp(read),
+                          _vp(rlen),
+                          _vp(np.ascontiguousarray(ax, np.int64)),
+                          _vp(np.ascontiguousarray(ay, np.int64)),
+                          _vp(np.ascontiguousarray(alen, np.int64)),
+                          _vp(np.ascontiguousarray(awid, np.int64)),
+                          _vp(np.ascontiguousarray(rev, np.uint8)))
             rv = self.lib.sw_full_tb_host(ctypes.byref(p),
                                           ctypes.byref(jb), _vp(pk2),
                                           _vp(op2))
             assert rv == 0, rv
-        # exchange rows [job, packed(10), ops(W)] across hosts
-        res_rows = np.zeros((len(mine), 1 + 10 + W), np.int64)
+            return pk2, op2
+
+        pk2, op2 = expand_local(
+            job_shard_all[mine], ctx2["starts"][mine],
+            ctx2["rcmask"][mine], jobs["ri"][mine], jobs["w_len"][mine],
+            ctx2["rx"][mine], ctx2["ry"][mine], ctx2["rl_"][mine],
+            ctx2["rw_"][mine], ctx2["rev"][mine].astype(np.uint8))
+
+        if not ctx2.get("rank_local_jobs"):
+            # identical job lists on every rank: broadcast local
+            # expansions by job index, each rank applies every part
+            res_rows = np.zeros((len(mine), 1 + 10 + W), np.int64)
+            if mine.size:
+                res_rows[:, 0] = mine
+                res_rows[:, 1:11] = pk2
+                res_rows[:, 11:] = op2
+            for part in _allgather_rows(res_rows):
+                if part.shape[0] == 0:
+                    continue
+                jr = part[:, 0].astype(np.int64)
+                packed[jr] = part[:, 1:11].astype(np.int32)
+                ops_pk[jr] = part[:, 11:].astype(np.uint8)
+            return packed, ops_pk, W
+
+        # read-sharded (slice_select) mode: each rank's job list covers
+        # only its read slice, so job indices are NOT shared — remote
+        # shards' windows are shipped as explicit REQUESTS (the window
+        # descriptor + origin tag), expanded by the owning host, and
+        # returned tagged so only the origin applies them. Reads are
+        # replicated on every host, so requests carry `ri`, not bytes.
         if mine.size:
-            res_rows[:, 0] = mine
-            res_rows[:, 1:11] = pk2
-            res_rows[:, 11:] = op2
-        for part in _allgather_rows(res_rows):
+            packed[mine] = pk2
+            ops_pk[mine] = op2
+        remote = need[(job_shard < lo) | (job_shard >= hi)]
+        req = np.zeros((len(remote), 12), np.int64)
+        if remote.size:
+            req[:, 0] = self.mm.pid
+            req[:, 1] = remote
+            req[:, 2] = jobs["ri"][remote]
+            req[:, 3] = ctx2["starts"][remote]
+            req[:, 4] = job_shard_all[remote]
+            req[:, 5] = ctx2["rcmask"][remote]
+            req[:, 6] = jobs["w_len"][remote]
+            req[:, 7] = ctx2["rx"][remote]
+            req[:, 8] = ctx2["ry"][remote]
+            req[:, 9] = ctx2["rl_"][remote]
+            req[:, 10] = ctx2["rw_"][remote]
+            req[:, 11] = ctx2["rev"][remote]
+        req_all = [p for p in _allgather_rows(req) if p.shape[0]]
+        req_all = (np.concatenate(req_all, axis=0) if req_all
+                   else np.zeros((0, 12), np.int64))
+        fme = ((req_all[:, 4] >= lo) & (req_all[:, 4] < hi)) \
+            if req_all.shape[0] else np.zeros(0, bool)
+        fr = req_all[fme]
+        pk3, op3 = expand_local(
+            fr[:, 4], fr[:, 3], fr[:, 5].astype(bool),
+            fr[:, 2].astype(np.int64), fr[:, 6], fr[:, 7], fr[:, 8],
+            fr[:, 9], fr[:, 10], fr[:, 11].astype(np.uint8))
+        resp = np.zeros((fr.shape[0], 2 + 10 + W), np.int64)
+        if fr.shape[0]:
+            resp[:, 0] = fr[:, 0]
+            resp[:, 1] = fr[:, 1]
+            resp[:, 2:12] = pk3
+            resp[:, 12:] = op3
+        for part in _allgather_rows(resp):
             if part.shape[0] == 0:
                 continue
-            jr = part[:, 0].astype(np.int64)
-            packed[jr] = part[:, 1:11].astype(np.int32)
-            ops_pk[jr] = part[:, 11:].astype(np.uint8)
+            sel_own = part[part[:, 0] == self.mm.pid]
+            if sel_own.shape[0] == 0:
+                continue
+            jr = sel_own[:, 1].astype(np.int64)
+            packed[jr] = sel_own[:, 2:12].astype(np.int32)
+            ops_pk[jr] = sel_own[:, 12:].astype(np.uint8)
         return packed, ops_pk, W
 
 
@@ -648,6 +712,7 @@ class DistMapper:
         self.last_z1_merged: Optional[np.ndarray] = None
         self.last_zpair_merged: Optional[np.ndarray] = None
         self.last_slice_jobs = 0       # read_sharding: jobs this rank
+        self.last_f1_local_windows = 0  # f1 windows from LOCAL shards
         self.last_render_wall = 0.0    # read_sharding: render seconds
         self.merge_bytes = 0           # cross-host stats-merge bytes
         self.merge_secs = 0.0          # host time in the ragged merge
@@ -882,6 +947,7 @@ class DistMapper:
             if read_sharding:
                 fast.read_slice = _slice_for(self.pid, self.P,
                                              len(batch))
+                fast.slice_select = True
                 t1 = time.time()
                 mine = fast.stage_finish(ctx)[0]
                 self.last_render_wall += time.time() - t1
@@ -1018,6 +1084,7 @@ class DistMapper:
             if read_sharding:
                 fp.read_slice = _slice_for(self.pid, self.P,
                                            len(batch) // 2)
+                fp.slice_select = True
                 t1 = time.time()
                 mine = fp.stage_finish(ctx)[0]
                 self.last_render_wall += time.time() - t1

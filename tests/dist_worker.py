@@ -94,6 +94,7 @@ def main():
     with open(out_path + ".meta", "w") as f:
         json.dump({"wall": dm.last_wall, "z1_max": zmax,
                    "slice_jobs": dm.last_slice_jobs,
+                   "f1_local_windows": dm.last_f1_local_windows,
                    "render_wall": dm.last_render_wall,
                    "merge_bytes": dm.merge_bytes,
                    "merge_secs": dm.merge_secs,

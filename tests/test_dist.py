@@ -208,8 +208,16 @@ def test_two_process_read_sharding_byte_identical(tmp_path):
     metas = [json.load(open(o + ".meta")) for o in outs]
     j0, j1 = metas[0]["slice_jobs"], metas[1]["slice_jobs"]
     assert j0 > 0 and j1 > 0
-    # each rank rendered a strict share, roughly balanced
+    # each rank selected+expanded+rendered a strict share of the jobs
+    # (slice_select: pass1, the vec gate, expansion and render all run
+    # on the rank's read slice only), roughly balanced
     assert max(j0, j1) <= 0.75 * (j0 + j1), (j0, j1)
+    # ... and filter 1 itself split along the shard axis: each rank
+    # generated windows only from its LOCAL sub-indexes
+    f0 = metas[0]["f1_local_windows"]
+    f1w = metas[1]["f1_local_windows"]
+    assert f0 > 0 and f1w > 0
+    assert max(f0, f1w) <= 0.75 * (f0 + f1w), (f0, f1w)
 
 
 def test_two_process_read_sharding_paired_byte_identical(tmp_path):
