@@ -22,9 +22,10 @@
 
 // Phase profiling (SHRIMP_TPU_F1_PROF=1): rdtsc accumulators per stage,
 // dumped via filter1_prof_dump(). Zero overhead when disabled.
-static std::atomic<uint64_t> g_prof[6];
-static const char* g_prof_names[6] = {
-    "keys", "csr collect", "sort", "walk+collapse", "window gen", "calls"};
+static std::atomic<uint64_t> g_prof[10];
+static const char* g_prof_names[10] = {
+    "keys", "csr collect", "sort", "walk+collapse", "window gen", "calls",
+    "postings", "survivors", "backscan", "wsort moves"};
 static inline bool prof_on() {
     static int v = -1;
     if (v < 0) v = getenv("SHRIMP_TPU_F1_PROF") ? 1 : 0;
@@ -39,9 +40,11 @@ struct ProfScope {
 extern "C" {
 
 void filter1_prof_dump() {
-    for (int i = 0; i < 6; i++)
-        fprintf(stderr, "f1 prof %-14s %12llu Mcycles\n", g_prof_names[i],
-                (unsigned long long)(g_prof[i].load() / 1000000));
+    for (int i = 0; i < 10; i++)
+        fprintf(stderr, "f1 prof %-14s %12llu %s\n", g_prof_names[i],
+                (unsigned long long)(g_prof[i].load()
+                                     / (i < 6 ? 1000000 : 1)),
+                i < 6 ? "Mcycles" : "");
 }
 
 struct SeedSpec {
@@ -156,7 +159,12 @@ struct Scratch {
     std::vector<uint32_t> region_map;
     uint32_t region_gen = 0;
     std::vector<int32_t> cache;              // diagonal cache
-    // packed (position << 20 | stream) keys for the sort-based merge
+    // cache-local copies of each slot's (diag, cn): the hit test runs
+    // against L1-resident arrays instead of poking the (large,
+    // effectively random) collapsed[] entry per survivor
+    std::vector<int64_t> cache_diag;
+    std::vector<int32_t> cache_cn;
+    // packed (position << 32 | stream) keys for the sort-based merge
     std::vector<uint64_t> pos_keys;
     std::vector<uint64_t> radix_tmp;     // LSD radix double buffer
     struct ListRef { int64_t lo, hi; uint32_t sbase;
@@ -274,7 +282,7 @@ int64_t filter1_batch(
     // ---- single CSR walk: region marks (read_get_region_counts,
     // mapping.c:459-542) fused with (position, stream) collection; the
     // k-way heap merge of the reference (mapping.c:912-989) is replaced
-    // by one sort of packed (pos << 20 | stream) keys, which yields the
+    // by one sort of packed (pos << 32 | stream) keys, which yields the
     // identical (x, stream) visit order with far better cache behavior
     // on long posting lists. With marks_out set (mate-pair groups),
     // region touches go to a sortable vector instead of the
@@ -323,12 +331,22 @@ int64_t filter1_batch(
         // bulk-write the packed keys: total size is known up front, so
         // one resize + raw-pointer stores replace per-element
         // push_back capacity checks (the long posting lists of dense
-        // genomes stream through here)
+        // genomes stream through here). Keys pack as pos << 32 |
+        // stream: the radix sort below orders on the pos word only
+        // (stable, so equal-pos entries keep stream-ascending
+        // insertion order — identical to the full (pos, stream) sort).
         int64_t total_pos = 0;
         for (auto& LRc : sc.lists) total_pos += LRc.hi - LRc.lo;
         pos_out.resize((size_t)total_pos);
         uint64_t* po = pos_out.data();
         size_t pn_out = 0;
+        // posting lists are position-ascending (index/build.py:6-8), so
+        // region ids form runs; once a region's mark count saturates at
+        // 2 the update is idempotent and the run can skip the map
+        // access entirely (the satellite-array tail lists of dense
+        // genomes spend most of their postings inside one region)
+        int64_t run_r = -1;
+        bool run_done = false;
         for (size_t li = 0; li < sc.lists.size(); li++) {
             if (li + 1 < sc.lists.size())
                 __builtin_prefetch(
@@ -344,16 +362,30 @@ int64_t filter1_batch(
                     marks_out->push_back(r);
                     if ((pos & region_mask) < p->region_overlap && r > 0)
                         marks_out->push_back(r - 1);
-                    po[pn_out++] = ((uint64_t)pos << 20) | sbase;
+                    po[pn_out++] = ((uint64_t)pos << 32) | sbase;
                 }
             } else if (p->use_region_counts) {
                 for (int64_t k = lo; k < hi; k++) {
+                    if (k + 24 < hi) {
+                        __builtin_prefetch(&plist[k + 24]);
+                        // the region-map line too: the posting value 8
+                        // ahead is already cache-resident from the
+                        // stream prefetch above
+                        if (k + 8 < hi)
+                            __builtin_prefetch(&sc.region_map[
+                                (size_t)(plist[k + 8]
+                                         >> p->region_bits)]);
+                    }
                     int64_t pos = (int64_t)plist[k];
                     int64_t r = pos >> p->region_bits;
-                    uint32_t v = sc.region_map[(size_t)r];
-                    uint32_t m = ((v >> 2) == sc.region_gen)
-                        ? ((v & 3) < 2 ? (v & 3) + 1 : 2) : 1;
-                    sc.region_map[(size_t)r] = gen_tag | m;
+                    if (r != run_r || !run_done) {
+                        uint32_t v = sc.region_map[(size_t)r];
+                        uint32_t m = ((v >> 2) == sc.region_gen)
+                            ? ((v & 3) < 2 ? (v & 3) + 1 : 2) : 1;
+                        sc.region_map[(size_t)r] = gen_tag | m;
+                        run_r = r;
+                        run_done = m >= 2;
+                    }
                     if ((pos & region_mask) < p->region_overlap
                         && r > 0) {
                         uint32_t v2 = sc.region_map[(size_t)(r - 1)];
@@ -361,13 +393,14 @@ int64_t filter1_batch(
                             ? ((v2 & 3) < 2 ? (v2 & 3) + 1 : 2) : 1;
                         sc.region_map[(size_t)(r - 1)] = gen_tag | m2;
                     }
-                    po[pn_out++] = ((uint64_t)pos << 20) | sbase;
+                    po[pn_out++] = ((uint64_t)pos << 32) | sbase;
                 }
             } else {
                 for (int64_t k = lo; k < hi; k++)
-                    po[pn_out++] = ((uint64_t)plist[k] << 20) | sbase;
+                    po[pn_out++] = ((uint64_t)plist[k] << 32) | sbase;
             }
         }
+        if (prof_on()) g_prof[6] += pos_out.size();
         ProfScope _ps2(2);
         // tiny lists (the common case: ~2 positions per kmer hit)
         // sort ~2x faster by insertion than via introsort's dispatch;
@@ -388,34 +421,42 @@ int64_t filter1_batch(
                 pos_out[b] = v;
             }
         } else {
+            // LSD radix on the POS word only (keys are pos << 32 |
+            // stream; stability keeps stream-ascending insertion order
+            // for equal pos, so the result equals the full (pos,
+            // stream) sort at ~half the passes): 11+11+10-bit digits,
+            // 8KB count arrays, uniform digits skipped (genomes under
+            // 2^22 never see the top pass)
             sc.radix_tmp.resize(pn);
             uint64_t* src = pos_out.data();
             uint64_t* dst = sc.radix_tmp.data();
             uint64_t all_or = 0;
             for (size_t a = 0; a < pn; a++) all_or |= src[a];
-            int top_byte = 0;
-            while (top_byte < 7 && (all_or >> (8 * (top_byte + 1))))
-                top_byte++;
-            uint32_t cnt[256];
-            for (int by = 0; by <= top_byte; by++) {
-                int sh = 8 * by;
-                memset(cnt, 0, sizeof(cnt));
+            const uint64_t pos_or = all_or >> 32;
+            static const int shifts[3] = {32, 43, 54};
+            static const uint32_t dmask[3] = {2047, 2047, 1023};
+            uint32_t cnt[2048];
+            for (int pass = 0; pass < 3; pass++) {
+                if (pass && !(pos_or >> (shifts[pass] - 32)))
+                    break;       // no key has bits this high
+                const int sh = shifts[pass];
+                const uint32_t dm = dmask[pass];
+                memset(cnt, 0, (dm + 1) * sizeof(uint32_t));
                 for (size_t a = 0; a < pn; a++)
-                    cnt[(src[a] >> sh) & 255]++;
-                // all keys share this byte: skip the pass
+                    cnt[(src[a] >> sh) & dm]++;
                 bool uniform = false;
-                for (int c = 0; c < 256; c++)
+                for (uint32_t c = 0; c <= dm; c++)
                     if (cnt[c] == pn) { uniform = true; break; }
                     else if (cnt[c]) break;
                 if (uniform) continue;
                 uint32_t run = 0;
-                for (int c = 0; c < 256; c++) {
+                for (uint32_t c = 0; c <= dm; c++) {
                     uint32_t t = cnt[c];
                     cnt[c] = run;
                     run += t;
                 }
                 for (size_t a = 0; a < pn; a++)
-                    dst[cnt[(src[a] >> sh) & 255]++] = src[a];
+                    dst[cnt[(src[a] >> sh) & dm]++] = src[a];
                 std::swap(src, dst);
             }
             if (src != pos_out.data())
@@ -503,12 +544,26 @@ int64_t filter1_batch(
 
         sc.collapsed.clear();
         sc.cache.assign((size_t)L, -1);
+        sc.cache_diag.assign((size_t)L, INT64_MIN);
+        sc.cache_cn.assign((size_t)L, -1);
         const uint32_t want_gen = sc.region_gen;
+        uint64_t n_surv = 0;
         {
         ProfScope _ps3(3);
+        // postings stream in pos-ascending order, so the region verdict
+        // and the contig lookup cache per RUN (one map load / binary
+        // search per region or contig change, not per posting — the
+        // dense-genome walk is dominated by long same-region runs)
+        int64_t wr_r = -2;
+        bool wr_ok = false, wr_okm1 = false;
+        // contig c spans [contig_offsets[c], contig_offsets[c+1]) in
+        // the binary search's "last offset <= pos" semantics
+        int cur_cn = 0;
+        int64_t cn_end = p->n_contigs > 1
+            ? (int64_t)p->contig_offsets[1] : INT64_MAX;
         for (uint64_t pk : sc.pos_keys) {
-            int64_t x = (int64_t)(pk >> 20);
-            int32_t stream = (int32_t)(pk & ((1u << 20) - 1));
+            int64_t x = (int64_t)(pk >> 32);
+            int32_t stream = (int32_t)(pk & 0xFFFFFFFFu);
             int32_t y = stream % L;
             int32_t span = seeds[stream / L].span;
 
@@ -521,43 +576,67 @@ int64_t filter1_batch(
                 if (!ok) continue;
             } else if (p->use_region_counts) {
                 int64_t r = x >> p->region_bits;
-                uint32_t v = sc.region_map[(size_t)r];
-                bool ok = (v >> 2) == want_gen && (v & 3) >= 2;
-                if (!ok && (x & region_mask) < p->region_overlap && r > 0) {
-                    uint32_t v2 = sc.region_map[(size_t)(r - 1)];
-                    ok = (v2 >> 2) == want_gen && (v2 & 3) >= 2;
+                if (r != wr_r) {
+                    uint32_t v = sc.region_map[(size_t)r];
+                    wr_ok = (v >> 2) == want_gen && (v & 3) >= 2;
+                    if (r > 0) {
+                        uint32_t v2 = sc.region_map[(size_t)(r - 1)];
+                        wr_okm1 = (v2 >> 2) == want_gen
+                                  && (v2 & 3) >= 2;
+                    } else {
+                        wr_okm1 = false;
+                    }
+                    wr_r = r;
                 }
+                bool ok = wr_ok
+                    || ((x & region_mask) < p->region_overlap
+                        && wr_okm1);
                 if (!ok) continue;
             }
 
-            // collapse (anchor_uw_join via diagonal cache)
+            n_surv++;
+            if (x >= cn_end)
+                while (true) {
+                    cur_cn++;
+                    if (cur_cn >= p->n_contigs - 1) {
+                        cur_cn = p->n_contigs - 1;
+                        cn_end = INT64_MAX;
+                        break;
+                    }
+                    cn_end = (int64_t)p->contig_offsets[cur_cn + 1];
+                    if (x < cn_end) break;
+                }
+            // collapse (anchor_uw_join via diagonal cache); the slot's
+            // (diag, cn) live in cache-local arrays so the common
+            // no-merge case never touches collapsed[]
             if (p->collapse) {
                 int64_t diag = x - y;
                 int32_t ck = (int32_t)((x + L - y) % L);
                 int32_t j = sc.cache[ck];
-                if (j >= 0) {
+                if (j >= 0 && sc.cache_diag[ck] == diag
+                    && sc.cache_cn[ck] == cur_cn) {
                     Anchor& a = sc.collapsed[(size_t)j];
-                    if (a.x - a.y == diag
-                        && a.cn == contig_of(p, x)) {
-                        if (x + span > a.x + a.length)
-                            a.length = (int32_t)(x - a.x + span);
-                        a.weight += 1;
-                        continue;
-                    }
+                    if (x + span > a.x + a.length)
+                        a.length = (int32_t)(x - a.x + span);
+                    a.weight += 1;
+                    continue;
                 }
                 Anchor a;
                 a.x = x; a.y = y; a.length = span; a.weight = 1;
-                a.cn = contig_of(p, x);
+                a.cn = cur_cn;
                 sc.collapsed.push_back(a);
                 sc.cache[ck] = (int32_t)(sc.collapsed.size() - 1);
+                sc.cache_diag[ck] = diag;
+                sc.cache_cn[ck] = cur_cn;
             } else {
                 Anchor a;
                 a.x = x; a.y = y; a.length = span; a.weight = 1;
-                a.cn = contig_of(p, x);
+                a.cn = cur_cn;
                 sc.collapsed.push_back(a);
             }
         }
         }
+        if (prof_on()) g_prof[7] += n_surv;
 
         ProfScope _ps4(4);
         // per-anchor mate support for match mode 3 (heavy_mp,
@@ -602,6 +681,7 @@ int64_t filter1_batch(
             if (!p->gapless) {
                 for (int64_t j = i - 1;
                      j >= 0 && A[j].x >= coff + gstart; j--) {
+                    if (prof_on()) g_prof[8]++;
                     if (A[j].y >= ai.y) continue;
                     int64_t dx = ai.x - A[j].x;
                     int64_t dy = ai.y - A[j].y;
@@ -701,6 +781,7 @@ int64_t filter1_batch(
                 int64_t t_ax = out->ax[i2], t_ay = out->ay[i2];
                 int64_t t_al = out->alen[i2], t_aw = out->awid[i2];
                 for (int64_t k2 = i2 - 1; k2 >= j2; k2--) {
+                    if (prof_on()) g_prof[9]++;
                     out->owner[k2 + 1] = out->owner[k2];
                     out->cn[k2 + 1] = out->cn[k2];
                     out->g_off[k2 + 1] = out->g_off[k2];
