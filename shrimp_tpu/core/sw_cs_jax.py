@@ -505,11 +505,19 @@ def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
     thresh = args[:, 10]
     initbp = args[:, 11]
 
-    jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
-    pos = jnp.clip(gstart[:, None] + jidx, 0, cs_codes.shape[0] - 1)
-    rcb = (eff_rc != 0)[:, None]
-    gwin_cs = jnp.where(rcb, cs_codes_rc[pos], cs_codes[pos])
-    lswin = jnp.where(rcb, ls_codes_rc[pos], ls_codes[pos])
+    from .sw_jax import fast_window_gather
+    gwin_cs = lswin = None
+    if G % 4 == 0:
+        gwin_cs = fast_window_gather(cs_codes, cs_codes_rc, gstart,
+                                     eff_rc, G)
+        lswin = fast_window_gather(ls_codes, ls_codes_rc, gstart,
+                                   eff_rc, G)
+    if gwin_cs is None or lswin is None:
+        jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+        pos = jnp.clip(gstart[:, None] + jidx, 0, cs_codes.shape[0] - 1)
+        rcb = (eff_rc != 0)[:, None]
+        gwin_cs = jnp.where(rcb, cs_codes_rc[pos], cs_codes[pos])
+        lswin = jnp.where(rcb, ls_codes_rc[pos], ls_codes[pos])
     cmat = jnp.asarray(C.COLOUR_MAT.reshape(-1))
     g_row0 = cmat[lswin.astype(jnp.int32) * 16 + initbp[:, None]]
     if phase != "full":

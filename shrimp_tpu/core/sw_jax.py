@@ -471,18 +471,89 @@ def _unpack_args4(args4):
     return w0, glen, ri, rc, rx, ry, rl_, rw_, rev
 
 
+def fast_window_gather(codes_fwd, codes_rc, gstart, rc, G):
+    """[B, G] uint8 genome windows via ONE word-granular gather over a
+    concatenated (fwd, pad, rc, pad) plane plus a 4-way shift select —
+    measured ~7x faster than two byte-granular [B, G] gathers + select
+    on a v5e (XLA's byte gather is the launch wall at millions of
+    windows per batch). The pads repeat each plane's last byte, which
+    reproduces the byte-gather's per-element clip for windows whose
+    padded-G tail overruns the plane (those cells are glen-masked in
+    every kernel). Returns None when the concatenated offsets would
+    overflow int32 (planes over ~1 Gbp): caller falls back."""
+    n_gen = codes_fwd.shape[0]
+    B = gstart.shape[0]
+    PAD = 96
+    pad2 = PAD + (-(2 * n_gen + PAD) % 4)
+    if 2 * n_gen + PAD + pad2 >= 2 ** 31:
+        return None
+    cat = jnp.concatenate([
+        codes_fwd,
+        jnp.broadcast_to(codes_fwd[-1], (PAD,)),
+        codes_rc,
+        jnp.broadcast_to(codes_rc[-1], (pad2,))])
+    words = jax.lax.bitcast_convert_type(
+        cat.reshape(-1, 4), jnp.int32).reshape(-1)
+    eff = jnp.clip(gstart, 0, n_gen - 1) \
+        + jnp.where(rc != 0, n_gen + PAD, 0)
+    w0 = eff >> 2
+    nw = G // 4 + 1
+    gw = jnp.take(words, w0[:, None]
+                  + jnp.arange(nw, dtype=jnp.int32)[None, :], axis=0)
+    by = jax.lax.bitcast_convert_type(
+        gw[..., None], jnp.uint8).reshape(B, 4 * nw)
+    sh = eff & 3
+    gwin = by[:, 0:G]
+    for k in (1, 2, 3):
+        gwin = jnp.where((sh == k)[:, None], by[:, k:k + G], gwin)
+    return gwin
+
+
 def _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L):
     """Packed-IO twin of _vec_full_gather: args4 is [B, 4] int32 per
     _unpack_args4 and rtab_pk the nibble-packed read table. rlen is the
     uniform batch read length L (pad rows simply score a 1-cell window
-    whose result the host discards)."""
+    whose result the host discards).
+
+    The genome window gather runs at WORD granularity over a single
+    concatenated (fwd, pad, rc, pad) plane: one int32 [B, G/4+1]
+    gather plus a 4-way shift select replaces two byte-granular [B, G]
+    gathers + select (measured ~7x on a v5e — XLA's byte gather is the
+    launch wall at millions of windows per batch, core/sw_jax bench).
+    The pads repeat each plane's last byte, reproducing the old
+    per-element clip exactly for the <= G-byte overruns of
+    windows shorter than the padded G (those cells are glen-masked in
+    the kernels anyway)."""
     gstart, glen, ri, rc, rx, ry, rl_, rw_, rev = _unpack_args4(args4)
-    jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
-    pos = jnp.clip(gstart[:, None] + jidx, 0, codes_fwd.shape[0] - 1)
-    gwin = jnp.where((rc != 0)[:, None], codes_rc[pos], codes_fwd[pos])
-    rtab = _unpack_rtab_nib(rtab_pk)
-    rwin = rtab[jnp.clip(ri, 0, rtab.shape[0] - 1)]
-    rlen = jnp.full((args4.shape[0],), L, jnp.int32)
+    B = args4.shape[0]
+    n_gen = codes_fwd.shape[0]
+    gwin = fast_window_gather(codes_fwd, codes_rc, gstart, rc, G)
+    if gwin is None:
+        # concatenated-plane offsets would overflow int32 (genomes over
+        # ~1 Gbp per shard): keep the byte-granular clip gather
+        jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
+        pos = jnp.clip(gstart[:, None] + jidx, 0, n_gen - 1)
+        gwin = jnp.where((rc != 0)[:, None], codes_rc[pos],
+                         codes_fwd[pos])
+        rtab = _unpack_rtab_nib(rtab_pk)
+        rwin = rtab[jnp.clip(ri, 0, rtab.shape[0] - 1)]
+        rlen = jnp.full((B,), L, jnp.int32)
+        return gwin, rwin, glen, rlen, rx, ry, rl_, rw_, rev
+    # read rows gather at word granularity too (rows are word-aligned:
+    # R % 8 == 0 so the nibble-packed row is a whole number of int32s)
+    rB, rW = rtab_pk.shape
+    if rW % 4 == 0:
+        rwords = jax.lax.bitcast_convert_type(
+            rtab_pk.reshape(rB, rW // 4, 4), jnp.int32).reshape(rB,
+                                                                rW // 4)
+        rw_rows = jnp.take(rwords, jnp.clip(ri, 0, rB - 1), axis=0)
+        rby = jax.lax.bitcast_convert_type(
+            rw_rows[..., None], jnp.uint8).reshape(B, rW)
+        rwin = _unpack_rtab_nib(rby)
+    else:
+        rtab = _unpack_rtab_nib(rtab_pk)
+        rwin = rtab[jnp.clip(ri, 0, rB - 1)]
+    rlen = jnp.full((B,), L, jnp.int32)
     return gwin, rwin, glen, rlen, rx, ry, rl_, rw_, rev
 
 

@@ -37,6 +37,21 @@ TILE = 1024          # pairs per grid step = 8 sublanes x 128 lanes
 _SUB, _LANE = 8, 128
 
 
+def pallas_vec_ok(B: int, G: int) -> bool:
+    """Shape/backend gate for the VEC-ONLY Mosaic kernel (two-phase
+    phase A): tile-divisible batch and a VMEM-sized genome block. The
+    full-kernel gate (sw_full_pallas.pallas_full_ok) also bounds the
+    backpointer tensor, which the vec phase never materializes — huge
+    single-launch row counts are exactly the point of phase A."""
+    import jax
+    try:
+        if jax.default_backend() in ("cpu",):
+            return False
+    except Exception:  # pragma: no cover
+        return False
+    return B % TILE == 0 and G <= 256
+
+
 def _kernel(g_ref, r_ref, g0_ref, glen_ref, rlen_ref, out_ref, h_scr,
             f_scr, *, G, R, m, mm, goa, gea, gob, geb, cs_mode):
     glen = glen_ref[...].reshape(_SUB, _LANE)

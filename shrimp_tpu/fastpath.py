@@ -304,18 +304,27 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
     # a 4.3e9-element tensor)
     eff_batch = FULL_BATCH
     if two_phase:
-        # vec-only phase: rows are cheap, so at hg-scale density use
-        # big chunks — thousands of 8k launches per batch made the
-        # Python dispatch loop + per-launch overhead the wall
+        # vec-only phase: rows are cheap, so at hg-scale density the
+        # WHOLE batch's windows go up in ONE launch (pow2-bucketed).
+        # Dozens of 32k chunk launches per batch made the per-launch
+        # device round trip (~100ms on the tunneled backend) the wall:
+        # 2207 windows/read x 1024 reads = 69 launches/batch at 32k.
         eff_batch = int(_os.environ.get("SHRIMP_TPU_LS_VEC_BATCH",
-                                        "32768"))
+                                        str(1 << 26)))
     if not stats_flow:
         eff_batch = max(8, min(FULL_BATCH, (1 << 28) // max(R * G, 1)))
     futures = []
     off = 0
     while off < n:
         k = min(n - off, eff_batch)
-        if eff_batch >= FULL_BUCKETS[0]:
+        if k > FULL_BUCKETS[-1]:
+            # above the shared bucket table: 1.25/1.5/2x pow2 steps
+            # bound the distinct compiled shapes while keeping the
+            # padded-row tail under ~25%
+            p2 = 1 << int(np.ceil(np.log2(k)))
+            bucket = next(b for b in
+                          (5 * (p2 // 8), 3 * (p2 // 4), p2) if b >= k)
+        elif eff_batch >= FULL_BUCKETS[0]:
             bucket = FULL_BUCKETS[int(np.searchsorted(FULL_BUCKETS, k))]
         else:
             # long-read shrink active: small pow2 bucket (the Pallas
@@ -345,8 +354,20 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
             args[k:, 4] = 1
             args[k:, 7] = 1
             args[k:, 8] = 1
-        kw["use_pallas"] = pallas_full_ok(bucket, R, G)
+        if two_phase:
+            # vec-only launch: the Mosaic vec kernel has no
+            # backpointer tensor, so the full-kernel HBM bound does
+            # not apply — gate on the vec tile shape only
+            from .core.sw_pallas import pallas_vec_ok
+            kw["use_pallas"] = pallas_vec_ok(bucket, G)
+        else:
+            kw["use_pallas"] = pallas_full_ok(bucket, R, G)
         with m._device_ctx():
+            # explicit device_put: the implicit host-numpy transfer
+            # path runs ~15x slower through the tunneled backend
+            # (measured 38 vs 626 MB/s on the axon v5e) and the args
+            # block is tens of MB per hg-density batch
+            args = jax.device_put(args, m.device)
             res = fn(codes_dev, codes_rc_dev, args, rtab_dev, **kw)
         futures.append((off, k, res))
         off += k
@@ -381,7 +402,9 @@ def _tp_run_full(m, tp, win, G, rows, stats_flow, fh, L):
     # same long-read shrink as _fused_dispatch: without stats flow,
     # phase B materializes a [bucket, R, G] backpointer tensor that
     # must stay under int32/HBM limits
-    eff_batch2 = FULL_BATCH
+    # one launch for the typical pass1-survivor count (~30/read):
+    # per-launch round trips dominate on the tunneled backend
+    eff_batch2 = FULL_BUCKETS[-1]
     if not stats_flow:
         eff_batch2 = max(8, min(FULL_BATCH,
                                 (1 << 28) // max(R2 * G, 1)))
@@ -418,6 +441,7 @@ def _tp_run_full(m, tp, win, G, rows, stats_flow, fh, L):
             args[k:, 8] = 1
         kw2["use_pallas"] = pallas_full_ok(bucket, R2, G)
         with m._device_ctx():
+            args = jax.device_put(args, m.device)
             res = tp["fn"](tp["codes_dev"], tp["codes_rc_dev"],
                            args, tp["rtab_dev"], **kw2)
         futures2.append((off, k, res))

@@ -35,7 +35,14 @@ CS_FUSED_BATCH = 2048
 # launches per batch and the Python dispatch loop + per-launch overhead
 # become the wall. Chunk size adapts to the window count, bucketed so
 # only a few kernel shapes ever compile.
-CS_CHUNK_BUCKETS = (2048, 8192, 32768)
+# bucket ladder reaches one-launch-per-batch at hg-scale density
+# (8192-read batches carry ~10M windows; dozens of 32k launches per
+# batch made the per-launch device round trip the wall) — 1024-multiple
+# steps keep the Mosaic tile constraint, ~1.5x spacing bounds both the
+# padded-row tail and the number of distinct compiled shapes
+CS_CHUNK_BUCKETS = (2048, 8192, 32768, 131072, 262144, 393216, 524288,
+                    786432, 1048576, 1572864, 2097152, 3145728, 4194304,
+                    6291456, 8388608, 12582912)
 
 
 def _cs_chunk(n: int) -> int:
@@ -434,6 +441,9 @@ class FastCS:
                 chunk[k:, 7] = 1
                 chunk[k:, 8] = 1
                 chunk[k:, 10] = 1  # threshold 1 zeroes pad scores
+                # explicit device_put: the implicit host-numpy transfer
+                # runs far slower through the tunneled backend
+                chunk = jax.device_put(chunk, m.device)
                 res = sw_vec_cs_full_from_index(
                     *planes, chunk, rtab_dev, qr_dev, xov_dev,
                     **phase_kw)
@@ -506,6 +516,7 @@ class FastCS:
                 chunk[k:, 7] = 1
                 chunk[k:, 8] = 1
                 chunk[k:, 10] = 1
+                chunk = _jax.device_put(chunk, m.device)
                 res = sw_vec_cs_full_from_index(
                     *planes, chunk, tp["rtab_dev"], tp["qr_dev"],
                     tp["xov_dev"], **full_kw)
