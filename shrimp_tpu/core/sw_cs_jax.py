@@ -452,6 +452,7 @@ def sw_full_cs_batch_jax(*args, **kw):
     "use_pallas", "use_vec_pallas", "interpret", "phase"))
 def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
                               args, rtab, qr_tab, xover_tab,
+                              cs_cat=None, ls_cat=None,
                               *, G: int, xover: int, match: int,
                               mismatch: int, a_gap_open: int,
                               a_gap_ext: int, b_gap_open: int,
@@ -509,9 +510,9 @@ def sw_vec_cs_full_from_index(cs_codes, cs_codes_rc, ls_codes, ls_codes_rc,
     gwin_cs = lswin = None
     if G % 4 == 0:
         gwin_cs = fast_window_gather(cs_codes, cs_codes_rc, gstart,
-                                     eff_rc, G)
+                                     eff_rc, G, cat_words=cs_cat)
         lswin = fast_window_gather(ls_codes, ls_codes_rc, gstart,
-                                   eff_rc, G)
+                                   eff_rc, G, cat_words=ls_cat)
     if gwin_cs is None or lswin is None:
         jidx = jnp.arange(G, dtype=jnp.int32)[None, :]
         pos = jnp.clip(gstart[:, None] + jidx, 0, cs_codes.shape[0] - 1)

@@ -471,7 +471,8 @@ def _unpack_args4(args4):
     return w0, glen, ri, rc, rx, ry, rl_, rw_, rev
 
 
-def fast_window_gather(codes_fwd, codes_rc, gstart, rc, G):
+def fast_window_gather(codes_fwd, codes_rc, gstart, rc, G,
+                       cat_words=None):
     """[B, G] uint8 genome windows via ONE word-granular gather over a
     concatenated (fwd, pad, rc, pad) plane plus a 4-way shift select —
     measured ~7x faster than two byte-granular [B, G] gathers + select
@@ -487,13 +488,19 @@ def fast_window_gather(codes_fwd, codes_rc, gstart, rc, G):
     pad2 = PAD + (-(2 * n_gen + PAD) % 4)
     if 2 * n_gen + PAD + pad2 >= 2 ** 31:
         return None
-    cat = jnp.concatenate([
-        codes_fwd,
-        jnp.broadcast_to(codes_fwd[-1], (PAD,)),
-        codes_rc,
-        jnp.broadcast_to(codes_rc[-1], (pad2,))])
-    words = jax.lax.bitcast_convert_type(
-        cat.reshape(-1, 4), jnp.int32).reshape(-1)
+    if cat_words is not None:
+        # prebuilt host-side word plane (Mapper._dev_cat_words): the
+        # in-jit concat/bitcast materializes a catastrophically padded
+        # layout for GB-scale planes on TPU
+        words = cat_words
+    else:
+        cat = jnp.concatenate([
+            codes_fwd,
+            jnp.broadcast_to(codes_fwd[-1], (PAD,)),
+            codes_rc,
+            jnp.broadcast_to(codes_rc[-1], (pad2,))])
+        words = jax.lax.bitcast_convert_type(
+            cat.reshape(-1, 4), jnp.int32).reshape(-1)
     eff = jnp.clip(gstart, 0, n_gen - 1) \
         + jnp.where(rc != 0, n_gen + PAD, 0)
     w0 = eff >> 2
@@ -509,7 +516,8 @@ def fast_window_gather(codes_fwd, codes_rc, gstart, rc, G):
     return gwin
 
 
-def _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L):
+def _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L,
+                            cat_words=None):
     """Packed-IO twin of _vec_full_gather: args4 is [B, 4] int32 per
     _unpack_args4 and rtab_pk the nibble-packed read table. rlen is the
     uniform batch read length L (pad rows simply score a 1-cell window
@@ -527,7 +535,8 @@ def _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L):
     gstart, glen, ri, rc, rx, ry, rl_, rw_, rev = _unpack_args4(args4)
     B = args4.shape[0]
     n_gen = codes_fwd.shape[0]
-    gwin = fast_window_gather(codes_fwd, codes_rc, gstart, rc, G)
+    gwin = fast_window_gather(codes_fwd, codes_rc, gstart, rc, G,
+                              cat_words=cat_words)
     if gwin is None:
         # concatenated-plane offsets would overflow int32 (genomes over
         # ~1 Gbp per shard): keep the byte-granular clip gather
@@ -581,6 +590,7 @@ def _pack_stats3(vec, stats):
     "b_gap_open", "b_gap_ext", "local_alignment", "use_pallas",
     "interpret", "phase"))
 def sw_vec_full_stats_packed(codes_fwd, codes_rc, args4, rtab_pk,
+                             cat_words=None,
                              *, G: int, L: int, match, mismatch,
                              a_gap_open, a_gap_ext, b_gap_open, b_gap_ext,
                              local_alignment=False, use_pallas=True,
@@ -597,7 +607,8 @@ def sw_vec_full_stats_packed(codes_fwd, codes_rc, args4, rtab_pk,
     (the stats kernel is always the Mosaic one, interpretable on CPU)."""
     from .sw_full_pallas import sw_full_stats_pallas
     gwin, rwin, glen, rlen, ax, ay, alen, awid, rev = \
-        _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L)
+        _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L,
+                                cat_words=cat_words)
     kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
               a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
               b_gap_ext=b_gap_ext)
@@ -622,6 +633,7 @@ def sw_vec_full_stats_packed(codes_fwd, codes_rc, args4, rtab_pk,
     "G", "L", "match", "mismatch", "a_gap_open", "a_gap_ext",
     "b_gap_open", "b_gap_ext", "local_alignment", "use_pallas", "phase"))
 def sw_vec_full_tb_packed(codes_fwd, codes_rc, args4, rtab_pk,
+                          cat_words=None,
                           *, G: int, L: int, match, mismatch, a_gap_open,
                           a_gap_ext, b_gap_open, b_gap_ext,
                           local_alignment=False, use_pallas=False,
@@ -630,7 +642,8 @@ def sw_vec_full_tb_packed(codes_fwd, codes_rc, args4, rtab_pk,
     traceback (the non-stats flow, e.g. CPU backend). Outputs stay
     unpacked: (int16 vec, packed [B, 10] int32, ops [B, W] uint8)."""
     gwin, rwin, glen, rlen, ax, ay, alen, awid, rev = \
-        _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L)
+        _vec_full_gather_packed(codes_fwd, codes_rc, args4, rtab_pk, G, L,
+                                cat_words=cat_words)
     kw = dict(match=match, mismatch=mismatch, a_gap_open=a_gap_open,
               a_gap_ext=a_gap_ext, b_gap_open=b_gap_open,
               b_gap_ext=b_gap_ext)

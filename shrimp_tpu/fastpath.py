@@ -285,6 +285,9 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
     with m._device_ctx():
         rtab_dev = jax.device_put(
             _pack_rtab(read_tab) if packed_io else read_tab, m.device)
+    # prebuilt concatenated word plane for the fast on-device window
+    # gather (None outside the packed flow or for >1 Gbp planes)
+    cat_dev = m._dev_cat_words() if packed_io else None
     # Two-phase at high candidate density (see the colour-space twin in
     # fastpath_cs._fused_dispatch_cs): vec-only first, full SW from
     # stage_finish on the pass1+pass2-gate survivors only. LS full-SW
@@ -368,7 +371,11 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
             # (measured 38 vs 626 MB/s on the axon v5e) and the args
             # block is tens of MB per hg-density batch
             args = jax.device_put(args, m.device)
-            res = fn(codes_dev, codes_rc_dev, args, rtab_dev, **kw)
+            if packed_io:
+                res = fn(codes_dev, codes_rc_dev, args, rtab_dev,
+                         cat_dev, **kw)
+            else:
+                res = fn(codes_dev, codes_rc_dev, args, rtab_dev, **kw)
         futures.append((off, k, res))
         off += k
     win["packed_io"] = packed_io
@@ -376,7 +383,9 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
         win["two_phase"] = dict(fn=fn, kw=kw, L=L, R=R,
                                 codes_dev=codes_dev,
                                 codes_rc_dev=codes_rc_dev,
-                                rtab_dev=rtab_dev)
+                                rtab_dev=rtab_dev,
+                                cat_dev=cat_dev if packed_io else None,
+                                packed_io=packed_io)
     m.stats.vec_invocs += n
     cells = int(fh.w_len.astype(np.int64).sum()) * L
     m.stats.vec_cells += cells
@@ -442,8 +451,13 @@ def _tp_run_full(m, tp, win, G, rows, stats_flow, fh, L):
         kw2["use_pallas"] = pallas_full_ok(bucket, R2, G)
         with m._device_ctx():
             args = jax.device_put(args, m.device)
-            res = tp["fn"](tp["codes_dev"], tp["codes_rc_dev"],
-                           args, tp["rtab_dev"], **kw2)
+            if tp.get("packed_io"):
+                res = tp["fn"](tp["codes_dev"], tp["codes_rc_dev"],
+                               args, tp["rtab_dev"], tp["cat_dev"],
+                               **kw2)
+            else:
+                res = tp["fn"](tp["codes_dev"], tp["codes_rc_dev"],
+                               args, tp["rtab_dev"], **kw2)
         futures2.append((off, k, res))
         off += k
     fetched2 = jax.device_get([r for _, _, r in futures2])

@@ -446,6 +446,7 @@ class FastCS:
                 chunk = jax.device_put(chunk, m.device)
                 res = sw_vec_cs_full_from_index(
                     *planes, chunk, rtab_dev, qr_dev, xov_dev,
+                    *(m._dev_cs_cat_words() or (None, None)),
                     **phase_kw)
                 futures.append((off, k, res))
         if two_phase:
@@ -519,7 +520,9 @@ class FastCS:
                 chunk = _jax.device_put(chunk, m.device)
                 res = sw_vec_cs_full_from_index(
                     *planes, chunk, tp["rtab_dev"], tp["qr_dev"],
-                    tp["xov_dev"], **full_kw)
+                    tp["xov_dev"],
+                    *(m._dev_cs_cat_words() or (None, None)),
+                    **full_kw)
                 futures2.append((off, k, res))
         fetched2 = _jax.device_get([res for _, _, res in futures2])
         W = fetched2[0][1].shape[1] if futures2 else 1

@@ -267,13 +267,21 @@ class Mapper:
 
     @staticmethod
     def _pad_plane(a: np.ndarray) -> np.ndarray:
-        """Pad a genome plane to a power-of-two length so the jitted
-        gather shapes are bucketed: a new genome of a similar scale
-        reuses the compiled kernels instead of paying a remote
-        recompile per exact length.  Pad cells are the 254 sentinel
-        (never matches); windows never extend past the true contig end
-        (filter1 clips w_len), so the pad is unreachable data."""
-        n = _pow2_bucket(len(a), lo=1 << 22)
+        """Pad a genome plane to a bucketed length so the jitted gather
+        shapes are cached: a new genome of a similar scale reuses the
+        compiled kernels instead of paying a remote recompile per exact
+        length. Power-of-two up to 256M, then multiples of 16M: pow2
+        padding of a 750M plane reaches 2^30, which pushes the
+        CONCATENATED (fwd, rc) word plane past int32 offsets and
+        silently disables the fast word-granular window gather
+        (core/sw_jax.fast_window_gather). Pad cells are the 254
+        sentinel (never matches); windows never extend past the true
+        contig end (filter1 clips w_len), so the pad is unreachable
+        data."""
+        if len(a) <= (1 << 28):
+            n = _pow2_bucket(len(a), lo=1 << 22)
+        else:
+            n = -(-len(a) // (1 << 24)) * (1 << 24)
         if n == len(a):
             return a
         out = np.full(n, 254, np.uint8)
@@ -301,6 +309,39 @@ class Mapper:
                     self._pad_plane(self.index.codes_rc), self.device)
         return self._codes_rc_dev
 
+    def _dev_cat_words(self):
+        """Concatenated (fwd, pad, rc, pad) genome plane as int32
+        words, built HOST-side and uploaded once per mapper: the
+        packed-IO window gather (core/sw_jax.fast_window_gather) runs
+        at word granularity, and doing the u8->i32 concat/bitcast
+        inside the jit materializes a catastrophically padded layout
+        for GB-scale planes on TPU (measured ~17s/launch vs ~0.9s with
+        the prebuilt words). Pads repeat each plane's last byte — the
+        byte-gather clip semantics for glen-masked tails. Returns None
+        when the concatenated offsets would overflow int32 (the gather
+        falls back to the byte path)."""
+        if getattr(self, "_cat_words_dev", None) is None:
+            import jax
+            fp = self._pad_plane(self.index.codes)
+            rp = self._pad_plane(self.index.codes_rc)
+            n = len(fp)
+            assert len(rp) == n
+            PAD = 96
+            pad2 = PAD + (-(2 * n + PAD) % 4)
+            if 2 * n + PAD + pad2 >= 2 ** 31:
+                self._cat_words_dev = False
+            else:
+                cat = np.empty(2 * n + PAD + pad2, np.uint8)
+                cat[:n] = fp
+                cat[n:n + PAD] = fp[-1]
+                cat[n + PAD:2 * n + PAD] = rp
+                cat[2 * n + PAD:] = rp[-1]
+                with self._device_ctx():
+                    self._cat_words_dev = jax.device_put(
+                        cat.view(np.int32), self.device)
+        return None if self._cat_words_dev is False \
+            else self._cat_words_dev
+
     def _dev_cs_planes(self):
         """Colour + letter genome planes (fw/rc) on the device, for the
         CS vector-SW device-resident gather path."""
@@ -313,6 +354,38 @@ class Mapper:
                     for a in (idx.cs_codes, idx.cs_codes_rc,
                               idx.codes, idx.codes_rc))
         return self._cs_planes_dev
+
+    def _dev_cs_cat_words(self):
+        """CS twin of _dev_cat_words: (colour-plane cat words,
+        letter-plane cat words) built host-side and uploaded once."""
+        if getattr(self, "_cs_cat_words_dev", None) is None:
+            import jax
+            idx = self.index
+
+            def build(fw, rc):
+                fp = self._pad_plane(fw)
+                rp = self._pad_plane(rc)
+                n = len(fp)
+                PAD = 96
+                pad2 = PAD + (-(2 * n + PAD) % 4)
+                if 2 * n + PAD + pad2 >= 2 ** 31:
+                    return None
+                cat = np.empty(2 * n + PAD + pad2, np.uint8)
+                cat[:n] = fp
+                cat[n:n + PAD] = fp[-1]
+                cat[n + PAD:2 * n + PAD] = rp
+                cat[2 * n + PAD:] = rp[-1]
+                with self._device_ctx():
+                    return jax.device_put(cat.view(np.int32),
+                                          self.device)
+
+            cs_cat = build(idx.cs_codes, idx.cs_codes_rc)
+            ls_cat = build(idx.codes, idx.codes_rc)
+            self._cs_cat_words_dev = (False if cs_cat is None
+                                      or ls_cat is None
+                                      else (cs_cat, ls_cat))
+        return None if self._cs_cat_words_dev is False \
+            else self._cs_cat_words_dev
 
     def _device_ctx(self):
         import contextlib
