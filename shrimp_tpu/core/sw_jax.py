@@ -455,15 +455,17 @@ def _unpack_args4(args4):
     remote TPU backends, so args ship at 16B instead of 40B per window).
 
     w0 = gstart (absolute genome offset, int32)
-    w1 = ri | rc<<18 | rev<<19 | glen<<20        (ri<2^18, glen<4096)
+    w1 = ri | rc<<16 | rev<<17 | glen<<18        (ri<2^16, glen<2^14 —
+         the 14-bit glen is what lets --longest-read windows, G up to
+         4095, ride the packed flow on every tier incl. multi-host)
     w2 = (rx & 0xffff) | ry<<16                  (both signed int16)
     w3 = (rl & 0xffff) | rw<<16
     """
     w0, w1, w2, w3 = (args4[:, k] for k in range(4))
-    ri = w1 & 0x3FFFF
-    rc = (w1 >> 18) & 1
-    rev = (w1 >> 19) & 1
-    glen = (w1 >> 20) & 0xFFF
+    ri = w1 & 0xFFFF
+    rc = (w1 >> 16) & 1
+    rev = (w1 >> 17) & 1
+    glen = (w1 >> 18) & 0x3FFF
     rx = (w2 << 16) >> 16
     ry = w2 >> 16
     rl_ = w3 & 0xFFFF
@@ -571,7 +573,7 @@ def _pack_stats3(vec, stats):
     device->host fetch (12B/row vs 18B unpacked):
 
     w0 = vec | score<<16       (both >= 0 and < 2^15: sw-vector.c:393)
-    w1 = mi | mj<<10 | plane<<20 | (term!=0)<<22    (mi, mj < 1024)
+    w1 = mi | mj<<12 | plane<<24 | (term!=0)<<26    (mi, mj < 4096)
     w2 = matches | run<<16     (matches = deq - base along the chain)
 
     Fields of rows with score == 0 are junk the host never reads."""
@@ -579,8 +581,8 @@ def _pack_stats3(vec, stats):
     matches = stats[:, 6] - stats[:, 7]
     v = vec if vec is not None else jnp.zeros_like(score)
     w0 = (score << 16) | (v & 0xFFFF)
-    w1 = ((mi & 1023) | ((mj & 1023) << 10) | ((plane & 3) << 20)
-          | (jnp.where(term != 0, 1, 0) << 22))
+    w1 = ((mi & 4095) | ((mj & 4095) << 12) | ((plane & 3) << 24)
+          | (jnp.where(term != 0, 1, 0) << 26))
     w2 = (matches & 0xFFFF) | ((run & 0x7FFF) << 16)
     return jnp.stack([w0, w1, w2], axis=1).astype(jnp.int32)
 

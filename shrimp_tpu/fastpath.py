@@ -162,14 +162,14 @@ def _pack_args4(bucket: int, k: int, starts, glen, ri, rc, rx, ry,
     a = np.zeros((bucket, 4), np.int32)
     a[:k, 0] = starts.astype(np.int64).astype(np.int32)
     a[:k, 1] = _i32(ri.astype(np.int64)
-                    | (rc.astype(np.int64) << 18)
-                    | (rev.astype(np.int64) << 19)
-                    | (glen.astype(np.int64) << 20))
+                    | (rc.astype(np.int64) << 16)
+                    | (rev.astype(np.int64) << 17)
+                    | (glen.astype(np.int64) << 18))
     a[:k, 2] = _i32((rx.astype(np.int64) & 0xFFFF)
                     | (ry.astype(np.int64) << 16))
     a[:k, 3] = _i32((rl.astype(np.int64) & 0xFFFF)
                     | (rw.astype(np.int64) << 16))
-    a[k:, 1] = 1 << 20              # pad: glen = 1
+    a[k:, 1] = 1 << 18              # pad: glen = 1
     a[k:, 3] = (1 << 16) | 1        # pad: rl = rw = 1
     return a
 
@@ -193,11 +193,11 @@ def _unpack_stats3(pk: np.ndarray):
     vec = (w0 & 0xFFFF).astype(np.int64)
     st = np.empty((pk.shape[0], 7), np.int32)
     st[:, 0] = w0 >> 16
-    st[:, 1] = w1 & 1023
-    st[:, 2] = (w1 >> 10) & 1023
-    st[:, 3] = (w1 >> 20) & 3
+    st[:, 1] = w1 & 4095
+    st[:, 2] = (w1 >> 12) & 4095
+    st[:, 3] = (w1 >> 24) & 3
     st[:, 4] = (w2 >> 16) & 0x7FFF
-    st[:, 5] = (w1 >> 22) & 1
+    st[:, 5] = (w1 >> 26) & 1
     st[:, 6] = (w2 & 0xFFFF).astype(np.int16)   # sign-extend matches
     return vec, st
 
@@ -264,9 +264,9 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
     # Packed IO (16B/window args up, 4-bit reads up, 12B/window stats
     # down) whenever the bit-field ranges hold — per-batch transfer
     # bytes are the throughput wall on the remote-tunnel TPU backend.
-    packed_io = (G <= 1023 and R <= 1023
-                 and int(fh.w_len.max()) < 4096
-                 and read_tab.shape[0] <= (1 << 18)
+    packed_io = (G <= 4095 and R <= 4095
+                 and int(fh.w_len.max()) < (1 << 14)
+                 and read_tab.shape[0] <= (1 << 16)
                  and idx.total_len < (1 << 31))
     kw = dict(G=G, match=sc.match, mismatch=sc.mismatch,
               a_gap_open=sc.a_gap_open, a_gap_ext=sc.a_gap_extend,
@@ -312,8 +312,12 @@ def _fused_dispatch(m, fh, read_tab: np.ndarray, L: int, R: int,
         # Dozens of 32k chunk launches per batch made the per-launch
         # device round trip (~100ms on the tunneled backend) the wall:
         # 2207 windows/read x 1024 reads = 69 launches/batch at 32k.
+        # cap ~4M rows/launch: the gather's [B, 17] int32 intermediate
+        # lives in a (8, 128)-tiled layout (minor dim padded 17 -> 128,
+        # 512B/row), so a whole 8192-read hg batch in one launch
+        # (~21M rows) exceeds HBM by itself
         eff_batch = int(_os.environ.get("SHRIMP_TPU_LS_VEC_BATCH",
-                                        str(1 << 26)))
+                                        str(1 << 22)))
     if not stats_flow:
         eff_batch = max(8, min(FULL_BATCH, (1 << 28) // max(R * G, 1)))
     futures = []
@@ -1072,8 +1076,25 @@ class FastLS:
         return buf[:nb].tobytes(), nhits
 
 
+
+
+def auto_batch_size(mapper) -> int:
+    """Density-aware default batch size: big genomes carry thousands of
+    candidate windows per read, so smaller batches give the lane
+    pipeline enough depth to overlap host filter 1 with the device
+    step (a 50k-read run at 8192 is only 6 pipeline steps); small
+    genomes amortize per-batch overheads with big batches. Proxy for
+    density: total genome length (windows/read scales with posting-list
+    length)."""
+    import os as _o
+    env = _o.environ.get("SHRIMP_TPU_BATCH_SIZE")
+    if env:
+        return int(env)
+    return 2048 if mapper.index.total_len >= (1 << 28) else 8192
+
+
 def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
-                            batch_size: int = 8192,
+                            batch_size: Optional[int] = None,
                             lanes: Optional[int] = None
                             ) -> Optional[Iterator[bytes]]:
     """Pipelined LS unpaired mapping straight to SAM bytes; None when the
@@ -1086,6 +1107,8 @@ def map_unpaired_sam_stream(mapper, records: Sequence[SeqRecord],
     overlap across lanes; results are byte-identical to lanes=1."""
     if not fastpath_supported(mapper.config):
         return None
+    if batch_size is None:
+        batch_size = auto_batch_size(mapper)
     fast = FastLS(mapper)
     if fast.lib is None:
         return None
@@ -1892,7 +1915,7 @@ class FastPaired:
 
 
 def map_paired_sam_stream(mapper, records: Sequence[SeqRecord],
-                          batch_size: int = 8192,
+                          batch_size: Optional[int] = None,
                           lanes: Optional[int] = None
                           ) -> Optional[Iterator[bytes]]:
     """Pipelined LS paired mapping straight to SAM bytes; None when the
@@ -1900,6 +1923,8 @@ def map_paired_sam_stream(mapper, records: Sequence[SeqRecord],
     output order == input order (multi-lane like the unpaired stream)."""
     if not fastpath_paired_supported(mapper.config):
         return None
+    if batch_size is None:
+        batch_size = auto_batch_size(mapper)
     fast = FastPaired(mapper)
     if fast.lib is None:
         return None

@@ -40,9 +40,10 @@ CS_FUSED_BATCH = 2048
 # batch made the per-launch device round trip the wall) — 1024-multiple
 # steps keep the Mosaic tile constraint, ~1.5x spacing bounds both the
 # padded-row tail and the number of distinct compiled shapes
+# capped at 2M rows/launch: per-row minor dims pad to 128 lanes on TPU
+# (args [B,12]i32 and qr [B,4,R] both cost ~512B/row of HBM transients)
 CS_CHUNK_BUCKETS = (2048, 8192, 32768, 131072, 262144, 393216, 524288,
-                    786432, 1048576, 1572864, 2097152, 3145728, 4194304,
-                    6291456, 8388608, 12582912)
+                    786432, 1048576, 1572864, 2097152)
 
 
 def _cs_chunk(n: int) -> int:
@@ -712,7 +713,7 @@ class FastCS:
 
 
 def map_unpaired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
-                               batch_size: int = 8192,
+                               batch_size: Optional[int] = None,
                                lanes: Optional[int] = None
                                ) -> Optional[Iterator[bytes]]:
     """Pipelined CS unpaired mapping straight to SAM bytes; None when
@@ -720,6 +721,9 @@ def map_unpaired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
     fastpath.map_unpaired_sam_stream."""
     if not fastpath_cs_supported(mapper.config):
         return None
+    if batch_size is None:
+        from .fastpath import auto_batch_size
+        batch_size = auto_batch_size(mapper)
     fast = FastCS(mapper)
     if fast.lib is None:
         return None
@@ -1310,13 +1314,16 @@ class FastPairedCS(FastCS):
 
 
 def map_paired_cs_sam_stream(mapper, records: Sequence[SeqRecord],
-                             batch_size: int = 8192,
+                             batch_size: Optional[int] = None,
                              lanes: Optional[int] = None
                              ) -> Optional[Iterator[bytes]]:
     """Pipelined CS paired mapping straight to SAM bytes; None when the
     config needs the generic path."""
     if not fastpath_cs_paired_supported(mapper.config):
         return None
+    if batch_size is None:
+        from .fastpath import auto_batch_size
+        batch_size = auto_batch_size(mapper)
     fast = FastPairedCS(mapper)
     if fast.lib is None:
         return None

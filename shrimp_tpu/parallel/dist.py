@@ -805,7 +805,7 @@ class DistMapper:
         win, G = _normalize_win(m, fh, L, rcf)
         if G > self.halo:
             raise ValueError(f"window {G} exceeds halo {self.halo}")
-        if G > 1023 or R > 1023 or int(fh.w_len.max()) >= 4096:
+        if G > 4095 or R > 4095 or int(fh.w_len.max()) >= (1 << 14):
             # remote shards' genome bytes are unreachable from this
             # host, so there is no single-device fallback here; fail
             # loudly and synchronously on every rank

@@ -51,7 +51,12 @@ def main():
     rs = mode.startswith("rs")
     if rs:
         mode = {"rs": "unpaired", "rs-paired": "paired"}[mode]
-    if mode == "paired":
+    if mode == "long":
+        from test_dist import make_long_dataset
+        contigs, reads = make_long_dataset()
+        cfg = MapperConfig(longest_read_len=1000)
+        mode = "unpaired"
+    elif mode == "paired":
         contigs, reads = make_paired_dataset()
         cfg = MapperConfig(pair_mode="opp-in", min_insert_size=60,
                            max_insert_size=240)
