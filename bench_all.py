@@ -280,12 +280,10 @@ WORKLOADS = {
     "ecoli-cs": lambda: bench_cs("ecoli_synth2", 4_600_000, 20260816),
     "ecoli-cs-paired": lambda: bench_cs_paired("ecoli_synth2",
                                                4_600_000, 20260816),
-    # chr21: the 47Mbp density wants deeper lanes + threaded f1
-    # (sweep 2026-08-21: 48 lanes / 4 f1 threads 103.4k vs 90.3k at
-    # the 32/1 default on the 4-core driver host)
-    "chr21-ls": lambda: bench_ls("chr21", 47_000_000, 777,
-                                 env={"SHRIMP_TPU_PIPELINE_LANES": "48",
-                                      "SHRIMP_TPU_F1_THREADS": "2"}),
+    # chr21 runs the DEFAULT config: the round-5 device-step fixes
+    # (one launch per batch, fast gather, density-aware batch) removed
+    # the need for the round-4 hand sweep (48 lanes / 2 f1 threads)
+    "chr21-ls": lambda: bench_ls("chr21", 47_000_000, 777),
     "ecoli-ls-flags": lambda: bench_ls_flags("ecoli_synth2", 4_600_000,
                                              20260816),
     "ecoli-ls-generic": lambda: bench_ls_generic("ecoli_synth2",

@@ -353,9 +353,14 @@ def generate_candidates(index: GenomeIndex, codes: np.ndarray,
     if gapless or match_mode == 1:
         keep = np.ones(n, bool)
     else:
+        # (int) truncation mirrors mapping.c:1157's
+        # `>= (int)abs_or_pct(...)` — the f64 product 400 * 0.55 is
+        # 220.0000000000000028 and must still accept a score of 220
         thr = (np.full(n, -threshold)
-               if is_absolute(threshold) else cap * (threshold / 100.0))
-        keep = max_score.astype(np.float64) >= thr
+               if is_absolute(threshold)
+               else (cap * (threshold / 100.0)))
+        thr = np.trunc(thr).astype(np.int64)
+        keep = max_score >= thr
         if match_mode == 3:
             # heavy anchors get a window with no threshold check
             # (mapping.c:1160-1163)

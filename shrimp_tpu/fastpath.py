@@ -47,15 +47,15 @@ for _a, _b in (("A", "T"), ("T", "A"), ("C", "G"), ("G", "C")):
 def fastpath_supported(cfg: MapperConfig) -> bool:
     """Gate: the C renderer covers the default LS unpaired SAM flow
     plus the renderer-level flags (--all-contigs, --sam-unaligned,
-    --read-group, --sam-r2 — output-side only, so they must not evict
-    the device fast path; VERDICT r3 weak #4)."""
+    --read-group, --sam-r2, --extra-sam-fields — output-side only, so
+    they must not evict the device fast path; VERDICT r3 weak #4,
+    r4 next-task #5)."""
     return (cfg.mode == C.MODE_LETTER_SPACE
             and cfg.pair_mode == C.PAIR_NONE
             and len(cfg.unpaired_options()) == 1
             and not cfg.gapless
             and cfg.global_alignment
             and cfg.compute_mapping_qualities
-            and not cfg.extra_sam_fields
             and not cfg.shrimp_format
             and cfg.search_forward and cfg.search_reverse)
 
@@ -74,14 +74,15 @@ class _P1Params(ctypes.Structure):
 class _P1In(ctypes.Structure):
     _fields_ = [(f, ctypes.c_void_p) for f in
                 ("owner", "cn", "g_off", "w_len", "matches", "score_max",
-                 "ax", "ay", "alen", "awid", "scores")]
+                 "ax", "ay", "alen", "awid", "scores", "swg")]
 
 
 class _P1Out(ctypes.Structure):
     _fields_ = [("cap", ctypes.c_int64)] + \
         [(f, ctypes.c_void_p) for f in
          ("ri", "gen_st", "cn", "g_off", "w_len", "score_max", "ax", "ay",
-          "alen", "awid", "score_vector", "seg", "src")]
+          "alen", "awid", "score_vector", "seg", "src",
+          "matches", "swg")]
 
 
 class _FRParams(ctypes.Structure):
@@ -108,13 +109,17 @@ class _FRParams(ctypes.Structure):
                 ("sam_unaligned", ctypes.c_int32),
                 ("qual_raw", ctypes.c_void_p),
                 ("una_lo", ctypes.c_int64),
-                ("una_hi", ctypes.c_int64)]
+                ("una_hi", ctypes.c_int64),
+                ("extra_sam", ctypes.c_int32),
+                ("genome", ctypes.c_void_p),
+                ("genome_rc", ctypes.c_void_p),
+                ("contig_offsets", ctypes.c_void_p)]
 
 
 class _FRJobs(ctypes.Structure):
     _fields_ = [(f, ctypes.c_void_p) for f in
                 ("ri", "cn", "gen_st", "g_off", "score_max", "packed",
-                 "ops_pk")]
+                 "ops_pk", "f_matches", "swg", "svec")]
 
 
 class _FSWParams(ctypes.Structure):
@@ -535,6 +540,8 @@ class FastLS:
         self.contig_name_off = np.array(offs, np.int32)
         self.contig_lengths32 = np.ascontiguousarray(idx.contig_lengths,
                                                      np.uint32)
+        self.contig_offsets32 = np.ascontiguousarray(idx.contig_offsets,
+                                                     np.uint32)
 
     def _filter1(self, codes2: np.ndarray, L: int, wlen: int):
         """Candidate window generation over the mapper's index;
@@ -877,7 +884,8 @@ class FastLS:
                 ("g_off", np.int64), ("w_len", np.int32),
                 ("score_max", np.int64), ("ax", np.int64),
                 ("ay", np.int64), ("alen", np.int64), ("awid", np.int64),
-                ("score_vector", np.int64), ("src", np.int64))}
+                ("score_vector", np.int64), ("src", np.int64),
+                ("matches", np.int32), ("swg", np.int64))}
         seg = np.zeros(B + 1, np.int64)
         p1 = _P1Params(
             n, 2 * B, L, wlen,
@@ -896,13 +904,16 @@ class FastLS:
                     ay=np.ascontiguousarray(fh.ay[sel_sl], np.int64),
                     alen=np.ascontiguousarray(fh.alen[sel_sl], np.int64),
                     awid=np.ascontiguousarray(fh.awid[sel_sl], np.int64),
-                    scores=scores[sel_sl])
+                    scores=scores[sel_sl],
+                    swg=np.ascontiguousarray(fh.score_window_gen[sel_sl],
+                                             np.int64))
         p1in = _P1In(**{k: _vp(v) for k, v in arrs.items()})
         p1out = _P1Out(cap, *[_vp(sel[k]) for k in
                               ("ri", "gen_st", "cn", "g_off", "w_len",
                                "score_max", "ax", "ay", "alen",
                                "awid", "score_vector")],
-                       _vp(seg), _vp(sel["src"]))
+                       _vp(seg), _vp(sel["src"]),
+                       _vp(sel["matches"]), _vp(sel["swg"]))
         n_sel = int(self.lib.pass1_select(ctypes.byref(p1),
                                           ctypes.byref(p1in),
                                           ctypes.byref(p1out)))
@@ -926,7 +937,8 @@ class FastLS:
             return self._unaligned_block(ctx, nhits), nhits
         jobs = {k: np.ascontiguousarray(sel[k][:n_sel][jsel]) for k in
                 ("ri", "gen_st", "cn", "g_off", "w_len", "score_max",
-                 "ax", "ay", "alen", "awid")}
+                 "ax", "ay", "alen", "awid", "matches", "swg",
+                 "score_vector")}
         rows = sel["src"][:n_sel][jsel] + sel_base
         if tp is not None:
             # two-phase phase B: full SW only on the pass1 + vec-gate
@@ -1014,6 +1026,18 @@ class FastLS:
             fr.rg_len = len(rg_bytes)
         fr.all_contigs = int(cfg.all_contigs)
         fr.sam_unaligned = int(cfg.sam_unaligned)
+        fr.extra_sam = int(cfg.extra_sam_fields)
+        if cfg.extra_sam_fields:
+            idx0 = m.index
+            if getattr(idx0, "codes", None) is None:
+                # multi-host tier: remote shards' genome bytes are
+                # unreachable, ZE cannot be built — generic path only
+                raise RuntimeError(
+                    "--extra-sam-fields is not supported on the "
+                    "multi-host tier (remote genome bytes)")
+            fr.genome = idx0.codes.ctypes.data
+            fr.genome_rc = idx0.codes_rc.ctypes.data
+            fr.contig_offsets = self.contig_offsets32.ctypes.data
         if cfg.sam_unaligned:
             if ctx.get("qual_raw") is not None:
                 fr.qual_raw = ctx["qual_raw"].ctypes.data
@@ -1033,7 +1057,9 @@ class FastLS:
             fr.surv_post = sp.ctypes.data
         frj = _FRJobs(_vp(jobs["ri"]), _vp(jobs["cn"]),
                       _vp(jobs["gen_st"]), _vp(jobs["g_off"]),
-                      _vp(jobs["score_max"]), _vp(packed), _vp(ops_pk))
+                      _vp(jobs["score_max"]), _vp(packed), _vp(ops_pk),
+                      _vp(jobs["matches"]), _vp(jobs["swg"]),
+                      _vp(jobs["score_vector"]))
         if self.z1_merge_hook is not None:
             # sharded-index MQV recombination (MAPPING_QUALITIES Part
             # 1c): first finalize pass collects every MQV-contributing

@@ -701,10 +701,15 @@ int64_t filter1_batch(
             bool keep;
             if (p->gapless || p->match_mode == 1) keep = true;
             else {
-                double thr = p->threshold < 0
-                    ? -p->threshold
-                    : (double)cap * (p->threshold / 100.0);
-                keep = (double)max_score >= thr;
+                // the reference truncates the percent threshold to
+                // int before comparing (mapping.c:1157: `max_score >=
+                // (int)abs_or_pct(...)`) — without the trunc,
+                // 400 * 0.55 = 220.0000000000000028 rejects a window
+                // the reference keeps at exactly 220
+                int64_t thr = p->threshold < 0
+                    ? (int64_t)(-p->threshold)
+                    : (int64_t)((double)cap * (p->threshold / 100.0));
+                keep = max_score >= thr;
                 // heavy anchors get a window with no threshold check
                 // (mapping.c:1160-1163)
                 if (p->match_mode == 3 && hv) keep = true;

@@ -54,6 +54,7 @@ struct P1In {
   const int64_t* alen;
   const int64_t* awid;
   const int64_t* scores;
+  const int64_t* swg;      // score_window_gen (carried for ZR)
 };
 
 struct P1Out {
@@ -71,6 +72,8 @@ struct P1Out {
   int64_t* score_vector;
   int64_t* seg;          // [n_reads + 1]
   int64_t* src;          // optional: source candidate index per row
+  int32_t* matches;        // optional: per-selected-window f1 matches
+  int64_t* swg;            // optional: per-selected-window window-gen score
 };
 
 struct HeapEnt {
@@ -148,6 +151,8 @@ int64_t pass1_select(const P1Params* p, const P1In* in, P1Out* out) {
       out->alen[n_sel] = al;
       out->awid[n_sel] = aw;
       out->score_vector[n_sel] = in->scores[i];
+      if (out->matches) out->matches[n_sel] = in->matches[i];
+      if (out->swg) out->swg[n_sel] = in->swg ? in->swg[i] : 0;
       if (out->src) out->src[n_sel] = i;
       n_sel++;
     }
@@ -196,6 +201,80 @@ int64_t pass1_select(const P1Params* p, const P1In* in, P1Out* out) {
   return n_sel;
 }
 
+// Edit string for --extra-sam-fields (alignment_edit_string,
+// common/output.c:61-120 + the reverse+complement transform of
+// gmapper/output.c:84-122): tokens are <n> match run, letter =
+// mismatch (the READ base), (<letters>) = gap in reference, '-' = gap
+// in read. Built from the 2-bit op string + the forward read letters
+// (the SW orientation aligns the forward read against the rc genome
+// plane for reverse hits, so qralign letters are always seq_fwd), then
+// reversed+complemented for reverse-strand emission.
+static inline char es_comp(char c) {
+  switch (c) {
+    case 'A': return 'T'; case 'T': return 'A';
+    case 'C': return 'G'; case 'G': return 'C';
+  }
+  return c;
+}
+
+static int build_edit_string(const uint8_t* opw, int nops, int rs,
+                             int gs, const uint8_t* sqf,
+                             const uint8_t* gwin, bool rev, char* out) {
+  static const char GLUT[16] = {'A', 'C', 'G', 'T', 'N', 'N', 'N', 'N',
+                                'N', 'N', 'N', 'N', 'N', 'N', 'N', 'N'};
+  static thread_local std::vector<char> fwd;
+  if ((int)fwd.size() < 2 * nops + 32) fwd.resize(2 * nops + 32);
+  char* es = fwd.data();
+  int en = 0, consec = 0, qpos = rs, gpos = gs;
+  bool refgap = false;
+  for (int q = nops - 1; q >= 0; q--) {
+    int op = (opw[q >> 2] >> ((q & 3) * 2)) & 3;
+    if (op == 2) {                       // insertion (gap in reference)
+      if (consec) { en += sprintf(es + en, "%d", consec); consec = 0; }
+      if (!refgap) { es[en++] = '('; refgap = true; }
+      es[en++] = (char)sqf[qpos++];
+      continue;
+    }
+    if (op == 1) {                       // deletion (gap in read)
+      if (refgap) { es[en++] = ')'; refgap = false; }
+      if (consec) { en += sprintf(es + en, "%d", consec); consec = 0; }
+      es[en++] = '-';
+      gpos++;
+      continue;
+    }
+    // M column: match iff the read letter equals the genome letter
+    char rb = (char)sqf[qpos++];
+    char gb = GLUT[gwin[gpos++] & 15];
+    if (rb == gb) {
+      if (refgap) { es[en++] = ')'; refgap = false; }
+      consec++;
+      continue;
+    }
+    if (refgap) { es[en++] = ')'; refgap = false; }
+    if (consec) { en += sprintf(es + en, "%d", consec); consec = 0; }
+    es[en++] = rb;                       // substitution: the read base
+  }
+  if (refgap) es[en++] = ')';
+  if (consec) en += sprintf(es + en, "%d", consec);
+  if (!rev) { memcpy(out, es, en); out[en] = 0; return en; }
+  int rn = 0, i = en - 1;
+  while (i >= 0) {
+    char c = es[i];
+    if (c >= '0' && c <= '9') {
+      int j = i;
+      while (j > 0 && es[j - 1] >= '0' && es[j - 1] <= '9') j--;
+      memcpy(out + rn, es + j, i - j + 1);
+      rn += i - j + 1;
+      i = j - 1;
+    } else if (c == '-' || c == 'x') { out[rn++] = c; i--; }
+    else if (c == ')') { out[rn++] = '('; i--; }
+    else if (c == '(') { out[rn++] = ')'; i--; }
+    else { out[rn++] = es_comp(c); i--; }
+  }
+  out[rn] = 0;
+  return rn;
+}
+
 // ---------------------------------------------------- finalize_render
 
 struct FRParams {
@@ -242,6 +321,16 @@ struct FRParams {
   int64_t una_lo, una_hi;          // unmapped emission read range
                                    // (read-sharded ranks restrict to
                                    // their slice)
+  int32_t extra_sam;               // --extra-sam-fields: ZM/ZR/ZV/ZH/ZE
+                                   // (gmapper/output.c:743-756)
+  // host genome planes for the ZE mismatch columns (the 2-bit ops
+  // mark M runs only; match-vs-substitution comes from comparing the
+  // read letter against the genome letter, exactly the reference's
+  // dbalign/qralign comparison). NULL => extra_sam unsupported (the
+  // multi-host tier cannot read remote shards' genome bytes).
+  const uint8_t* genome;           // forward plane codes
+  const uint8_t* genome_rc;        // revcomp plane codes
+  const uint32_t* contig_offsets;  // absolute plane offset per contig
 };
 
 struct FRJobs {
@@ -252,6 +341,10 @@ struct FRJobs {
   const int64_t* score_max;
   const int32_t* packed;   // [n, 10]: score mi mj nops rs gs m mm ins del
   const uint8_t* ops_pk;   // [n, ops_words] 2-bit ops, reversed order
+  // --extra-sam-fields inputs (null when the flag is off)
+  const int32_t* f_matches;   // filter-1 window match count (ZM)
+  const int64_t* swg;         // window-gen score (ZR)
+  const int64_t* svec;        // vector-SW score (ZV)
 };
 
 // util.h:267-282
@@ -439,6 +532,8 @@ int64_t finalize_render(const FRParams* p, const FRJobs* j,
           pos = right - (read_end1 - (rs + 1) - dele + ins);
         }
         if (end - w < 512 + 10 * (int64_t)R + p->rg_len
+                      + (p->extra_sam
+                         ? 10 * (int64_t)p->ops_words + 96 : 0)
                       + (p->name_off[ri + 1] - p->name_off[ri]))
           return -(int64_t)1;
         // qname, flags, rname
@@ -516,6 +611,22 @@ int64_t finalize_render(const FRParams* p, const FRJobs* j,
         if (p->rg_len) {
           memcpy(w, p->rg, p->rg_len);
           w += p->rg_len;
+        }
+        if (p->extra_sam) {
+          // ZM/ZR/ZV/ZH/ZE (gmapper/output.c:743-756)
+          if (!p->genome) return -(int64_t)2;
+          w += sprintf(w, "\tZM:i:%d\tZR:i:%lld\tZV:i:%lld\tZH:i:%d",
+                       j->f_matches ? j->f_matches[t] : 0,
+                       (long long)(j->swg ? j->swg[t] : 0),
+                       (long long)(j->svec ? j->svec[t] : 0),
+                       s.score_full);
+          memcpy(w, "\tZE:Z:", 6);
+          w += 6;
+          const uint8_t* plane = rev ? p->genome_rc : p->genome;
+          int64_t wstart = (int64_t)p->contig_offsets[cn] + j->g_off[t];
+          w += build_edit_string(j->ops_pk + t * p->ops_words, nops, rs,
+                                 pk[5], p->seq_fwd + (int64_t)ri * R,
+                                 plane + wstart, rev, w);
         }
         *w++ = '\n';
       }

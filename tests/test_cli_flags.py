@@ -149,3 +149,65 @@ def test_gzipped_inputs(tmp_path):
     got = [l for l in run_cli([gz_r, gz_g]).splitlines()
            if not l.startswith("@")]
     assert got == want and got
+
+
+def _indel_dataset(tmp_path, n_reads=200, seed=4242):
+    """Reads with 1-2 indels + substitutions: exercises the ZE edit
+    string's paren/deletion tokens AND the window-gen threshold's (int)
+    truncation edge (mapping.c:1157 — a 40bp read's 55% threshold is
+    the non-representable 220.000...03 in f64)."""
+    rng = np.random.default_rng(seed)
+    g = "".join(rng.choice(list("ACGT"), 60_000))
+    gpath = str(tmp_path / "ig.fa")
+    with open(gpath, "w") as f:
+        f.write(">ichr\n" + g + "\n")
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rpath = str(tmp_path / "ir.fa")
+    with open(rpath, "w") as f:
+        for k in range(n_reads):
+            p = int(rng.integers(0, len(g) - 50))
+            r = list(g[p:p + 44])
+            for _ in range(int(rng.integers(1, 3))):
+                q = int(rng.integers(2, len(r) - 3))
+                if rng.integers(2):
+                    del r[q:q + int(rng.integers(1, 3))]
+                else:
+                    r[q:q] = ["ACGT"[int(rng.integers(4))]
+                              for _ in range(int(rng.integers(1, 3)))]
+            for _ in range(int(rng.integers(0, 3))):
+                r[int(rng.integers(len(r)))] = \
+                    "ACGT"[int(rng.integers(4))]
+            r = ("".join(r[:40]) if len(r) >= 40
+                 else "".join(r) + g[p + 44:p + 44 + 40 - len(r)])
+            if k % 3 == 0:
+                r = "".join(comp[c] for c in reversed(r))
+            f.write(f">ir{k}\n{r}\n")
+    return gpath, rpath
+
+
+def test_extra_sam_fields_byte_identical(tmp_path):
+    """--extra-sam-fields rides the native fast path (VERDICT r4 task
+    #5): ZM/ZR/ZV/ZH/ZE byte-identical to the reference on an
+    indel-bearing dataset (forward and reverse-strand edit strings,
+    paren groups, deletions, substitution letters)."""
+    gpath, rpath = _indel_dataset(tmp_path)
+    want = oracle.sam_body(oracle.run_gmapper(
+        ["-E", "--extra-sam-fields", rpath, gpath]))
+    got = [l for l in run_cli(["--extra-sam-fields", rpath,
+                               gpath]).splitlines()
+           if not l.startswith("@")]
+    assert got == want and got
+    assert any("ZE:Z:" in l and "(" in l.split("ZE:Z:")[1] for l in got)
+    assert any("ZE:Z:" in l and "-" in l.split("ZE:Z:")[1] for l in got)
+
+
+def test_windowgen_threshold_trunc_byte_identical(tmp_path):
+    """The window-gen percent threshold truncates to int before the
+    compare (mapping.c:1157) — without it, 40bp reads whose best
+    2-anchor chain scores exactly 220 are dropped (220 < 400 * 0.55 in
+    f64). Plain-config byte identity on the indel dataset."""
+    gpath, rpath = _indel_dataset(tmp_path, seed=977)
+    want = oracle.sam_body(oracle.run_gmapper(["-E", rpath, gpath]))
+    got = [l for l in run_cli([rpath, gpath]).splitlines()
+           if not l.startswith("@")]
+    assert got == want and got

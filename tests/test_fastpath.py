@@ -97,14 +97,14 @@ def test_fastpath_gate_configs(tmp_path):
     idx, reads, _, _ = _build(tmp_path, n_reads=8)
     recs = [SeqRecord(n, s) for n, s in reads]
     for kw in (dict(shrimp_format=True),
-               dict(compute_mapping_qualities=False),
-               dict(extra_sam_fields=True)):
+               dict(compute_mapping_qualities=False)):
         cfg = MapperConfig(**kw)
         assert map_unpaired_sam_stream(Mapper(idx, cfg), recs) is None
-    # renderer-level flags are INSIDE the gate (r4) and byte-identical
-    # to the generic path
+    # renderer-level flags are INSIDE the gate (r4; extra-sam-fields
+    # r5) and byte-identical to the generic path
     for kw in (dict(sam_unaligned=True), dict(all_contigs=True),
                dict(read_group_name="g", sam_sample_name="s"),
+               dict(extra_sam_fields=True),
                dict(sam_unaligned=True, read_group_name="g2",
                     sam_sample_name="s2")):
         cfg = MapperConfig(**kw)
