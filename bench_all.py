@@ -145,11 +145,38 @@ def bench_ls_flags(name, glen, seed):
     return len(recs) / dt, lines
 
 
+def bench_ls_es(name, glen, seed):
+    """--extra-sam-fields through the NATIVE fast path (r5: the native
+    renderer builds ZM/ZR/ZV/ZH/ZE edit strings itself) — compare with
+    ecoli-ls-generic, the same config on the generic object pipeline,
+    to see the r4 31x off-default cliff closed."""
+    from shrimp_tpu.config import MapperConfig
+    from shrimp_tpu.fastpath import map_unpaired_sam_stream
+    from shrimp_tpu.mapper import Mapper
+    codes = _genome(name, glen, seed)
+    idx = _index(name, codes)
+    cfg = MapperConfig(extra_sam_fields=True)
+    m = Mapper(idx, cfg)
+    rng = np.random.default_rng(7)
+    recs = _ls_reads(codes, N_READS, rng)
+    for _ in map_unpaired_sam_stream(m, recs[:4096]):
+        pass
+    t0 = time.time()
+    nb = 0
+    gen = map_unpaired_sam_stream(m, recs)
+    assert gen is not None, "extra-sam-fields left the fast gate"
+    for chunk in gen:
+        nb += len(chunk)
+    dt = time.time() - t0
+    return len(recs) / dt, nb // 100  # lines proxy: bytes/100
+
+
 def bench_ls_generic(name, glen, seed):
-    """A config still OUTSIDE the fast gate (--extra-sam-fields needs
-    the edit-string materialization only the generic object pipeline
-    implements) — published so the size of the remaining off-default
-    cliff is a measured number, not a guess."""
+    """The generic object pipeline on the same --extra-sam-fields
+    config (r4 published this as the off-default cliff; r5 moved the
+    config inside the fast gate — this row keeps measuring the generic
+    pipeline itself, the floor any still-ungated config falls to:
+    multi-round option sets, --shrimp-format, gapless, local)."""
     from shrimp_tpu.config import MapperConfig
     from shrimp_tpu.io.sam import render_unpaired
     from shrimp_tpu.mapper import Mapper
@@ -286,6 +313,8 @@ WORKLOADS = {
     "chr21-ls": lambda: bench_ls("chr21", 47_000_000, 777),
     "ecoli-ls-flags": lambda: bench_ls_flags("ecoli_synth2", 4_600_000,
                                              20260816),
+    "ecoli-ls-es": lambda: bench_ls_es("ecoli_synth2", 4_600_000,
+                                       20260816),
     "ecoli-ls-generic": lambda: bench_ls_generic("ecoli_synth2",
                                                  4_600_000, 20260816),
 }
