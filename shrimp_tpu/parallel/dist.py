@@ -370,10 +370,10 @@ class _DistFastLS(_ShardedFastLS):
             jb = _FSWJobs(_vp(np.ascontiguousarray(gwin)), _vp(glen),
                           _vp(read),
                           _vp(rlen),
-                          _vp(np.ascontiguousarray(ax, np.int64)),
-                          _vp(np.ascontiguousarray(ay, np.int64)),
-                          _vp(np.ascontiguousarray(alen, np.int64)),
-                          _vp(np.ascontiguousarray(awid, np.int64)),
+                          _vp(np.ascontiguousarray(ax, np.int32)),
+                          _vp(np.ascontiguousarray(ay, np.int32)),
+                          _vp(np.ascontiguousarray(alen, np.int32)),
+                          _vp(np.ascontiguousarray(awid, np.int32)),
                           _vp(np.ascontiguousarray(rev, np.uint8)))
             rv = self.lib.sw_full_tb_host(ctypes.byref(p),
                                           ctypes.byref(jb), _vp(pk2),
