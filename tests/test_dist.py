@@ -349,7 +349,7 @@ def test_two_process_dist_byte_identical(tmp_path):
     logs = []
     for pr in procs:
         try:
-            so, se = pr.communicate(timeout=timeout)
+            so, se = pr.communicate(timeout=480)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
